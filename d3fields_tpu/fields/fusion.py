@@ -1,0 +1,276 @@
+"""The field core: pure jittable multi-view fusion queries.
+
+TPU-first rebuild of the reference's hottest path (``Fusion.eval`` /
+``Fusion.eval_dist`` / ``Fusion.batch_eval``, ``fusion.py:305-545``):
+
+- ``eval_field(state, pts, return_names)`` fuses projection, visibility,
+  depth-based truncated distance, and weighted multi-view feature
+  interpolation in one jitted function. Per-view contributions are
+  accumulated (an unrolled static loop over the small view axis) so the
+  (V, N, 1024) intermediate that forces the reference's 60k-point chunking
+  never materializes.
+- ``batch_eval`` streams arbitrarily many points through fixed-size tiles
+  with ``lax.map`` (static shapes; padded tail) — constant memory at any N.
+- gradients flow through everything (used by rigid tracking,
+  reference ``fusion.py:1608-1685``).
+
+The weighting scheme matches the reference exactly (``fusion.py:343-388``):
+validity ``(inter_depth>0) & in_front & (dist>-mu)``, weight
+``exp(clamp(mu-|dist|,max=0)/mu)`` from the *unclamped* distance, distance
+clamped to ±mu and valid-mean-fused with invalid points set to 1e3, features
+fused as ``sum(f * valid * w) / (sum(valid) + 1e-6)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3fields_tpu.config import D3FieldsConfig, FusionConfig
+from d3fields_tpu.fields import geometry
+from d3fields_tpu.fields.state import FieldState, state_from_obs
+
+Array = jax.Array
+
+INVALID_DIST = 1e3
+_EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Core eval
+# ---------------------------------------------------------------------------
+
+def _distance_terms(state: FieldState, pts: Array):
+    """Shared projection + depth-visibility computation.
+
+    Returns (xy, dist_raw, in_front, inter_depth, pts_depth).
+    """
+    xy, in_front, pts_depth = geometry.project_points(pts, state.pose, state.K)
+    H, W = state.image_hw
+    inter_depth = geometry.interpolate_maps(
+        state.depth[..., None], xy, (H, W), mode="nearest"
+    )[..., 0]  # (V, N)
+    dist_raw = inter_depth - pts_depth
+    return xy, dist_raw, in_front, inter_depth, pts_depth
+
+
+def eval_field(
+    state: FieldState,
+    pts: Array,
+    return_names: Tuple[str, ...] = ("dino_feats", "mask"),
+) -> Dict[str, Array]:
+    """Query the fused field at world points.
+
+    Args:
+      state: observation state.
+      pts: (N, 3) world points.
+      return_names: subset of {'dino_feats', 'mask', 'color_tensor'}.
+
+    Returns dict with 'dist' (N,), 'valid_mask' (N,) bool, and one (N, C)
+    array per requested name. Semantics mirror ``Fusion.eval``
+    (``fusion.py:305-394``).
+    """
+    mu = jnp.asarray(state.mu, pts.dtype)
+    xy, dist_raw, in_front, inter_depth, _ = _distance_terms(state, pts)
+
+    dist_valid = (inter_depth > 0.0) & in_front & (dist_raw > -mu)  # (V, N)
+    weight = jnp.exp(jnp.clip(mu - jnp.abs(dist_raw), max=0.0) / mu)  # (V, N)
+    dist = jnp.clip(dist_raw, -mu, mu)
+
+    vf = dist_valid.astype(pts.dtype)
+    denom = vf.sum(axis=0)  # (N,)
+    dist_fused = (dist * vf).sum(axis=0) / (denom + _EPS)
+    all_invalid = denom == 0
+    dist_fused = jnp.where(all_invalid, jnp.asarray(INVALID_DIST, pts.dtype), dist_fused)
+
+    outputs: Dict[str, Array] = {
+        "dist": dist_fused,
+        "valid_mask": jnp.logical_not(all_invalid),
+    }
+
+    if return_names:
+        maps = state.feature_maps(tuple(return_names))
+        H, W = state.image_hw
+        vw = vf * weight  # (V, N)
+        num_views = state.num_views
+        for name in return_names:
+            m = maps[name]
+            acc = None
+            # Static unrolled loop over the (small) view axis: keeps the peak
+            # live tensor at (N, C) instead of (V, N, C).
+            for v in range(num_views):
+                tap = geometry.sample_map_bilinear(m[v], xy[v], (H, W))
+                contrib = tap * vw[v][:, None]
+                acc = contrib if acc is None else acc + contrib
+            val = acc / (denom[:, None] + _EPS)
+            val = jnp.where(all_invalid[:, None], 0.0, val)
+            outputs[name] = val
+    return outputs
+
+
+def eval_dist(state: FieldState, pts: Array) -> Dict[str, Array]:
+    """Unclamped distance query for grasp planners.
+
+    Mirrors ``Fusion.eval_dist`` (``fusion.py:396-436``): no ±mu clamp, no
+    1e3 sentinel, validity is just ``(inter_depth>0) & in_front``.
+    """
+    _, dist_raw, in_front, inter_depth, _ = _distance_terms(state, pts)
+    dist_valid = (inter_depth > 0.0) & in_front
+    vf = dist_valid.astype(pts.dtype)
+    denom = vf.sum(axis=0)
+    dist_fused = (dist_raw * vf).sum(axis=0) / (denom + _EPS)
+    return {"dist": dist_fused, "valid_mask": denom > 0}
+
+
+# jitted entry points (return_names static; FieldState.mu is a static field)
+eval_field_jit = jax.jit(eval_field, static_argnames=("return_names",))
+eval_dist_jit = jax.jit(eval_dist)
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch eval
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("return_names", "tile", "use_pallas"))
+def _batch_eval_padded(
+    state: FieldState,
+    pts_padded: Array,
+    return_names: Tuple[str, ...],
+    tile: int,
+    use_pallas: bool,
+) -> Dict[str, Array]:
+    num_tiles = pts_padded.shape[0] // tile
+    tiles = pts_padded.reshape(num_tiles, tile, 3)
+
+    if use_pallas:
+        from d3fields_tpu.fields import kernels
+
+        def one(p):
+            return kernels.eval_field_fused(state, p, return_names)
+    else:
+        def one(p):
+            return eval_field(state, p, return_names)
+
+    out = jax.lax.map(one, tiles)
+    return {k: v.reshape((num_tiles * tile,) + v.shape[2:]) for k, v in out.items()}
+
+
+def batch_eval(
+    state: FieldState,
+    pts,
+    return_names: Tuple[str, ...] = ("dino_feats", "mask"),
+    *,
+    tile: int = 32768,
+    use_pallas: bool = False,
+) -> Dict[str, Array]:
+    """Evaluate the field over any number of points at constant memory.
+
+    Replaces the reference's 60k-chunk host loop (``Fusion.batch_eval``,
+    ``fusion.py:526-545``) with a ``lax.map`` over fixed-size tiles inside a
+    single compiled program; the ragged tail is padded and sliced off.
+    """
+    pts = jnp.asarray(pts)
+    n = pts.shape[0]
+    return_names = tuple(return_names)
+    padded_n = max(tile, ((n + tile - 1) // tile) * tile)
+    if padded_n != n:
+        pad = jnp.zeros((padded_n - n, 3), pts.dtype)
+        pts_padded = jnp.concatenate([pts, pad], axis=0)
+    else:
+        pts_padded = pts
+    out = _batch_eval_padded(state, pts_padded, return_names, tile, use_pallas)
+    return {k: v[:n] for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration facade
+# ---------------------------------------------------------------------------
+
+class Fusion:
+    """Convenience facade mirroring the reference ``Fusion`` class API.
+
+    Unlike the reference (a god-object owning every model,
+    ``fusion.py:202-303``), this holds only configuration, an optional
+    feature backend, and the current immutable :class:`FieldState`; all math
+    is delegated to the pure functions above. Segmentation / tracking layers
+    attach via the modules in ``d3fields_tpu.seg`` and ``d3fields_tpu.track``.
+    """
+
+    def __init__(
+        self,
+        num_cam: Optional[int] = None,
+        config: Optional[D3FieldsConfig] = None,
+        feature_backend=None,
+        mask_backend=None,
+    ):
+        self.config = config or D3FieldsConfig()
+        self.num_cam = num_cam
+        self.feature_backend = feature_backend
+        self.mask_backend = mask_backend
+        self.state: Optional[FieldState] = None
+        self.curr_obs: dict = {}
+
+    # -- ingestion ---------------------------------------------------------
+    def update(self, obs: dict) -> FieldState:
+        """Ingest a reference-style obs dict and (optionally) extract features.
+
+        Mirrors ``Fusion.update`` (``fusion.py:686-714``): stores color /
+        depth / pose / K and populates per-view DINOv2 patch descriptors via
+        the configured backend; patch grid defaults to (H//10, W//10)
+        (``fusion.py:694-697``).
+        """
+        self.num_cam = obs["color"].shape[0]
+        dino_feats = obs.get("dino_feats")
+        if dino_feats is None and self.feature_backend is not None:
+            H, W = obs["color"].shape[1:3]
+            dino_feats = self.feature_backend(
+                obs["color"], patch_hw=(H // 10, W // 10)
+            )
+        mask = obs.get("mask")
+        if mask is None and self.state is not None:
+            mask = self.state.mask  # carry tracked masks across frames
+        self.state = state_from_obs(
+            obs, dino_feats=dino_feats, mask=mask, mu=self.config.fusion.mu
+        )
+        self.curr_obs = dict(obs)
+        return self.state
+
+    def set_mask(self, mask) -> FieldState:
+        """Attach (V, H, W, NI) instance-mask probabilities to the state."""
+        self.state = self.state.replace(mask=jnp.asarray(mask, self.state.depth.dtype))
+        return self.state
+
+    # -- queries -----------------------------------------------------------
+    def _require_state(self):
+        if self.state is None:
+            raise RuntimeError("call update() before querying the field")
+
+    def eval(self, pts, return_names=("dino_feats", "mask")):
+        self._require_state()
+        return eval_field_jit(self.state, jnp.asarray(pts), tuple(return_names))
+
+    def eval_dist(self, pts):
+        self._require_state()
+        return eval_dist_jit(self.state, jnp.asarray(pts))
+
+    def batch_eval(self, pts, return_names=("dino_feats", "mask")):
+        self._require_state()
+        return batch_eval(
+            self.state,
+            pts,
+            tuple(return_names),
+            tile=self.config.fusion.query_tile,
+            use_pallas=self.config.fusion.use_pallas and _on_tpu(),
+        )
+
+    def batch_eval_np(self, pts, return_names=("dino_feats", "mask")):
+        out = self.batch_eval(pts, return_names)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,102 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Env vars must be set before the first jax import, so this file does it at
+collection time. Torch (CPU) serves as the numerical oracle for
+grid_sample/model parity tests.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# The environment pins JAX_PLATFORMS=axon (TPU tunnel); tests must run on the
+# virtual 8-device CPU mesh, and the env var alone does not win over the
+# plugin, so force it through the config as well.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def synthetic_scene(num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0):
+    """A tiny calibrated multi-camera scene looking at a sphere at the origin.
+
+    Cameras are placed on a circle, looking inward; depth maps are rendered
+    analytically for a sphere of radius 0.12 m centered at (0, 0, 0.06).
+    Feature/mask maps are random but deterministic.
+    """
+    rs = np.random.RandomState(seed)
+    center = np.array([0.0, 0.0, 0.06])
+    radius = 0.12
+
+    fx = fy = 80.0
+    cx, cy = W / 2.0, H / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
+    Ks = np.tile(K[None], (num_views, 1, 1))
+
+    poses = []
+    depths = []
+    for v in range(num_views):
+        ang = 2 * np.pi * v / num_views
+        cam_pos = center + np.array([0.5 * np.cos(ang), 0.5 * np.sin(ang), 0.35])
+        # Build look-at world->cam.
+        fwd = center - cam_pos
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd], axis=0)  # world->cam rotation
+        t = -R @ cam_pos
+        pose = np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+        poses.append(pose)
+
+        # Analytic sphere depth render.
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        dirs = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1)
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        # ray: cam_pos + s * (R^T dirs)
+        dirs_w = dirs @ R  # (H, W, 3) world-frame directions
+        oc = cam_pos - center
+        b = 2 * (dirs_w @ oc)
+        c = oc @ oc - radius**2
+        disc = b**2 - 4 * c
+        hit = disc > 0
+        s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+        pts = cam_pos + s[..., None] * dirs_w
+        z = (pts - cam_pos) @ R[2]
+        depth = np.where(hit & (s > 0), z, 0.0).astype(np.float32)
+        depths.append(depth)
+
+    depth = np.stack(depths, axis=0)
+    ph, pw = H // 10, W // 10
+    feats = rs.randn(num_views, ph, pw, feat_dim).astype(np.float32)
+    mask_logits = rs.rand(num_views, H, W, num_inst).astype(np.float32)
+    mask = (mask_logits == mask_logits.max(axis=-1, keepdims=True)).astype(np.float32)
+    color = rs.randint(0, 255, size=(num_views, H, W, 3), dtype=np.uint8)
+    return {
+        "color": color,
+        "depth": depth,
+        "pose": np.stack(poses, axis=0),
+        "K": Ks,
+        "dino_feats": feats,
+        "mask": mask,
+    }
+
+
+@pytest.fixture(scope="session")
+def scene():
+    return synthetic_scene()

@@ -1,0 +1,58 @@
+"""Pallas fused-eval kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from d3fields_tpu.fields import fusion as ffusion
+from d3fields_tpu.fields import geometry, kernels
+from d3fields_tpu.fields.state import state_from_obs
+
+
+def _state(scene):
+    return state_from_obs(scene, dino_feats=scene["dino_feats"], mask=scene["mask"], mu=0.02)
+
+
+@pytest.fixture(scope="module")
+def qpts():
+    rs = np.random.RandomState(3)
+    sphere = rs.randn(300, 3)
+    sphere /= np.linalg.norm(sphere, axis=1, keepdims=True)
+    near = np.array([0, 0, 0.06]) + sphere * (0.12 + rs.uniform(-0.03, 0.03, (300, 1)))
+    return np.concatenate([near, rs.uniform(-1, 1, (84, 3))]).astype(np.float32)
+
+
+def test_fused_weighted_interp_matches_gather(rng):
+    V, h, w, C = 3, 6, 8, 130
+    N = 77
+    feats = rng.standard_normal((V, h, w, C)).astype(np.float32)
+    xy = rng.uniform(-5, 70, size=(V, N, 2)).astype(np.float32)
+    vw = rng.uniform(0, 1, size=(V, N)).astype(np.float32)
+    H, W = 48, 64
+
+    idx, tw = jax.vmap(lambda p: geometry.bilinear_taps(jnp.asarray(p), (H, W), (h, w)))(
+        jnp.asarray(xy)
+    )
+    tw = tw * jnp.asarray(vw)[..., None]
+    out = kernels.fused_weighted_interp(
+        jnp.asarray(feats).reshape(V, h * w, C), idx, tw, point_tile=32, interpret=True
+    )
+
+    ref = 0
+    for v in range(V):
+        tap = geometry.sample_map_bilinear(jnp.asarray(feats[v]), jnp.asarray(xy[v]), (H, W))
+        ref = ref + np.asarray(tap) * vw[v][:, None]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_eval_field_fused_matches_reference_impl(scene, qpts):
+    st = _state(scene)
+    names = ("dino_feats", "mask")
+    base = ffusion.eval_field(st, jnp.asarray(qpts), names)
+    fused = kernels.eval_field_fused(st, jnp.asarray(qpts), names)
+    np.testing.assert_array_equal(np.asarray(fused["valid_mask"]), np.asarray(base["valid_mask"]))
+    np.testing.assert_allclose(np.asarray(fused["dist"]), np.asarray(base["dist"]), rtol=1e-5, atol=1e-6)
+    for k in names:
+        np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(base[k]), rtol=1e-4, atol=1e-5)
