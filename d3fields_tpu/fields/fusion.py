@@ -213,6 +213,10 @@ class Fusion:
         self.mask_backend = mask_backend
         self.state: Optional[FieldState] = None
         self.curr_obs: dict = {}
+        self.consensus_mask_label: list = []
+        self.semantic_label: list = []
+        self.view_masks: list = []
+        self.instances_info: list = []
 
     # -- ingestion ---------------------------------------------------------
     def update(self, obs: dict) -> FieldState:
@@ -270,6 +274,99 @@ class Fusion:
     def batch_eval_np(self, pts, return_names=("dino_feats", "mask")):
         out = self.batch_eval(pts, return_names)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    # -- open-text instance masks -----------------------------------------
+    def _poses44(self) -> np.ndarray:
+        pose = np.asarray(self.state.pose)
+        pad = np.tile(np.array([[[0.0, 0.0, 0.0, 1.0]]], pose.dtype), (pose.shape[0], 1, 1))
+        return np.concatenate([pose, pad], axis=1)
+
+    def _boundaries(self, boundaries):
+        from d3fields_tpu.config import Boundaries
+
+        if boundaries is None:
+            return self.config.boundaries
+        if isinstance(boundaries, Boundaries):
+            return boundaries
+        return Boundaries.from_dict(boundaries)
+
+    def text_queries_for_inst_mask_no_track(
+        self,
+        queries,
+        thresholds,
+        boundaries=None,
+        expected_labels=None,
+        robot_pcd=None,
+    ):
+        """Open-text per-view masks + cross-view consensus, single frame.
+
+        Mirrors ``Fusion.text_queries_for_inst_mask_no_track``
+        (``fusion.py:1112-1171``): per-view mask backend -> optional robot
+        filter -> voxel-IoU consensus -> one-hot 'mask' in the state.
+        """
+        from d3fields_tpu.seg import backends as segb
+        from d3fields_tpu.seg import instances as segi
+
+        self._require_state()
+        if self.mask_backend is None:
+            raise RuntimeError("no mask backend configured")
+        boundaries = self._boundaries(boundaries)
+        color = self.curr_obs["color"]
+        depth = np.asarray(self.state.depth)
+        Ks = np.asarray(self.state.K)
+        poses44 = self._poses44()
+
+        views = []
+        for i in range(self.num_cam):
+            vm = self.mask_backend.segment(color[i], queries, thresholds)
+            if robot_pcd is not None:
+                vm = segb.filter_masks_by_robot_pcd(
+                    vm, depth[i], Ks[i], poses44[i], robot_pcd
+                )
+            views.append(vm)
+        self.view_masks = views
+        _, idx = np.unique(views[0].labels, return_index=True)
+        self.semantic_label = list(np.array(views[0].labels)[np.sort(idx)])
+
+        index_masks, labels, insts = segi.align_instance_masks(
+            views, depth, Ks, poses44, queries, boundaries,
+            self.config.instances, expected_labels,
+        )
+        self.consensus_mask_label = labels
+        self.instances_info = insts
+        from d3fields_tpu.fields.geometry import instance_to_onehot
+
+        onehot = instance_to_onehot(index_masks, len(labels)).astype(np.float32)
+        self.set_mask(onehot)
+        return index_masks, labels
+
+    def get_inst_num(self) -> int:
+        """Number of consensus instances including background
+        (``fusion.py:1258-1260``)."""
+        return len(self.consensus_mask_label)
+
+    def extract_masked_pcd(self, inst_idx_ls, boundaries=None) -> np.ndarray:
+        """World points under selected instances' (eroded) consensus masks,
+        aggregated over views (``fusion.py:1262-1280``)."""
+        from d3fields_tpu.seg.instances import erode_mask
+
+        self._require_state()
+        boundaries = self._boundaries(boundaries)
+        mask = np.asarray(self.state.mask)
+        sel = np.zeros(mask.shape[:3], bool)
+        for idx in inst_idx_ls:
+            sel |= mask[..., idx].astype(bool)
+        sel = np.stack([erode_mask(sel[i]) for i in range(sel.shape[0])])
+        return geometry.aggregate_masked_points_np(
+            np.asarray(self.state.depth), np.asarray(self.state.K), self._poses44(),
+            masks=sel, boundaries=boundaries,
+        )
+
+    def get_query_obj_pcd(self, boundaries=None) -> np.ndarray:
+        """All non-background instance points (``fusion.py:1297-1311``)."""
+        return self.extract_masked_pcd(
+            list(range(1, self.get_inst_num())), boundaries
+        )
 
 
 def _on_tpu() -> bool:

@@ -1,0 +1,273 @@
+"""Cross-view instance association and consensus masks (host-side).
+
+Rebuild of the reference's L3 layer (``fusion.py:716-1110``): per-view
+open-text masks are associated across cameras by voxel-set IoU, conflicting
+voxels resolved by view count / confidence, instances reordered to query
+order, and per-view index masks rewritten to the consensus numbering.
+
+This layer is branchy, data-dependent, and tiny relative to the field core,
+so it deliberately runs on the host in numpy (SURVEY §7 architecture stance);
+the voxel hashing itself reuses :class:`d3fields_tpu.fields.geometry.VoxelHash`.
+
+Deviation from the reference (documented bugfix): duplicate indices in the
+deletion list are collapsed to a set before deletion — the reference's
+``sorted(to_delete, reverse=True)`` deletes a shifted neighbor when an index
+appears twice (``fusion.py:1040-1041``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from d3fields_tpu.config import Boundaries, InstanceConfig
+from d3fields_tpu.fields.geometry import (
+    VoxelHash,
+    aggregate_masked_points_np,
+)
+
+
+@dataclasses.dataclass
+class ViewMasks:
+    """Per-view open-text segmentation output (grounded-SAM contract,
+    ``utils/grounded_sam.py:404-442``): mask 0 is the background complement."""
+
+    masks: np.ndarray           # (num_inst, H, W) bool
+    labels: List[str]           # len num_inst, labels[0] == 'background'
+    confidences: np.ndarray     # (num_inst,)
+
+
+@dataclasses.dataclass
+class Instance:
+    label: str
+    vox_idx: np.ndarray                  # unique voxel flat indices
+    conf_per_vox: Dict[int, List[float]]  # voxel -> per-view confidences
+    view_mask_idx: Dict[int, int]        # view index -> mask index in that view
+
+
+def pcd_iou(pcd_1: np.ndarray, pcd_2: np.ndarray, threshold: float):
+    """Bi-directional coverage IoU between point clouds
+    (``Fusion.pcd_iou``, ``fusion.py:724-741``)."""
+    dist = np.linalg.norm(pcd_1[:, None] - pcd_2[None], axis=-1)
+    d12, i12 = dist.min(axis=1), dist.argmin(axis=1)
+    d21, i21 = dist.min(axis=0), dist.argmin(axis=0)
+    n1, n2 = pcd_1.shape[0], pcd_2.shape[0]
+    iou = ((d12 < threshold).sum() + (d21 < threshold).sum()) / (n1 + n2)
+    return (
+        iou,
+        (d12 < threshold).sum() / n1,
+        (d21 < threshold).sum() / n2,
+        np.where(d12 < threshold)[0],
+        np.where(d21 < threshold)[0],
+        i12,
+        i21,
+    )
+
+
+def vox_idx_iou(a: np.ndarray, b: np.ndarray) -> Tuple[float, float, float]:
+    """Set IoU over voxel indices (``Fusion.vox_idx_iou``, ``fusion.py:794-799``)."""
+    sa, sb = set(a.tolist()), set(b.tolist())
+    union = len(sa | sb)
+    if union == 0:
+        return 0.0, 0.0, 0.0
+    return len(sa & sb) / union, len(sa) / union, len(sb) / union
+
+
+def erode_mask(mask: np.ndarray) -> np.ndarray:
+    """2x2 erosion applied before backprojection
+    (``extract_masked_pcd_in_views``, ``fusion.py:1295``)."""
+    return (
+        cv2.erode((mask * 255).astype(np.uint8), np.ones((2, 2), np.uint8), iterations=1)
+        > 0
+    )
+
+
+def masked_view_points(
+    depth: np.ndarray,
+    K: np.ndarray,
+    pose44: np.ndarray,
+    mask: np.ndarray,
+    boundaries: Boundaries,
+) -> np.ndarray:
+    """Backproject one view's (eroded) mask into bounded world points."""
+    return aggregate_masked_points_np(
+        depth[None], K[None], pose44[None], masks=erode_mask(mask)[None],
+        boundaries=boundaries,
+    )
+
+
+def merge_view(
+    instances: List[Instance],
+    view_idx: int,
+    view: ViewMasks,
+    depth: np.ndarray,
+    K: np.ndarray,
+    pose44: np.ndarray,
+    vh: VoxelHash,
+    boundaries: Boundaries,
+    cfg: InstanceConfig,
+) -> List[Instance]:
+    """Greedy label+IoU association of one view's masks into the instance
+    list (``merge_instances_from_new_view_vox_ver``, ``fusion.py:801-849``)."""
+    assert view.labels[0] == "background"
+    for j, label in enumerate(view.labels):
+        pts = masked_view_points(depth, K, pose44, view.masks[j], boundaries)
+        if pts.shape[0] == 0:
+            idx_j = np.zeros((0,), np.int64)
+        else:
+            idx_j = vh.pcd_to_index(pts)
+        conf = float(view.confidences[j])
+
+        best_iou, best_k = 0.0, -1
+        for k, inst in enumerate(instances):
+            if inst.label != label:
+                continue
+            iou = vox_idx_iou(idx_j, inst.vox_idx)[0]
+            if iou > best_iou:
+                best_iou, best_k = iou, k
+
+        if best_iou > cfg.vox_merge_iou:
+            inst = instances[best_k]
+            already_contributed = view_idx in inst.view_mask_idx
+            inst.vox_idx = np.unique(np.concatenate([inst.vox_idx, idx_j]))
+            if not already_contributed:
+                for v in set(idx_j.tolist()):
+                    inst.conf_per_vox.setdefault(v, []).append(conf)
+            inst.view_mask_idx[view_idx] = j
+        elif label != "background" or view_idx == 0:
+            uniq = np.unique(idx_j)
+            instances.append(
+                Instance(
+                    label=label,
+                    vox_idx=uniq,
+                    conf_per_vox={int(v): [conf] for v in uniq},
+                    view_mask_idx={view_idx: j},
+                )
+            )
+    return instances
+
+
+def filter_instances(
+    instances: List[Instance], cfg: InstanceConfig
+) -> List[Instance]:
+    """Resolve overlapping instances and drop background/tiny ones
+    (``filter_instances_vox_ver``, ``fusion.py:975-1046``)."""
+    to_delete: set = set()
+    for i, inst_i in enumerate(instances):
+        if i in to_delete:
+            continue
+        for j in range(i + 1, len(instances)):
+            if j in to_delete:
+                continue
+            inst_j = instances[j]
+            iou, iou_1, iou_2 = vox_idx_iou(inst_i.vox_idx, inst_j.vox_idx)
+            if iou > 0.25 or iou_1 > 0.5 or iou_2 > 0.5:
+                # per-voxel arbitration: more contributing views wins; ties by
+                # mean confidence
+                del_i, del_j = [], []
+                for v, confs_i in inst_i.conf_per_vox.items():
+                    confs_j = inst_j.conf_per_vox.get(v)
+                    if confs_j is None:
+                        continue
+                    if len(confs_i) < len(confs_j) or (
+                        len(confs_i) == len(confs_j)
+                        and np.mean(confs_i) < np.mean(confs_j)
+                    ):
+                        del_i.append(v)
+                for v, confs_j in inst_j.conf_per_vox.items():
+                    confs_i = inst_i.conf_per_vox.get(v)
+                    if confs_i is None:
+                        continue
+                    if len(confs_j) < len(confs_i) or (
+                        len(confs_j) == len(confs_i)
+                        and np.mean(confs_j) < np.mean(confs_i)
+                    ):
+                        del_j.append(v)
+                _remove_voxels(inst_i, del_i)
+                _remove_voxels(inst_j, del_j)
+            if inst_i.vox_idx.shape[0] < 1:
+                to_delete.add(i)
+            if inst_j.vox_idx.shape[0] < 1:
+                to_delete.add(j)
+
+    for i, inst in enumerate(instances):
+        if i in to_delete:
+            continue
+        if inst.label in cfg.background_labels:
+            to_delete.add(i)
+        elif inst.vox_idx.shape[0] < 1:
+            to_delete.add(i)
+
+    return [inst for i, inst in enumerate(instances) if i not in to_delete]
+
+
+def _remove_voxels(inst: Instance, voxels: Sequence[int]) -> None:
+    if not voxels:
+        return
+    rm = set(voxels)
+    for v in voxels:
+        inst.conf_per_vox.pop(v, None)
+    inst.vox_idx = np.array(
+        [v for v in inst.vox_idx.tolist() if v not in rm], dtype=np.int64
+    )
+
+
+def reorder_instances(
+    instances: List[Instance], query_texts: Sequence[str]
+) -> List[Instance]:
+    """Stable reorder to ['background'] + query order
+    (``reorder_instances``, ``fusion.py:1048-1055``)."""
+    out = []
+    for q in ["background"] + list(query_texts):
+        out.extend([inst for inst in instances if inst.label == q])
+    return out
+
+
+def rewrite_index_masks(
+    instances: List[Instance], views: List[ViewMasks], image_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Per-view uint8 instance-index masks from the consensus numbering
+    (``swap_instance_mask``, ``fusion.py:1057-1066``)."""
+    V = len(views)
+    H, W = image_hw
+    out = np.zeros((V, H, W), np.uint8)
+    for v in range(V):
+        for inst_idx, inst in enumerate(instances):
+            j = inst.view_mask_idx.get(v)
+            if j is None:
+                continue
+            out[v][views[v].masks[j]] = inst_idx
+    return out
+
+
+def align_instance_masks(
+    views: List[ViewMasks],
+    depths: np.ndarray,
+    Ks: np.ndarray,
+    poses44: np.ndarray,
+    queries: Sequence[str],
+    boundaries: Boundaries,
+    cfg: Optional[InstanceConfig] = None,
+    expected_labels: Optional[Sequence[str]] = None,
+) -> Tuple[np.ndarray, List[str], List[Instance]]:
+    """Full consensus pipeline (``align_instance_mask_v3``, ``fusion.py:1068-1098``).
+
+    Returns (index_masks (V, H, W) uint8, consensus labels, instances).
+    """
+    cfg = cfg or InstanceConfig()
+    vh = VoxelHash.from_boundaries(boundaries, cfg.voxel_size)
+    instances: List[Instance] = []
+    for v, view in enumerate(views):
+        instances = merge_view(
+            instances, v, view, depths[v], Ks[v], poses44[v], vh, boundaries, cfg
+        )
+    instances = filter_instances(instances, cfg)
+    instances = reorder_instances(instances, queries)
+    index_masks = rewrite_index_masks(instances, views, depths.shape[1:])
+    labels = [inst.label for inst in instances]
+    if expected_labels is not None and labels != list(expected_labels):
+        print(f"consensus mask label {labels} != expected {list(expected_labels)}")
+    return index_masks, labels, instances

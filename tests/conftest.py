@@ -31,16 +31,24 @@ def rng():
     return np.random.default_rng(0)
 
 
-def synthetic_scene(num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0):
-    """A tiny calibrated multi-camera scene looking at a sphere at the origin.
+def synthetic_scene(
+    num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0, spheres=None,
+    ground=False,
+):
+    """A tiny calibrated multi-camera scene looking at analytic spheres.
 
-    Cameras are placed on a circle, looking inward; depth maps are rendered
-    analytically for a sphere of radius 0.12 m centered at (0, 0, 0.06).
-    Feature/mask maps are random but deterministic.
+    Cameras sit on a circle looking inward; depth maps are rendered
+    analytically (nearest-hit over all spheres). ``spheres`` is a list of
+    (center (3,), radius); default is one sphere of radius 0.12 m at
+    (0, 0, 0.06). Also returns per-view per-sphere hit masks under
+    'sphere_masks' (V, S, H, W). Feature/mask maps are random but
+    deterministic.
     """
     rs = np.random.RandomState(seed)
-    center = np.array([0.0, 0.0, 0.06])
-    radius = 0.12
+    if spheres is None:
+        spheres = [(np.array([0.0, 0.0, 0.06]), 0.12)]
+    spheres = [(np.asarray(c, np.float64), float(r)) for c, r in spheres]
+    look_at = np.mean([c for c, _ in spheres], axis=0)
 
     fx = fy = 80.0
     cx, cy = W / 2.0, H / 2.0
@@ -49,11 +57,12 @@ def synthetic_scene(num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0):
 
     poses = []
     depths = []
+    sphere_masks = []
     for v in range(num_views):
         ang = 2 * np.pi * v / num_views
-        cam_pos = center + np.array([0.5 * np.cos(ang), 0.5 * np.sin(ang), 0.35])
+        cam_pos = look_at + np.array([0.5 * np.cos(ang), 0.5 * np.sin(ang), 0.35])
         # Build look-at world->cam.
-        fwd = center - cam_pos
+        fwd = look_at - cam_pos
         fwd = fwd / np.linalg.norm(fwd)
         up = np.array([0.0, 0.0, 1.0])
         right = np.cross(fwd, up)
@@ -64,22 +73,40 @@ def synthetic_scene(num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0):
         pose = np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
         poses.append(pose)
 
-        # Analytic sphere depth render.
+        # Analytic nearest-hit sphere depth render.
         ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
         dirs = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1)
         dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-        # ray: cam_pos + s * (R^T dirs)
         dirs_w = dirs @ R  # (H, W, 3) world-frame directions
-        oc = cam_pos - center
-        b = 2 * (dirs_w @ oc)
-        c = oc @ oc - radius**2
-        disc = b**2 - 4 * c
-        hit = disc > 0
-        s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
-        pts = cam_pos + s[..., None] * dirs_w
+        s_best = np.full((H, W), np.inf)
+        which = np.full((H, W), -1)
+        for si, (center, radius) in enumerate(spheres):
+            oc = cam_pos - center
+            b = 2 * (dirs_w @ oc)
+            c = oc @ oc - radius**2
+            disc = b**2 - 4 * c
+            hit = disc > 0
+            s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+            s = np.where(s > 0, s, np.inf)
+            closer = s < s_best
+            s_best = np.where(closer, s, s_best)
+            which = np.where(closer, si, which)
+        if ground:
+            # ground plane z=0 behind the spheres (the 'table' every real
+            # scene has; gives the background mask observable depth)
+            dz = dirs_w[..., 2]
+            s_plane = np.where(dz < -1e-6, -cam_pos[2] / dz, np.inf)
+            closer = s_plane < s_best
+            s_best = np.where(closer, s_plane, s_best)
+            which = np.where(closer, -1, which)
+        hit_any = np.isfinite(s_best)
+        pts = cam_pos + np.where(hit_any, s_best, 0.0)[..., None] * dirs_w
         z = (pts - cam_pos) @ R[2]
-        depth = np.where(hit & (s > 0), z, 0.0).astype(np.float32)
+        depth = np.where(hit_any, z, 0.0).astype(np.float32)
         depths.append(depth)
+        sphere_masks.append(
+            np.stack([(which == si) & hit_any for si in range(len(spheres))])
+        )
 
     depth = np.stack(depths, axis=0)
     ph, pw = H // 10, W // 10
@@ -94,6 +121,7 @@ def synthetic_scene(num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0):
         "K": Ks,
         "dino_feats": feats,
         "mask": mask,
+        "sphere_masks": np.stack(sphere_masks, axis=0),
     }
 
 
