@@ -33,7 +33,7 @@ def rng():
 
 def synthetic_scene(
     num_views=4, H=48, W=64, feat_dim=32, num_inst=3, seed=0, spheres=None,
-    ground=False,
+    ground=False, focal=80.0,
 ):
     """A tiny calibrated multi-camera scene looking at analytic spheres.
 
@@ -50,7 +50,7 @@ def synthetic_scene(
     spheres = [(np.asarray(c, np.float64), float(r)) for c, r in spheres]
     look_at = np.mean([c for c, _ in spheres], axis=0)
 
-    fx = fy = 80.0
+    fx = fy = float(focal)
     cx, cy = W / 2.0, H / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
     Ks = np.tile(K[None], (num_views, 1, 1))
