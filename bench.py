@@ -1,0 +1,163 @@
+"""Headline benchmark: batch_eval query-point throughput, 4-view fusion.
+
+Prints ONE JSON line:
+  {"metric": "batch_eval_pts_per_sec", "value": N, "unit": "pts/s",
+   "vs_baseline": R}
+
+``value`` is the TPU-native throughput of ``d3fields_tpu`` batch_eval
+(dino_feats 1024-d + full-res mask fusion, 4 views) over 2M query points.
+``vs_baseline`` is the speedup over the reference algorithm (torch
+grid_sample + 60k-point host chunking, ``fusion.py:305-545``) re-implemented
+faithfully in torch and run on the host CPU of this machine — the only
+executable form of the reference here (no CUDA GPU; the reference publishes
+no numbers, BASELINE.json ``published: {}``). North star: >=10x.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _scene(num_views=4, H=240, W=320, feat_dim=1024, num_inst=4, seed=0):
+    rs = np.random.RandomState(seed)
+    depth = (0.6 + 0.2 * rs.rand(num_views, H, W)).astype(np.float32)
+    K = np.tile(
+        np.array([[260.0, 0, W / 2], [0, 260.0, H / 2], [0, 0, 1]], np.float32),
+        (num_views, 1, 1),
+    )
+    poses = []
+    for v in range(num_views):
+        th = 2 * np.pi * v / num_views
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t = np.array([0.02 * v, -0.01 * v, 0.8], np.float32)
+        poses.append(np.concatenate([R, t[:, None]], 1))
+    pose = np.stack(poses)
+    feats = rs.randn(num_views, H // 10, W // 10, feat_dim).astype(np.float32)
+    mask = rs.rand(num_views, H, W, num_inst).astype(np.float32)
+    return depth, pose, K, feats, mask
+
+
+def bench_tpu(depth, pose, K, feats, mask, n_pts=1024 * 1024, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from d3fields_tpu.fields.fusion import batch_eval
+    from d3fields_tpu.fields.state import FieldState
+
+    state = FieldState(
+        depth=jnp.asarray(depth),
+        pose=jnp.asarray(pose),
+        K=jnp.asarray(K),
+        dino_feats=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+    )
+    pts = jnp.asarray(
+        np.random.RandomState(1).uniform(-0.5, 0.5, (n_pts, 3)).astype(np.float32)
+    )
+    use_pallas = jax.default_backend() == "tpu"
+    names = ("dino_feats", "mask")
+
+    def run():
+        out = batch_eval(state, pts, names, tile=65536, use_pallas=use_pallas)
+        # Force execution + completion of every output buffer: a host fetch
+        # of a scalar derived from each array (block_until_ready alone does
+        # not synchronize through remote-tunnel TPU backends).
+        sync = 0.0
+        for v in out.values():
+            sync += float(v.reshape(-1)[0].astype(jnp.float32))
+        del out
+        return sync
+
+    run()  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(f"[bench] tpu backend={jax.default_backend()} pallas={use_pallas} "
+          f"{n_pts} pts in {dt:.3f}s", file=sys.stderr)
+    return n_pts / dt
+
+
+def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072, chunk=60000):
+    """The reference eval algorithm (``fusion.py:305-394,526-545``): torch
+    grid_sample interpolation per view, exp distance weighting, python
+    chunk loop at 60k points — on the host CPU."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    dev = torch.device("cpu")
+    mu = 0.02
+    V, H, W = depth.shape
+    depth_t = torch.from_numpy(depth).to(dev)
+    pose_t = torch.from_numpy(pose).to(dev)
+    K_t = torch.from_numpy(K).to(dev)
+    # (V, C, h, w) layouts for grid_sample
+    feats_t = torch.from_numpy(feats).permute(0, 3, 1, 2).contiguous().to(dev)
+    mask_t = torch.from_numpy(mask).permute(0, 3, 1, 2).contiguous().to(dev)
+    pts_all = torch.from_numpy(
+        np.random.RandomState(1).uniform(-0.5, 0.5, (n_pts, 3)).astype(np.float32)
+    ).to(dev)
+
+    def eval_chunk(pts):
+        N = pts.shape[0]
+        hom = torch.cat([pts, torch.ones(N, 1)], 1)  # (N, 4)
+        cam = torch.einsum("vij,nj->vni", pose_t, hom)  # (V, N, 3)
+        z = cam[..., 2]
+        pix = torch.einsum("vij,vnj->vni", K_t, cam)
+        pix = pix[..., :2] / pix[..., 2:3].clamp(min=1e-4)
+        gx = pix[..., 0] / (W - 1) * 2 - 1
+        gy = pix[..., 1] / (H - 1) * 2 - 1
+        grid = torch.stack([gx, gy], -1).unsqueeze(1)  # (V, 1, N, 2)
+        inter_depth = F.grid_sample(
+            depth_t.unsqueeze(1), grid, mode="nearest",
+            padding_mode="zeros", align_corners=True,
+        )[:, 0, 0]  # (V, N)
+        dist = inter_depth - z
+        valid = (inter_depth > 0) & (z > 1e-4) & (dist > -mu)
+        wgt = torch.exp(torch.clamp(mu - dist.abs(), max=0.0) / mu) * valid
+        outs = []
+        for m in (feats_t, mask_t):
+            s = F.grid_sample(
+                m, grid, mode="bilinear", padding_mode="zeros", align_corners=True
+            )[:, :, 0]  # (V, C, N)
+            outs.append(
+                (s * wgt.unsqueeze(1)).sum(0) / (valid.float().sum(0) + 1e-6)
+            )
+        dclamp = dist.clamp(-mu, mu)
+        dfused = (dclamp * valid).sum(0) / (valid.float().sum(0) + 1e-6)
+        return dfused, outs
+
+    with torch.no_grad():
+        eval_chunk(pts_all[:chunk])  # warm up
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for i in range(0, n_pts, chunk):
+                eval_chunk(pts_all[i : i + chunk])
+            dt = min(dt, time.perf_counter() - t0)
+    print(f"[bench] torch-cpu reference {n_pts} pts in {dt:.3f}s", file=sys.stderr)
+    return n_pts / dt
+
+
+def main():
+    depth, pose, K, feats, mask = _scene()
+    tpu_pps = bench_tpu(depth, pose, K, feats, mask)
+    ref_pps = bench_torch_reference(depth, pose, K, feats, mask)
+    print(json.dumps({
+        "metric": "batch_eval_pts_per_sec",
+        "value": round(tpu_pps, 1),
+        "unit": "pts/s",
+        "vs_baseline": round(tpu_pps / ref_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

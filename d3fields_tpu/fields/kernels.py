@@ -41,29 +41,46 @@ _POINT_TILE = 256
 
 
 def _fused_gather_kernel(idx_ref, w_ref, feats_ref, out_ref):
-    """One (point-tile, view) step: out += onehot(idx, w) @ feats."""
-    v = pl.program_id(1)
+    """One point-tile step: out = sum_v onehot_v(idx, w) @ feats[v].
 
-    @pl.when(v == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    idx = idx_ref[0]  # (T, 4) int32
-    wgt = w_ref[0]    # (T, 4) f32
-    feats = feats_ref[0]  # (P, C)
+    ``feats`` holds every view's flattened map ((V, P, C), resident in VMEM
+    across the whole grid -- its index map is constant so it is DMA'd exactly
+    once). Per view a 4-sparse (T, P) interpolation matrix is built
+    in-register from a broadcasted-iota compare and fed to the MXU; an f32
+    accumulator carries the cross-view sum, so nothing of size (V, T, C)
+    ever exists.
+    """
+    idx = idx_ref[:]  # (T, 4V) int32: columns [4v:4v+4] are view v's taps
+    wgt = w_ref[:]    # (T, 4V): tap weights, zeros for invalid/oob taps
     T = idx.shape[0]
-    P = feats.shape[0]
+    V, P, C = feats_ref.shape
+    dt = feats_ref.dtype
+    precision = (
+        jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
 
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)
-    interp = jnp.zeros((T, P), dtype=feats.dtype)
-    for tap in range(4):
-        hit = iota_p == idx[:, tap][:, None]
-        interp = interp + jnp.where(hit, wgt[:, tap][:, None], 0.0).astype(feats.dtype)
+    acc = jnp.zeros((T, C), dtype=jnp.float32)
+    for v in range(V):
+        interp = jnp.zeros((T, P), dtype=dt)
+        for tap in range(4):
+            col = 4 * v + tap
+            hit = (iota_p == jnp.broadcast_to(idx[:, col][:, None], (T, P))).astype(dt)
+            interp = interp + hit * jnp.broadcast_to(
+                wgt[:, col][:, None], (T, P)
+            ).astype(dt)
+        acc = acc + jnp.dot(
+            interp,
+            feats_ref[v],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    out_ref[:] = acc
 
-    out_ref[:] += jnp.dot(interp, feats, preferred_element_type=out_ref.dtype)
 
-
-@functools.partial(jax.jit, static_argnames=("point_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("point_tile", "interpret", "matmul_dtype")
+)
 def fused_weighted_interp(
     feats: Array,
     idx: Array,
@@ -71,19 +88,25 @@ def fused_weighted_interp(
     *,
     point_tile: int = _POINT_TILE,
     interpret: bool = False,
+    matmul_dtype: str = "bfloat16",
 ) -> Array:
-    """Multi-view weighted bilinear interpolation as MXU matmuls.
+    """Multi-view weighted bilinear interpolation as one MXU matmul per tile.
 
     Args:
       feats: (V, P, C) flattened per-view feature maps.
       idx: (V, N, 4) int32 flat tap indices (from ``geometry.bilinear_taps``).
       w: (V, N, 4) tap weights, already multiplied by the per-(view, point)
         fusion weight; zero rows simply contribute nothing.
+      matmul_dtype: dtype of the interpolation matmul. bf16 keeps descriptor
+        error far inside the <1e-3 cosine budget (weights are exact in bf16
+        only up to rounding; products accumulate in f32 on the MXU).
 
     Returns: (N, C) float32 — ``sum_v sum_tap w * feats[v, idx]``.
     """
     V, P, C = feats.shape
     N = idx.shape[1]
+    if jnp.dtype(matmul_dtype) == jnp.float32:
+        point_tile = min(point_tile, 128)  # f32 interp temporaries are 2x
     pad = (-N) % point_tile
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
@@ -91,23 +114,41 @@ def fused_weighted_interp(
     n_padded = N + pad
     num_tiles = n_padded // point_tile
 
-    out = pl.pallas_call(
-        _fused_gather_kernel,
-        grid=(num_tiles, V),
-        in_specs=[
-            pl.BlockSpec((1, point_tile, 4), lambda i, v: (v, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, point_tile, 4), lambda i, v: (v, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, C), lambda i, v: (v, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((point_tile, C), lambda i, v: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_padded, C), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_padded * V * P * C,
-            bytes_accessed=V * P * C * feats.dtype.itemsize + n_padded * C * 4,
-            transcendentals=0,
-        ),
-    )(idx, w, feats)
+    # Interleave views along the tap axis: the kernel sees one (V, P, C)
+    # table (resident in VMEM, DMA'd once) and one (N, 4V) tap set whose
+    # columns [4v:4v+4] are view v's taps -> V small matmuls per tile.
+    idx_flat = jnp.transpose(idx, (1, 0, 2)).reshape(n_padded, 4 * V)
+    w_flat = jnp.transpose(w, (1, 0, 2)).reshape(n_padded, 4 * V)
+    dt = jnp.dtype(matmul_dtype)
+    feats_t = feats.astype(dt)
+    w_flat = w_flat.astype(dt)
+
+    max_c = max(128, (6_500_000 // (V * P * dt.itemsize)) // 128 * 128)
+    chunks = []
+    for c0 in range(0, C, max_c):
+        c1 = min(C, c0 + max_c)
+        cw = c1 - c0
+        chunk = pl.pallas_call(
+            _fused_gather_kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((point_tile, 4 * V), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((point_tile, 4 * V), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                # Constant index map: the feature table is DMA'd once and
+                # stays resident in VMEM for the whole grid.
+                pl.BlockSpec((V, P, cw), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((point_tile, cw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_padded, cw), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_padded * V * P * cw,
+                bytes_accessed=V * P * cw * dt.itemsize + n_padded * cw * 4,
+                transcendentals=0,
+            ),
+        )(idx_flat, w_flat, feats_t[..., c0:c1])
+        chunks.append(chunk)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=-1)
     return out[:N]
 
 
@@ -153,7 +194,10 @@ def eval_field_fused(
 
     maps = state.feature_maps(tuple(return_names))
     vw = vf * weight  # (V, N)
-    interpret = jax.default_backend() != "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    # f32 (HIGHEST-precision matmul) off-TPU for exact parity testing; bf16
+    # on TPU where it doubles MXU throughput inside the cosine budget.
+    matmul_dtype = "bfloat16" if on_tpu else "float32"
     for name in return_names:
         m = maps[name]
         V, h, w_, C = m.shape
@@ -164,7 +208,11 @@ def eval_field_fused(
             idx, tw = taps  # (V, N, 4) each
             tw = tw * vw[..., None]
             acc = fused_weighted_interp(
-                m.reshape(V, h * w_, C), idx, tw, interpret=interpret
+                m.reshape(V, h * w_, C),
+                idx,
+                tw,
+                interpret=not on_tpu,
+                matmul_dtype=matmul_dtype,
             )
         else:
             acc = None

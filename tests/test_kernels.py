@@ -37,7 +37,8 @@ def test_fused_weighted_interp_matches_gather(rng):
     )
     tw = tw * jnp.asarray(vw)[..., None]
     out = kernels.fused_weighted_interp(
-        jnp.asarray(feats).reshape(V, h * w, C), idx, tw, point_tile=32, interpret=True
+        jnp.asarray(feats).reshape(V, h * w, C), idx, tw,
+        point_tile=32, interpret=True, matmul_dtype="float32",
     )
 
     ref = 0
