@@ -1,0 +1,345 @@
+"""XMem's three-tier memory as a static-shape, fully jittable pytree.
+
+The reference grows tensors with ``torch.cat`` per memory frame and slices
+them dynamically (``XMem/inference/kv_memory_store.py:36-156``,
+``XMem/inference/memory_manager.py:57-284``) — shapes change every 5 frames,
+which would force an XLA recompile per step. Here both stores are
+preallocated to their hard capacities with validity derived from a size
+scalar, so one compiled step serves the whole video:
+
+- working memory: capacity ``max_mid_term_frames * HW`` exactly, because
+  elements arrive in HW-sized frames and consolidation fires the moment size
+  reaches capacity (reference trigger ``memory_manager.py:182-189``), after
+  which exactly ``min_mid_term_frames * HW`` remain (the sieve keeps frame 0
+  plus the ``min_mt-1`` newest frames, ``memory_manager.py:152-170``);
+- long-term memory: capacity ``max_long_term_elements``; consolidation
+  appends exactly ``num_prototypes`` usage-top elements, eviction keeps the
+  ``max_long - num_prototypes`` most used (``kv_memory_store.py:135-156``);
+- every structural event (consolidate / evict) is a ``lax.cond`` between
+  same-shape branches, and all slice offsets/lengths are static.
+
+Scope: a single object group — all objects enter at frame 0, which is the
+d3fields usage (``fusion.py:1173-1256`` seeds every instance on the first
+frame). The reference's multi-group path raises NotImplementedError on
+eviction anyway (``kv_memory_store.py:146-151``).
+
+Attention math is the reference's anisotropic L2 similarity with shrinkage
+and selection (``XMem/model/memory_util.py:7-40``) and top-k sparse softmax
+(``memory_util.py:42-66``), laid out (L, HW) so both the similarity and the
+value readout are MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3fields_tpu.config import XMemConfig
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+@flax.struct.dataclass
+class XMemMemory:
+    """Working + long-term stores and the per-object hidden state.
+
+    Shapes (CK key dim, CV value dim, O objects, Wc/Lc capacities):
+      wk (CK, Wc), ws (Wc,), we (CK, Wc), wv (O, CV, Wc),
+      w_use/w_life (Wc,), w_size ();
+      lk (CK, Lc), ls (Lc,), lv (O, CV, Lc), l_use/l_life (Lc,), l_size ();
+      hidden (O, h, w, CH).
+    """
+
+    wk: Array
+    ws: Array
+    we: Array
+    wv: Array
+    w_use: Array
+    w_life: Array
+    w_size: Array
+    lk: Array
+    ls: Array
+    lv: Array
+    l_use: Array
+    l_life: Array
+    l_size: Array
+    hidden: Array
+    # static memory-plan fields
+    hw: int = flax.struct.field(pytree_node=False, default=0)
+    top_k: int = flax.struct.field(pytree_node=False, default=30)
+    min_elements: int = flax.struct.field(pytree_node=False, default=0)
+    num_prototypes: int = flax.struct.field(pytree_node=False, default=128)
+
+    @property
+    def work_capacity(self) -> int:
+        return self.wk.shape[1]
+
+    @property
+    def long_capacity(self) -> int:
+        return self.lk.shape[1]
+
+
+def init_memory(
+    cfg: XMemConfig,
+    num_objects: int,
+    key_hw: Tuple[int, int],
+    *,
+    dtype=jnp.float32,
+) -> XMemMemory:
+    """Preallocate stores for a (h, w) key grid (1/16 of the padded input)."""
+    h, w = key_hw
+    hw = h * w
+    wc = cfg.max_mid_term_frames * hw
+    lc = cfg.max_long_term_elements
+    ck, cv, ch = cfg.key_dim, cfg.value_dim, cfg.hidden_dim
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    return XMemMemory(
+        wk=z((ck, wc)), ws=z((wc,)), we=z((ck, wc)),
+        wv=z((num_objects, cv, wc)),
+        w_use=z((wc,)), w_life=jnp.full((wc,), 1e-7, dtype),
+        w_size=jnp.zeros((), jnp.int32),
+        lk=z((ck, lc)), ls=z((lc,)), lv=z((num_objects, cv, lc)),
+        l_use=z((lc,)), l_life=jnp.full((lc,), 1e-7, dtype),
+        l_size=jnp.zeros((), jnp.int32),
+        hidden=z((num_objects, h, w, ch)),
+        hw=hw, top_k=cfg.top_k,
+        min_elements=cfg.min_mid_term_frames * hw,
+        num_prototypes=cfg.num_prototypes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity / affinity (reference memory_util.py)
+# ---------------------------------------------------------------------------
+
+def similarity(
+    mk: Array, ms: Optional[Array], qk: Array, qe: Optional[Array]
+) -> Array:
+    """Anisotropic L2 similarity (``memory_util.py:7-40``), MXU form.
+
+    mk (CK, L), ms (L,) or None, qk (CK, N), qe (CK, N) or None -> (L, N).
+    """
+    ck = mk.shape[0]
+    if qe is not None:
+        a_sq = jnp.square(mk).T @ qe                # (L, N)
+        two_ab = 2.0 * (mk.T @ (qk * qe))           # (L, N)
+        b_sq = jnp.sum(qe * jnp.square(qk), axis=0)  # (N,)
+        sim = -a_sq + two_ab - b_sq[None, :]
+    else:
+        a_sq = jnp.sum(jnp.square(mk), axis=0)      # (L,)
+        two_ab = 2.0 * (mk.T @ qk)
+        sim = -a_sq[:, None] + two_ab
+    if ms is not None:
+        sim = sim * ms[:, None]
+    return sim / np.sqrt(ck)
+
+
+def topk_softmax(sim: Array, top_k: int, *, return_usage: bool = False):
+    """Top-k sparse softmax over the memory axis (``memory_util.py:42-66``).
+
+    sim (L, N) -> dense affinity (L, N) with only the top-k entries per
+    query nonzero. Usage = affinity row-sums (L,).
+    """
+    L, N = sim.shape
+    vals, idxs = jax.lax.top_k(sim.T, top_k)        # (N, k)
+    vals = jnp.exp(vals - vals[:, :1])              # max is first (sorted)
+    vals = vals / vals.sum(axis=1, keepdims=True)
+    aff_t = jnp.zeros((N, L), sim.dtype)
+    aff_t = aff_t.at[jnp.arange(N)[:, None], idxs].add(vals)
+    affinity = aff_t.T
+    if return_usage:
+        return affinity, affinity.sum(axis=1)
+    return affinity
+
+
+def softmax_full(sim: Array) -> Array:
+    """Plain softmax over the memory axis (consolidation potentiation)."""
+    return jax.nn.softmax(sim, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# match / readout
+# ---------------------------------------------------------------------------
+
+def match_memory(mem: XMemMemory, qk: Array, qe: Optional[Array]):
+    """Attention over [long-term, working] memory with usage accounting.
+
+    qk/qe: (CK, N) query key/selection. Returns (readout (O, CV, N),
+    updated memory). Mirrors ``MemoryManager.match_memory``
+    (``memory_manager.py:57-150``) for the single-group case; empty slots
+    are masked to -inf instead of sliced away.
+    """
+    lc, wc = mem.long_capacity, mem.work_capacity
+    keys = jnp.concatenate([mem.lk, mem.wk], axis=1)        # (CK, Lc+Wc)
+    shr = jnp.concatenate([mem.ls, mem.ws], axis=0)
+    valid = jnp.concatenate(
+        [
+            jnp.arange(lc) < mem.l_size,
+            jnp.arange(wc) < mem.w_size,
+        ]
+    )
+    sim = similarity(keys, shr, qk, qe)
+    sim = jnp.where(valid[:, None], sim, _NEG_INF)
+    affinity, usage = topk_softmax(sim, mem.top_k, return_usage=True)
+
+    values = jnp.concatenate([mem.lv, mem.wv], axis=2)      # (O, CV, Lc+Wc)
+    readout = jnp.einsum("ocl,ln->ocn", values, affinity)
+
+    # usage accounting (kv_memory_store.update_usage): +usage, life +1,
+    # valid slots only.
+    l_valid = jnp.arange(lc) < mem.l_size
+    w_valid = jnp.arange(wc) < mem.w_size
+    mem = mem.replace(
+        l_use=mem.l_use + jnp.where(l_valid, usage[:lc], 0.0),
+        l_life=mem.l_life + l_valid.astype(mem.l_life.dtype),
+        w_use=mem.w_use + jnp.where(w_valid, usage[lc:], 0.0),
+        w_life=mem.w_life + w_valid.astype(mem.w_life.dtype),
+    )
+    return readout, mem
+
+
+# ---------------------------------------------------------------------------
+# add + consolidation + eviction
+# ---------------------------------------------------------------------------
+
+def _consolidate(mem: XMemMemory) -> XMemMemory:
+    """Working -> long-term compression. Runs when w_size == work_capacity.
+
+    Reference ``compress_features``/``consolidation``
+    (``memory_manager.py:211-284``): candidates are everything between
+    frame 0 and the newest ``min_mt - 1`` frames; the ``num_prototypes``
+    most-used become long-term entries via affinity-weighted (potentiated)
+    readout; the candidate block is removed from working memory.
+    """
+    hw, wc = mem.hw, mem.work_capacity
+    minw = mem.min_elements
+    P = mem.num_prototypes
+    cand_lo, cand_hi = hw, wc - minw + hw  # static bounds
+    n_cand = cand_hi - cand_lo
+
+    ck = mem.wk.shape[0]
+    cand_k = jax.lax.dynamic_slice(mem.wk, (0, cand_lo), (ck, n_cand))
+    cand_s = jax.lax.dynamic_slice(mem.ws, (cand_lo,), (n_cand,))
+    cand_e = jax.lax.dynamic_slice(mem.we, (0, cand_lo), (ck, n_cand))
+    cand_v = jax.lax.dynamic_slice(
+        mem.wv, (0, 0, cand_lo), mem.wv.shape[:2] + (n_cand,)
+    )
+    cand_usage = jax.lax.dynamic_slice(
+        mem.w_use / mem.w_life, (cand_lo,), (n_cand,)
+    )
+
+    _, proto_idx = jax.lax.top_k(cand_usage, P)
+    proto_k = cand_k[:, proto_idx]
+    proto_e = cand_e[:, proto_idx]
+
+    # potentiation: full softmax over candidates, readout values + shrinkage
+    sim = similarity(cand_k, cand_s, proto_k, proto_e)   # (n_cand, P)
+    aff = softmax_full(sim)
+    proto_v = jnp.einsum("ocl,lp->ocp", cand_v, aff)
+    proto_s = cand_s @ aff                               # (P,)
+
+    # remove candidate block from working memory: keep [0, hw) + tail
+    tail = minw - hw  # static
+
+    def shift(a, axis):
+        t = jax.lax.dynamic_slice_in_dim(a, cand_hi, tail, axis=axis)
+        return jax.lax.dynamic_update_slice_in_dim(a, t, hw, axis=axis)
+
+    new_w_size = jnp.asarray(minw, jnp.int32)
+    mem = mem.replace(
+        wk=shift(mem.wk, 1), ws=shift(mem.ws, 0), we=shift(mem.we, 1),
+        wv=shift(mem.wv, 2),
+        w_use=shift(mem.w_use, 0), w_life=shift(mem.w_life, 0),
+        w_size=new_w_size,
+    )
+
+    # append prototypes to long-term memory (capacity guaranteed by the
+    # eviction that runs before consolidation)
+    def put(buf, vals, axis):
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, vals.astype(buf.dtype), mem.l_size, axis=axis
+        )
+
+    mem = mem.replace(
+        lk=put(mem.lk, proto_k, 1),
+        ls=put(mem.ls, proto_s, 0),
+        lv=put(mem.lv, proto_v, 2),
+        l_use=put(mem.l_use, jnp.zeros((P,)), 0),
+        l_life=put(mem.l_life, jnp.full((P,), 1e-7), 0),
+        l_size=mem.l_size + P,
+    )
+    return mem
+
+
+def _evict_long_term(mem: XMemMemory) -> XMemMemory:
+    """Keep the ``long_capacity - num_prototypes`` most-used LT elements.
+
+    Reference ``remove_obsolete_features`` (``kv_memory_store.py:135-156``)
+    keeps usage strictly above the cutoff; with a full static buffer we keep
+    exactly ``max_size`` by top-k (ties broken by index), then compact.
+    """
+    lc = mem.long_capacity
+    keep = lc - mem.num_prototypes
+    valid = jnp.arange(lc) < mem.l_size
+    usage = jnp.where(valid, mem.l_use / mem.l_life, -jnp.inf)
+    _, keep_idx = jax.lax.top_k(usage, keep)
+    keep_idx = jnp.sort(keep_idx)  # preserve temporal order
+
+    def take(a, axis):
+        taken = jnp.take(a, keep_idx, axis=axis)
+        pad_shape = list(a.shape)
+        pad_shape[axis] = lc - keep
+        fill = jnp.full(pad_shape, 1e-7 if a is mem.l_life else 0.0, a.dtype)
+        return jnp.concatenate([taken, fill], axis=axis)
+
+    return mem.replace(
+        lk=take(mem.lk, 1), ls=take(mem.ls, 0), lv=take(mem.lv, 2),
+        l_use=take(mem.l_use, 0), l_life=take(mem.l_life, 0),
+        l_size=jnp.minimum(mem.l_size, keep),
+    )
+
+
+def add_memory(
+    mem: XMemMemory,
+    key: Array,
+    shrinkage: Array,
+    value: Array,
+    selection: Optional[Array],
+) -> XMemMemory:
+    """Append one frame's HW elements; consolidate when full.
+
+    key (CK, HW), shrinkage (HW,), value (O, CV, HW), selection (CK, HW).
+    Mirrors ``MemoryManager.add_memory`` (``memory_manager.py:152-189``):
+    eviction precedes consolidation so the prototype append always fits.
+    """
+    hw = mem.hw
+
+    def put(buf, vals, axis):
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, vals.astype(buf.dtype), mem.w_size, axis=axis
+        )
+
+    mem = mem.replace(
+        wk=put(mem.wk, key, 1),
+        ws=put(mem.ws, shrinkage, 0),
+        we=put(mem.we, selection if selection is not None else jnp.zeros_like(key), 1),
+        wv=put(mem.wv, value, 2),
+        w_use=put(mem.w_use, jnp.zeros((hw,)), 0),
+        w_life=put(mem.w_life, jnp.full((hw,), 1e-7), 0),
+        w_size=mem.w_size + hw,
+    )
+
+    full = mem.w_size >= mem.work_capacity
+    lt_full = mem.l_size >= (mem.long_capacity - mem.num_prototypes)
+    mem = jax.lax.cond(
+        full & lt_full, _evict_long_term, lambda m: m, mem
+    )
+    mem = jax.lax.cond(full, _consolidate, lambda m: m, mem)
+    return mem

@@ -1,0 +1,118 @@
+"""Video mask propagation: the d3fields <-> XMem bridge.
+
+Rebuild of ``Fusion.xmem_process`` (``fusion.py:631-684``) around the JAX
+XMem core: per-view images are ImageNet-normalized, min-side-resized to
+``size`` (bilinear; nearest for masks), padded to /16, stepped through the
+vmapped tracker, and the per-object probabilities are bilinearly upsampled
+back to full resolution before the argmax + one-hot.
+
+The label remapping of the reference's MaskMapper (``mask_mapper.py:7-64``)
+collapses to the identity here: d3fields always seeds with exhaustive
+consensus masks whose labels are contiguous 0..N (``fusion.py:1096``), which
+is MaskMapper's 'coherent' fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3fields_tpu.config import XMemConfig
+from d3fields_tpu.models.dinov2 import IMAGENET_MEAN, IMAGENET_STD
+from d3fields_tpu.models.resize import bilinear_resize
+from d3fields_tpu.models.xmem.blocks import pad_divide_by, unpad
+from d3fields_tpu.models.xmem.core import XMemCore
+
+
+def _resize_min_side(hw: Tuple[int, int], size: int) -> Tuple[int, int]:
+    H, W = hw
+    if size < 0:
+        return H, W
+    scale = size / min(H, W)
+    return round(H * scale), round(W * scale)
+
+
+class VideoMaskTracker:
+    """Propagates instance masks through a multi-camera video.
+
+    API mirrors the reference bridge: ``process(rgb, mask)`` takes
+    (V, H, W, 3) uint8 RGB and, on the first call, (V, H, W) uint8 index
+    masks (0 = background); returns (V, H, W, NI) float one-hot masks.
+    """
+
+    def __init__(self, params, cfg: XMemConfig, num_views: int,
+                 num_objects: int, image_hw: Tuple[int, int],
+                 size: int = 480):
+        self.cfg = cfg
+        self.image_hw = image_hw
+        self.num_objects = num_objects  # excludes background
+        rh, rw = _resize_min_side(image_hw, size)
+        self.resized_hw = (rh, rw)
+        ph = (rh + 15) // 16 * 16
+        pw = (rw + 15) // 16 * 16
+        lh, lw = (ph - rh) // 2, (pw - rw) // 2
+        self.pad_spec = (lh, ph - rh - lh, lw, pw - rw - lw)
+        self.core = XMemCore(
+            params, cfg, num_views=num_views, num_objects=num_objects,
+            image_hw=(ph, pw),
+        )
+        self.first_mask_loaded = False
+
+    def clear_memory(self):
+        self.core.clear_memory()
+        self.first_mask_loaded = False
+
+    def _prep_images(self, rgb: np.ndarray) -> jnp.ndarray:
+        imgs = jnp.asarray(rgb, jnp.float32) / 255.0
+        imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        imgs = bilinear_resize(imgs, self.resized_hw)
+        imgs, _ = pad_divide_by(imgs, 16)
+        return imgs
+
+    def _prep_masks(self, mask: np.ndarray) -> jnp.ndarray:
+        """(V, H, W) index mask -> (V, O, rh, rw) one-hot at the resized/
+        padded grid (nearest resize, reference ``fusion.py:279-280``)."""
+        V, H, W = mask.shape
+        rh, rw = self.resized_hw
+        ys = (np.arange(rh) + 0.5) * H / rh - 0.5
+        xs = (np.arange(rw) + 0.5) * W / rw - 0.5
+        yi = np.clip(np.round(ys).astype(int), 0, H - 1)
+        xi = np.clip(np.round(xs).astype(int), 0, W - 1)
+        small = mask[:, yi[:, None], xi[None, :]]  # (V, rh, rw)
+        onehot = np.stack(
+            [(small == i + 1) for i in range(self.num_objects)], axis=1
+        ).astype(np.float32)
+        out = jnp.asarray(onehot)
+        out, _ = pad_divide_by(out, 16, hw_axes=(2, 3))
+        return out
+
+    def process(self, rgb: np.ndarray, mask: Optional[np.ndarray] = None
+                ) -> np.ndarray:
+        """One video step for all views; returns (V, H, W, NI) one-hot
+        (channel 0 = background), reference contract ``fusion.py:631-684``."""
+        imgs = self._prep_images(np.asarray(rgb))
+        if mask is not None and not self.first_mask_loaded:
+            masks = self._prep_masks(np.asarray(mask))
+            prob = self.core.step(imgs, masks)
+            self.first_mask_loaded = True
+        elif mask is None:
+            if not self.first_mask_loaded:
+                raise ValueError("No mask provided for the first frame")
+            prob = self.core.step(imgs)
+        else:
+            raise NotImplementedError(
+                "re-seeding with new masks mid-video is not used by the "
+                "d3fields pipeline (reference fusion.py:1240-1241 raises too)"
+            )
+        # unpad, upsample probs to full res, argmax -> one-hot
+        prob = unpad(prob, self.pad_spec, hw_axes=(2, 3))  # (V, O+1, rh, rw)
+        V, O1 = prob.shape[:2]
+        H, W = self.image_hw
+        flat = prob.reshape(V * O1, *prob.shape[2:])[..., None]
+        up = bilinear_resize(flat, (H, W))[..., 0].reshape(V, O1, H, W)
+        idx = np.asarray(jnp.argmax(up, axis=1).astype(jnp.uint8))
+        onehot = np.stack([idx == i for i in range(O1)], axis=-1)
+        return onehot.astype(np.float32)

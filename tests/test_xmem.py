@@ -1,0 +1,489 @@
+"""XMem port tests.
+
+Two layers of validation:
+1. *Torch-oracle parity*: the reference implementation at /root/reference is
+   imported (read-only, random weights — checkpoints are unavailable
+   offline) and run side-by-side with the JAX port through weight
+   conversion. Skipped when the reference tree is absent.
+2. *Memory-semantics oracle*: a tiny numpy re-statement of the reference's
+   dynamically-growing memory (cat/top-k/softmax, consolidation, eviction)
+   checked against the static-buffer implementation.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from d3fields_tpu.config import XMemConfig
+from d3fields_tpu.models.xmem import blocks as B
+from d3fields_tpu.models.xmem import core as C
+from d3fields_tpu.models.xmem import memory as M
+from d3fields_tpu.models.xmem import network as N
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "XMem"))
+
+
+# ---------------------------------------------------------------------------
+# block-level numerics vs torch
+# ---------------------------------------------------------------------------
+
+def test_upsample_2x_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 5, 7, 3).astype(np.float32)
+    ours = np.asarray(B.upsample_2x(jnp.asarray(x)))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2,
+            mode="bilinear", align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_avg_pool_matches_torch_area():
+    import torch
+    import torch.nn.functional as F
+
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 8, 12, 4).astype(np.float32)
+    for k in (2, 4):
+        ours = np.asarray(B.avg_pool(jnp.asarray(x), k))
+        theirs = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=1 / k,
+                mode="area",
+            ).permute(0, 2, 3, 1).numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_soft_aggregate_matches_torch():
+    sys.path.insert(0, REF) if HAS_REF and REF not in sys.path else None
+    if not HAS_REF:
+        pytest.skip("reference tree unavailable")
+    import torch
+    from XMem.model.aggregate import aggregate
+
+    rs = np.random.RandomState(2)
+    prob = rs.rand(3, 8, 8).astype(np.float32)
+    ours = np.asarray(B.soft_aggregate(jnp.asarray(prob), axis=0))
+    theirs = aggregate(torch.from_numpy(prob), dim=0).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# full-network torch-oracle parity through weight conversion
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def torch_xmem():
+    if not HAS_REF:
+        pytest.skip("reference tree unavailable")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch
+    from XMem.model import resnet as ref_resnet
+
+    # checkpoints can't be downloaded offline: construct trunks unpretrained
+    orig18, orig50 = ref_resnet.resnet18, ref_resnet.resnet50
+    ref_resnet.resnet18 = lambda pretrained=True, extra_dim=0: ref_resnet.ResNet(
+        ref_resnet.BasicBlock, [2, 2, 2, 2], extra_dim
+    )
+    ref_resnet.resnet50 = lambda pretrained=True, extra_dim=0: ref_resnet.ResNet(
+        ref_resnet.Bottleneck, [3, 4, 6, 3], extra_dim
+    )
+    try:
+        from XMem.model.network import XMem as RefXMem
+
+        torch.manual_seed(0)
+        cfg = {"key_dim": 64, "value_dim": 512, "hidden_dim": 64}
+        net = RefXMem(cfg).eval()
+    finally:
+        ref_resnet.resnet18, ref_resnet.resnet50 = orig18, orig50
+    return net
+
+
+@pytest.fixture(scope="module")
+def jax_params(torch_xmem):
+    sd = {k: v.detach().numpy() for k, v in torch_xmem.state_dict().items()}
+    return N.convert_torch_state_dict(sd, XMemConfig())
+
+
+def test_encode_key_parity(torch_xmem, jax_params):
+    import torch
+
+    rs = np.random.RandomState(3)
+    img = rs.randn(1, 48, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        tk, ts, te, tf16, tf8, tf4 = torch_xmem.encode_key(
+            torch.from_numpy(img).permute(0, 3, 1, 2)
+        )
+    k, s, e, f16, f8, f4 = N.encode_key(jax_params, jnp.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(k), tk.permute(0, 2, 3, 1).numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s)[..., 0], ts[:, 0].numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(e), te.permute(0, 2, 3, 1).numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(f16), tf16.permute(0, 2, 3, 1).numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_encode_value_parity(torch_xmem, jax_params):
+    import torch
+
+    rs = np.random.RandomState(4)
+    O, H, W = 2, 48, 64
+    img = rs.randn(H, W, 3).astype(np.float32)
+    masks = rs.rand(O, H, W).astype(np.float32)
+    hidden = rs.randn(O, H // 16, W // 16, 64).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        timg = torch.from_numpy(img).permute(2, 0, 1).unsqueeze(0)
+        tf16 = torch_xmem.encode_key(timg)[3]
+        th = torch.from_numpy(hidden).permute(0, 3, 1, 2).unsqueeze(0)
+        tv, th2 = torch_xmem.encode_value(
+            timg, tf16, th, torch.from_numpy(masks).unsqueeze(0)
+        )
+    f16 = N.encode_key(jax_params, jnp.asarray(img)[None])[3][0]
+    v, h2 = N.encode_value(
+        jax_params, jnp.asarray(img), f16, jnp.asarray(hidden),
+        jnp.asarray(masks), is_deep_update=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v), tv[0].permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(h2), th2[0].permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_segment_parity(torch_xmem, jax_params):
+    import torch
+
+    rs = np.random.RandomState(5)
+    O, H, W = 2, 48, 64
+    h, w = H // 16, W // 16
+    img = rs.randn(1, H, W, 3).astype(np.float32)
+    readout = rs.randn(O, h, w, 512).astype(np.float32) * 0.1
+    hidden = rs.randn(O, h, w, 64).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        _, _, _, tf16, tf8, tf4 = torch_xmem.encode_key(
+            torch.from_numpy(img).permute(0, 3, 1, 2)
+        )
+        th, tlogits, tprob = torch_xmem.segment(
+            (tf16, tf8, tf4),
+            torch.from_numpy(readout).permute(0, 3, 1, 2).unsqueeze(0),
+            torch.from_numpy(hidden).permute(0, 3, 1, 2).unsqueeze(0),
+            h_out=True, strip_bg=False,
+        )
+    _, _, _, f16, f8, f4 = N.encode_key(jax_params, jnp.asarray(img))
+    h2, logits, prob = N.segment(
+        jax_params, f16[0], f8[0], f4[0], jnp.asarray(hidden),
+        jnp.asarray(readout), h_out=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(prob), tprob[0].numpy(), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(h2), th[0].permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_attention_matches_reference_math():
+    if not HAS_REF:
+        pytest.skip("reference tree unavailable")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch
+    from XMem.model.memory_util import get_similarity, do_softmax
+
+    rs = np.random.RandomState(6)
+    CK, L, NQ = 8, 40, 12
+    mk = rs.randn(CK, L).astype(np.float32)
+    ms = (rs.rand(L).astype(np.float32) + 1.0)
+    qk = rs.randn(CK, NQ).astype(np.float32)
+    qe = rs.rand(CK, NQ).astype(np.float32)
+
+    sim = np.asarray(M.similarity(jnp.asarray(mk), jnp.asarray(ms),
+                                  jnp.asarray(qk), jnp.asarray(qe)))
+    tsim = get_similarity(
+        torch.from_numpy(mk)[None], torch.from_numpy(ms)[None, None],
+        torch.from_numpy(qk)[None], torch.from_numpy(qe)[None],
+    )[0].numpy()
+    np.testing.assert_allclose(sim, tsim, rtol=1e-4, atol=1e-4)
+
+    aff, usage = M.topk_softmax(jnp.asarray(sim), 5, return_usage=True)
+    taff, tusage = do_softmax(
+        torch.from_numpy(tsim)[None], top_k=5, return_usage=True
+    )
+    np.testing.assert_allclose(np.asarray(aff), taff[0].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(usage), tusage[0].numpy(), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# static memory vs dynamic numpy oracle
+# ---------------------------------------------------------------------------
+
+class DynamicOracle:
+    """The reference's growing-tensor memory semantics in numpy
+    (``kv_memory_store.py`` + ``memory_manager.py``, single group)."""
+
+    def __init__(self, cfg: XMemConfig, hw: int, num_obj: int):
+        self.cfg, self.hw, self.num_obj = cfg, hw, num_obj
+        self.wk = None  # (CK, n)
+        self.ws = None
+        self.we = None
+        self.wv = None  # (O, CV, n)
+        self.wu = None
+        self.wl = None
+        self.lk = self.ls = self.lv = self.lu = self.ll = None
+
+    def match(self, qk, qe):
+        lt_n = 0 if self.lk is None else self.lk.shape[1]
+        keys = self.wk if lt_n == 0 else np.concatenate([self.lk, self.wk], 1)
+        shr = self.ws if lt_n == 0 else np.concatenate([self.ls, self.ws], 0)
+        vals = self.wv if lt_n == 0 else np.concatenate([self.lv, self.wv], 2)
+        ck = keys.shape[0]
+        a_sq = (keys**2).T @ qe
+        two_ab = 2 * keys.T @ (qk * qe)
+        b_sq = (qe * qk**2).sum(0)
+        sim = (-a_sq + two_ab - b_sq) * shr[:, None] / np.sqrt(ck)
+        k = self.cfg.top_k
+        aff = np.zeros_like(sim)
+        for j in range(sim.shape[1]):
+            idx = np.argsort(sim[:, j])[-k:]
+            e = np.exp(sim[idx, j] - sim[idx, j].max())
+            aff[idx, j] = e / e.sum()
+        usage = aff.sum(1)
+        self.wu += usage[lt_n:]
+        self.wl += 1
+        if lt_n:
+            self.lu += usage[:lt_n]
+            self.ll += 1
+        return np.einsum("ocl,ln->ocn", vals, aff)
+
+    def add(self, k, s, v, e):
+        def cat(a, b, ax):
+            return b if a is None else np.concatenate([a, b], ax)
+
+        self.wk = cat(self.wk, k, 1)
+        self.ws = cat(self.ws, s, 0)
+        self.we = cat(self.we, e, 1)
+        self.wv = cat(self.wv, v, 2)
+        self.wu = cat(self.wu, np.zeros(self.hw, np.float32), 0)
+        self.wl = cat(self.wl, np.full(self.hw, 1e-7, np.float32), 0)
+        maxw = self.cfg.max_mid_term_frames * self.hw
+        if self.wk.shape[1] >= maxw:
+            self._consolidate()
+
+    def _consolidate(self):
+        hw, minw = self.hw, self.cfg.min_mid_term_frames * self.hw
+        P = self.cfg.num_prototypes
+        lo, hi = hw, self.wk.shape[1] - minw + hw
+        ck = self.wk[:, lo:hi]
+        cs = self.ws[lo:hi]
+        ce = self.we[:, lo:hi]
+        cv = self.wv[:, :, lo:hi]
+        cu = (self.wu / self.wl)[lo:hi]
+        pidx = np.argsort(cu)[-P:][::-1]
+        pk, pe = ck[:, pidx], ce[:, pidx]
+        nck = ck.shape[0]
+        a_sq = (ck**2).T @ pe
+        two_ab = 2 * ck.T @ (pk * pe)
+        b_sq = (pe * pk**2).sum(0)
+        sim = (-a_sq + two_ab - b_sq) * cs[:, None] / np.sqrt(nck)
+        sim = sim - sim.max(0, keepdims=True)
+        aff = np.exp(sim) / np.exp(sim).sum(0, keepdims=True)
+        pv = np.einsum("ocl,lp->ocp", cv, aff)
+        ps = cs @ aff
+
+        def sieve(a, ax):
+            return np.concatenate(
+                [np.take(a, range(0, lo), ax), np.take(a, range(hi, a.shape[ax]), ax)], ax
+            )
+
+        self.wk, self.ws, self.we = sieve(self.wk, 1), sieve(self.ws, 0), sieve(self.we, 1)
+        self.wv = sieve(self.wv, 2)
+        self.wu, self.wl = sieve(self.wu, 0), sieve(self.wl, 0)
+
+        def cat(a, b, ax):
+            return b if a is None else np.concatenate([a, b], ax)
+
+        self.lk = cat(self.lk, pk, 1)
+        self.ls = cat(self.ls, ps, 0)
+        self.lv = cat(self.lv, pv, 2)
+        self.lu = cat(self.lu, np.zeros(P, np.float32), 0)
+        self.ll = cat(self.ll, np.full(P, 1e-7, np.float32), 0)
+
+
+@pytest.mark.parametrize("steps", [9])
+def test_static_memory_matches_dynamic_oracle(steps):
+    cfg = XMemConfig(
+        max_mid_term_frames=3, min_mid_term_frames=1, num_prototypes=4,
+        max_long_term_elements=64, top_k=3,
+    )
+    hw, ck, cv, O = 6, 8, 10, 2
+    mem = M.XMemMemory(
+        wk=jnp.zeros((ck, 3 * hw)), ws=jnp.zeros((3 * hw,)),
+        we=jnp.zeros((ck, 3 * hw)), wv=jnp.zeros((O, cv, 3 * hw)),
+        w_use=jnp.zeros((3 * hw,)), w_life=jnp.full((3 * hw,), 1e-7),
+        w_size=jnp.zeros((), jnp.int32),
+        lk=jnp.zeros((ck, 64)), ls=jnp.zeros((64,)),
+        lv=jnp.zeros((O, cv, 64)),
+        l_use=jnp.zeros((64,)), l_life=jnp.full((64,), 1e-7),
+        l_size=jnp.zeros((), jnp.int32),
+        hidden=jnp.zeros((O, 1, 1, 4)),
+        hw=hw, top_k=cfg.top_k, min_elements=1 * hw, num_prototypes=4,
+    )
+    oracle = DynamicOracle(cfg, hw, O)
+    rs = np.random.RandomState(7)
+
+    for t in range(steps):
+        k = rs.randn(ck, hw).astype(np.float32)
+        s = (rs.rand(hw) + 1).astype(np.float32)
+        v = rs.randn(O, cv, hw).astype(np.float32)
+        e = rs.rand(ck, hw).astype(np.float32)
+        mem = M.add_memory(mem, jnp.asarray(k), jnp.asarray(s),
+                           jnp.asarray(v), jnp.asarray(e))
+        oracle.add(k, s, v, e)
+
+        qk = rs.randn(ck, hw).astype(np.float32)
+        qe = rs.rand(ck, hw).astype(np.float32)
+        readout, mem = M.match_memory(mem, jnp.asarray(qk), jnp.asarray(qe))
+        ref = oracle.match(qk, qe)
+        assert int(mem.w_size) == oracle.wk.shape[1]
+        lt_n = 0 if oracle.lk is None else oracle.lk.shape[1]
+        assert int(mem.l_size) == lt_n
+        np.testing.assert_allclose(
+            np.asarray(readout), ref, rtol=1e-4, atol=1e-4,
+            err_msg=f"readout mismatch at t={t}",
+        )
+        # usage bookkeeping
+        ws = int(mem.w_size)
+        np.testing.assert_allclose(
+            np.asarray(mem.w_use)[:ws], oracle.wu, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_core_schedule_and_consolidation():
+    cfg = XMemConfig(max_mid_term_frames=4, min_mid_term_frames=2,
+                     num_prototypes=8, max_long_term_elements=64,
+                     top_k=5, mem_every=2)
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    V, O, H, W = 2, 2, 48, 48
+    core = C.XMemCore(params, cfg, num_views=V, num_objects=O, image_hw=(H, W))
+    hw = (H // 16) * (W // 16)
+
+    imgs = jnp.asarray(rs.rand(V, H, W, 3).astype(np.float32))
+    mask = jnp.asarray((rs.rand(V, O, H, W) > 0.5).astype(np.float32))
+    prob = core.step(imgs, mask)
+    assert prob.shape == (V, O + 1, H, W)
+    np.testing.assert_allclose(np.asarray(prob).sum(1), 1.0, rtol=1e-5)
+
+    sizes = []
+    for t in range(1, 9):
+        prob = core.step(jnp.asarray(rs.rand(V, H, W, 3).astype(np.float32)))
+        np.testing.assert_allclose(np.asarray(prob).sum(1), 1.0, rtol=1e-4)
+        sizes.append(int(np.asarray(core.mem.w_size)[0]))
+    # mem frames at t=2,4,6,8 -> sizes (in units of hw): 1,2,2,3,3,4->2,2,3
+    assert sizes == [hw, 2 * hw, 2 * hw, 3 * hw, 3 * hw, 2 * hw, 2 * hw, 3 * hw]
+    assert int(np.asarray(core.mem.l_size)[0]) == cfg.num_prototypes
+
+
+# ---------------------------------------------------------------------------
+# video tracker bridge
+# ---------------------------------------------------------------------------
+
+def test_video_tracker_end_to_end():
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+
+    cfg = XMemConfig(max_mid_term_frames=3, min_mid_term_frames=1,
+                     num_prototypes=4, max_long_term_elements=64,
+                     top_k=5, mem_every=2)
+    params = N.init_params(jax.random.PRNGKey(1), cfg)
+    rs = np.random.RandomState(1)
+    V, O, H, W = 2, 2, 60, 80
+    tracker = VideoMaskTracker(
+        params, cfg, num_views=V, num_objects=O, image_hw=(H, W), size=48,
+    )
+    rgb = rs.randint(0, 255, (V, H, W, 3), dtype=np.uint8)
+    mask = rs.randint(0, O + 1, (V, H, W)).astype(np.uint8)
+    out = tracker.process(rgb, mask)
+    assert out.shape == (V, H, W, O + 1)
+    np.testing.assert_allclose(out.sum(-1), 1.0)
+    for t in range(3):
+        out = tracker.process(
+            rs.randint(0, 255, (V, H, W, 3), dtype=np.uint8)
+        )
+        assert out.shape == (V, H, W, O + 1)
+        np.testing.assert_allclose(out.sum(-1), 1.0)
+    # reset path (Fusion.clear_xmem_memory, fusion.py:1699-1702)
+    tracker.clear_memory()
+    out = tracker.process(rgb, mask)
+    assert out.shape == (V, H, W, O + 1)
+
+
+def test_full_video_parity_vs_reference_core(torch_xmem):
+    """Strongest guarantee: the reference InferenceCore and the static-shape
+    JAX port produce the same per-frame probabilities over a video that
+    crosses two consolidation events (working->long-term compression).
+
+    min_mid_term_frames must be >= 2: the reference's candidate-value slice
+    ``gv[:, :, HW:-min_work+HW]`` hits the negative-zero bug and crashes the
+    consolidation for min_mt == 1 (``memory_manager.py:211-234``).
+    """
+    import torch
+    from XMem.inference.inference_core import InferenceCore
+
+    refcfg = {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64, "top_k": 5,
+        "mem_every": 2, "deep_update_every": -1, "enable_long_term": True,
+        "enable_long_term_count_usage": True, "max_mid_term_frames": 3,
+        "min_mid_term_frames": 2, "num_prototypes": 4,
+        "max_long_term_elements": 64,
+    }
+    core_t = InferenceCore(torch_xmem, refcfg)
+    core_t.set_all_labels([1, 2])
+
+    cfg = XMemConfig(
+        top_k=5, mem_every=2, max_mid_term_frames=3, min_mid_term_frames=2,
+        num_prototypes=4, max_long_term_elements=64,
+    )
+    sd = {k: v.detach().numpy() for k, v in torch_xmem.state_dict().items()}
+    params = N.convert_torch_state_dict(sd, cfg)
+    core_j = C.XMemCore(params, cfg, num_views=1, num_objects=2,
+                        image_hw=(48, 64))
+
+    rs = np.random.RandomState(9)
+    video = rs.rand(7, 48, 64, 3).astype(np.float32)
+    m0 = (rs.rand(2, 48, 64) > 0.6).astype(np.float32)
+
+    with torch.no_grad():
+        pt = core_t.step(torch.from_numpy(video[0]).permute(2, 0, 1),
+                         torch.from_numpy(m0))
+    pj = core_j.step(jnp.asarray(video[0])[None], jnp.asarray(m0)[None])
+    np.testing.assert_allclose(np.asarray(pj)[0], pt.numpy(), atol=1e-5)
+    for t in range(1, 7):
+        with torch.no_grad():
+            pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1))
+        pj = core_j.step(jnp.asarray(video[t])[None])
+        np.testing.assert_allclose(
+            np.asarray(pj)[0], pt.numpy(), atol=1e-4,
+            err_msg=f"prob mismatch at frame {t}",
+        )
