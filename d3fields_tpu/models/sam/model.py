@@ -1,0 +1,518 @@
+"""Segment Anything (SAM) in pure JAX, TPU-first.
+
+Rebuild of the SAM used by the reference's Grounded-SAM wrapper
+(``utils/grounded_sam.py:427-431``, SamPredictor with box prompts,
+``multimask_output=True``). Weight format follows the huggingface
+``SamModel`` state dict (``facebook/sam-vit-huge`` et al.), which doubles as
+a numerical oracle in tests (tiny random configs; no downloads needed).
+
+TPU-first choices:
+- NHWC layout everywhere; windowed attention partitions are pure reshapes;
+- the ViT trunk is vmapped over windows and jitted once per image size
+  (SAM's input is always 1024x1024, so shapes are static);
+- all box prompts of a view run through the two-way decoder in ONE batched
+  call (the reference loops SamPredictor.predict per box);
+- decomposed relative-position bias tables are gathered once per layer
+  (q/k sizes are equal and static, so the reference's interpolation is the
+  identity and the gather indices are constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Params = Dict
+
+
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    # vision encoder
+    hidden_size: int = 1280            # ViT-H
+    num_layers: int = 32
+    num_heads: int = 16
+    mlp_dim: int = 5120
+    patch_size: int = 16
+    image_size: int = 1024
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    output_channels: int = 256
+    # prompt encoder / decoder
+    prompt_hidden: int = 256
+    decoder_heads: int = 8
+    decoder_layers: int = 2
+    decoder_mlp_dim: int = 2048
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden: int = 256
+    mask_input_channels: int = 16
+
+    @staticmethod
+    def vit_huge() -> "SamConfig":
+        return SamConfig()
+
+    @staticmethod
+    def vit_base() -> "SamConfig":
+        return SamConfig(hidden_size=768, num_layers=12, num_heads=12,
+                         mlp_dim=3072, global_attn_indexes=(2, 5, 8, 11))
+
+    @staticmethod
+    def tiny_test() -> "SamConfig":
+        """Matches the tiny HF SamConfig used as the test oracle."""
+        return SamConfig(
+            hidden_size=32, num_layers=2, num_heads=2, mlp_dim=128,
+            patch_size=8, image_size=64, window_size=14,
+            global_attn_indexes=(1,), output_channels=16, prompt_hidden=16,
+            decoder_heads=2, decoder_mlp_dim=64, iou_head_hidden=16,
+        )
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+def _layer_norm(x, w, b, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# vision encoder
+# ---------------------------------------------------------------------------
+
+def _rel_pos_bias(q_hw: Tuple[int, int], rel_h: Array, rel_w: Array,
+                  query: Array) -> Array:
+    """Decomposed relative position bias (mvitv2 style; HF
+    ``get_decomposed_rel_pos`` with q_size == k_size, so the table gather
+    uses constant indices)."""
+    qh, qw = q_hw
+    idx_h = np.arange(qh)[:, None] - np.arange(qh)[None, :] + (qh - 1)
+    idx_w = np.arange(qw)[:, None] - np.arange(qw)[None, :] + (qw - 1)
+    Rh = rel_h[idx_h]  # (qh, qh, hd)
+    Rw = rel_w[idx_w]  # (qw, qw, hd)
+    B = query.shape[0]
+    q = query.reshape(B, qh, qw, -1)
+    bias_h = jnp.einsum("bhwc,hkc->bhwk", q, Rh)
+    bias_w = jnp.einsum("bhwc,wkc->bhwk", q, Rw)
+    return (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+        B, qh * qw, qh * qw
+    )
+
+
+def _vision_attention(x: Array, p: Params, num_heads: int,
+                      use_rel_pos: bool = True) -> Array:
+    """Windowed/global attention with decomposed rel-pos; x (B, h, w, C)."""
+    B, h, w, C = x.shape
+    hd = C // num_heads
+    qkv = x.reshape(B, h * w, C) @ p["qkv_w"] + p["qkv_b"]
+    qkv = qkv.reshape(B, h * w, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    qkv = qkv.reshape(3, B * num_heads, h * w, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    logits = (q * (hd ** -0.5)) @ k.transpose(0, 2, 1)
+    if use_rel_pos:
+        logits = logits + _rel_pos_bias((h, w), p["rel_pos_h"], p["rel_pos_w"], q)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = (probs @ v).reshape(B, num_heads, h, w, hd)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(B, h, w, C)
+    return out @ p["proj_w"] + p["proj_b"]
+
+
+def _window_partition(x: Array, ws: int):
+    B, H, W, C = x.shape
+    ph, pw = (-H) % ws, (-W) % ws
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    Hp, Wp = H + ph, W + pw
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws, ws, C), (Hp, Wp)
+
+
+def _window_unpartition(win: Array, ws: int, padded_hw, orig_hw):
+    Hp, Wp = padded_hw
+    H, W = orig_hw
+    B = win.shape[0] // ((Hp // ws) * (Wp // ws))
+    x = win.reshape(B, Hp // ws, Wp // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+def vision_encoder(params: Params, pixels: Array, cfg: SamConfig) -> Array:
+    """pixels (B, H, W, 3) preprocessed -> image embeddings (B, h, w, Cout).
+
+    HF ``SamVisionEncoder``: patch embed + abs pos + windowed/global ViT
+    layers + 2-conv neck with channel layernorms.
+    """
+    P = cfg.patch_size
+    B, H, W, _ = pixels.shape
+    gh, gw = H // P, W // P
+    x = pixels.reshape(B, gh, P, gw, P, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, gh, gw, P * P * 3) @ params["patch_w"] + params["patch_b"]
+    x = x + params["pos_embed"]
+
+    for i, lp in enumerate(params["layers"]):
+        ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        shortcut = x
+        h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+        if ws > 0:
+            h, padded = _window_partition(h, ws)
+            h = _vision_attention(h, lp, cfg.num_heads)
+            h = _window_unpartition(h, ws, padded, (gh, gw))
+        else:
+            h = _vision_attention(h, lp, cfg.num_heads)
+        x = shortcut + h
+        h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        h = jax.nn.gelu(h @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
+        x = x + (h @ lp["fc2_w"] + lp["fc2_b"])
+
+    # neck: 1x1 conv + channel LN + 3x3 conv + channel LN (channels_last here)
+    x = jnp.einsum("bhwc,co->bhwo", x, params["neck"]["conv1_w"])
+    x = _layer_norm(x, params["neck"]["ln1_w"], params["neck"]["ln1_b"])
+    x = jax.lax.conv_general_dilated(
+        x, params["neck"]["conv2_w"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = _layer_norm(x, params["neck"]["ln2_w"], params["neck"]["ln2_b"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# prompt encoder
+# ---------------------------------------------------------------------------
+
+def fourier_embed(coords01: Array, pe_table: Array) -> Array:
+    """Random-fourier positional encoding of [0,1] coords (HF
+    ``SamPositionalEmbedding``): sin/cos of 2pi * (2c-1) @ W."""
+    c = (2.0 * coords01 - 1.0) @ pe_table
+    c = 2.0 * np.pi * c
+    return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+
+
+def image_wide_positional_embedding(params: Params, size: int) -> Array:
+    """Dense grid positional encoding (h, w, C)."""
+    y = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    x = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    grid = jnp.stack(
+        [jnp.broadcast_to(x[None, :], (size, size)),
+         jnp.broadcast_to(y[:, None], (size, size))], axis=-1
+    )
+    return fourier_embed(grid, params["pe_table"])
+
+
+def embed_boxes(params: Params, boxes: Array, input_size: int) -> Array:
+    """boxes (N, 4) xyxy in input-image pixels -> sparse embeddings (N, 2, C).
+
+    HF ``SamPromptEncoder._embed_boxes``: +0.5 pixel-center shift, corner
+    fourier encoding, plus learned top-left / bottom-right embeddings.
+    """
+    corners = (boxes.reshape(-1, 2, 2) + 0.5) / input_size
+    emb = fourier_embed(corners, params["pe_table"])
+    emb = emb.at[:, 0, :].add(params["point_embed"][2])
+    emb = emb.at[:, 1, :].add(params["point_embed"][3])
+    return emb
+
+
+def embed_points(params: Params, points: Array, labels: Array,
+                 input_size: int, pad: bool = True) -> Array:
+    """points (N, P, 2), labels (N, P) in {1 fg, 0 bg, -1 pad} -> (N, P', C).
+
+    HF ``_embed_points``: pixel-center shift, fourier encode, replace pad
+    entries with not_a_point, add per-label embeddings; appends one pad
+    point when no boxes accompany the points.
+    """
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.zeros((points.shape[0], 1, 2), points.dtype)], axis=1
+        )
+        labels = jnp.concatenate(
+            [labels, -jnp.ones((labels.shape[0], 1), labels.dtype)], axis=1
+        )
+    emb = fourier_embed((points + 0.5) / input_size, params["pe_table"])
+    emb = jnp.where(labels[..., None] == -1, params["not_a_point"], emb)
+    emb = jnp.where(labels[..., None] == 0, emb + params["point_embed"][0], emb)
+    emb = jnp.where(labels[..., None] == 1, emb + params["point_embed"][1], emb)
+    return emb
+
+
+def no_mask_dense_embedding(params: Params, size: int) -> Array:
+    return jnp.broadcast_to(
+        params["no_mask"][None, None, :], (size, size, params["no_mask"].shape[0])
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-way mask decoder
+# ---------------------------------------------------------------------------
+
+def _attn(q, k, v, p, num_heads):
+    """SamAttention: project to internal dim, multi-head, project out.
+    q/k/v: (B, T, C)."""
+    qi = q @ p["q_w"] + p["q_b"]
+    ki = k @ p["k_w"] + p["k_b"]
+    vi = v @ p["v_w"] + p["v_b"]
+    B, Tq, Ci = qi.shape
+    Tk = ki.shape[1]
+    hd = Ci // num_heads
+
+    def split(t, T):
+        return t.reshape(B, T, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(qi, Tq), split(ki, Tk), split(vi, Tk)
+    logits = (qh @ kh.transpose(0, 1, 3, 2)) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+    out = (probs @ vh).transpose(0, 2, 1, 3).reshape(B, Tq, Ci)
+    return out @ p["out_w"] + p["out_b"]
+
+
+def _mlp_block(x, p):
+    return jax.nn.relu(x @ p["lin1_w"] + p["lin1_b"]) @ p["lin2_w"] + p["lin2_b"]
+
+
+def two_way_transformer(params: Params, tokens: Array, image_emb: Array,
+                        image_pe: Array, cfg: SamConfig):
+    """tokens (B, T, C); image_emb/image_pe (B, HW, C). Returns
+    (queries (B, T, C), keys (B, HW, C)). HF ``SamTwoWayTransformer``."""
+    nh = cfg.decoder_heads
+    queries, keys = tokens, image_emb
+    for i, lp in enumerate(params["layers"]):
+        if i == 0:
+            queries = queries + _attn(queries, queries, queries, lp["self_attn"], nh)
+        else:
+            q = queries + tokens
+            queries = queries + _attn(q, q, queries, lp["self_attn"], nh)
+        queries = _layer_norm(queries, lp["ln1_w"], lp["ln1_b"], eps=1e-5)
+
+        q = queries + tokens
+        k = keys + image_pe
+        queries = queries + _attn(q, k, keys, lp["t2i"], nh)
+        queries = _layer_norm(queries, lp["ln2_w"], lp["ln2_b"], eps=1e-5)
+
+        queries = queries + _mlp_block(queries, lp["mlp"])
+        queries = _layer_norm(queries, lp["ln3_w"], lp["ln3_b"], eps=1e-5)
+
+        q = queries + tokens
+        k = keys + image_pe
+        keys = keys + _attn(k, q, queries, lp["i2t"], nh)
+        keys = _layer_norm(keys, lp["ln4_w"], lp["ln4_b"], eps=1e-5)
+
+    q = queries + tokens
+    k = keys + image_pe
+    queries = queries + _attn(q, k, keys, params["final_attn"], nh)
+    queries = _layer_norm(queries, params["final_ln_w"], params["final_ln_b"],
+                          eps=1e-5)
+    return queries, keys
+
+
+def _feed_forward(x, p, sigmoid=False):
+    h = jax.nn.relu(x @ p["in_w"] + p["in_b"])
+    for lw, lb in p.get("mid", []):
+        h = jax.nn.relu(h @ lw + lb)
+    h = h @ p["out_w"] + p["out_b"]
+    return jax.nn.sigmoid(h) if sigmoid else h
+
+
+def _conv_transpose_2x(x, w, b):
+    """ConvTranspose2d(kernel 2, stride 2) in NHWC (torch IOHW weights are
+    pre-converted to HWIO)."""
+    out = jax.lax.conv_transpose(
+        x, w, strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + b
+
+
+def mask_decoder(params: Params, image_emb: Array, image_pe: Array,
+                 sparse_emb: Array, dense_emb: Array, cfg: SamConfig,
+                 multimask_output: bool = True):
+    """image_emb (h, w, C); sparse_emb (N, T, C) for N prompts;
+    dense_emb (h, w, C). Returns (masks (N, M, 4h, 4w), iou (N, M)).
+
+    HF ``SamMaskDecoder`` with the prompt batch as the leading axis — every
+    box of a view is decoded in one batched transformer call.
+    """
+    h, w, C = image_emb.shape
+    N = sparse_emb.shape[0]
+    nm = cfg.num_multimask_outputs + 1
+    out_tokens = jnp.concatenate(
+        [params["iou_token"][None], params["mask_tokens"]], axis=0
+    )  # (1+nm, C)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tokens[None], (N,) + out_tokens.shape), sparse_emb],
+        axis=1,
+    )
+
+    img = (image_emb + dense_emb).reshape(1, h * w, C)
+    img = jnp.broadcast_to(img, (N, h * w, C))
+    pe = jnp.broadcast_to(image_pe.reshape(1, h * w, C), (N, h * w, C))
+
+    queries, keys = two_way_transformer(params["transformer"], tokens, img, pe, cfg)
+    iou_tok = queries[:, 0]
+    mask_toks = queries[:, 1 : 1 + nm]
+
+    up = keys.reshape(N, h, w, C)
+    up = _conv_transpose_2x(up, params["up1_w"], params["up1_b"])
+    up = _layer_norm(up, params["up_ln_w"], params["up_ln_b"])
+    up = jax.nn.gelu(up, approximate=False)
+    up = _conv_transpose_2x(up, params["up2_w"], params["up2_b"])
+    up = jax.nn.gelu(up, approximate=False)  # (N, 4h, 4w, C/8)
+
+    hyper = jnp.stack(
+        [_feed_forward(mask_toks[:, i], params["hyper"][i]) for i in range(nm)],
+        axis=1,
+    )  # (N, nm, C/8)
+    masks = jnp.einsum("nmc,nhwc->nmhw", hyper, up)
+    iou = _feed_forward(iou_tok, params["iou_head"])
+    if multimask_output:
+        return masks[:, 1:], iou[:, 1:]
+    return masks[:, :1], iou[:, :1]
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+def sam_predict_boxes(params: Params, pixels: Array, boxes: Array,
+                      cfg: SamConfig, multimask_output: bool = True):
+    """pixels (1, S, S, 3) preprocessed; boxes (N, 4) xyxy in model input
+    pixels. Returns (low_res_masks (N, M, S/4, S/4), iou (N, M))."""
+    image_emb = vision_encoder(params["vision"], pixels, cfg)[0]
+    size = cfg.grid
+    pe = image_wide_positional_embedding(params["prompt"], size)
+    sparse = embed_boxes(params["prompt"], boxes, cfg.image_size)
+    dense = no_mask_dense_embedding(params["prompt"], size)
+    return mask_decoder(
+        params["decoder"], image_emb, pe, sparse, dense, cfg,
+        multimask_output=multimask_output,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion
+# ---------------------------------------------------------------------------
+
+def _lin_t(sd, pre):
+    return (
+        jnp.asarray(np.asarray(sd[pre + ".weight"]).T),
+        jnp.asarray(np.asarray(sd[pre + ".bias"])),
+    )
+
+
+def convert_hf_state_dict(sd, cfg: SamConfig) -> Params:
+    """Convert a huggingface ``SamModel`` state dict."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    g = lambda n: jnp.asarray(sd[n])
+
+    P = cfg.patch_size
+    pw = sd["vision_encoder.patch_embed.projection.weight"]  # (D, 3, P, P)
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"vision_encoder.layers.{i}"
+        qkv_w, qkv_b = _lin_t(sd, pre + ".attn.qkv")
+        proj_w, proj_b = _lin_t(sd, pre + ".attn.proj")
+        fc1_w, fc1_b = _lin_t(sd, pre + ".mlp.lin1")
+        fc2_w, fc2_b = _lin_t(sd, pre + ".mlp.lin2")
+        layers.append({
+            "ln1_w": g(pre + ".layer_norm1.weight"),
+            "ln1_b": g(pre + ".layer_norm1.bias"),
+            "qkv_w": qkv_w, "qkv_b": qkv_b,
+            "proj_w": proj_w, "proj_b": proj_b,
+            "rel_pos_h": g(pre + ".attn.rel_pos_h"),
+            "rel_pos_w": g(pre + ".attn.rel_pos_w"),
+            "ln2_w": g(pre + ".layer_norm2.weight"),
+            "ln2_b": g(pre + ".layer_norm2.bias"),
+            "fc1_w": fc1_w, "fc1_b": fc1_b,
+            "fc2_w": fc2_w, "fc2_b": fc2_b,
+        })
+    vision = {
+        "patch_w": jnp.asarray(pw.transpose(2, 3, 1, 0).reshape(P * P * 3, -1)),
+        "patch_b": g("vision_encoder.patch_embed.projection.bias"),
+        "pos_embed": g("vision_encoder.pos_embed")[0],
+        "layers": layers,
+        "neck": {
+            "conv1_w": jnp.asarray(
+                sd["vision_encoder.neck.conv1.weight"][:, :, 0, 0].T
+            ),
+            "ln1_w": g("vision_encoder.neck.layer_norm1.weight"),
+            "ln1_b": g("vision_encoder.neck.layer_norm1.bias"),
+            "conv2_w": jnp.asarray(
+                sd["vision_encoder.neck.conv2.weight"].transpose(2, 3, 1, 0)
+            ),
+            "ln2_w": g("vision_encoder.neck.layer_norm2.weight"),
+            "ln2_b": g("vision_encoder.neck.layer_norm2.bias"),
+        },
+    }
+
+    prompt = {
+        "pe_table": g("shared_image_embedding.positional_embedding"),
+        "point_embed": jnp.stack(
+            [g(f"prompt_encoder.point_embed.{i}.weight")[0] for i in range(4)]
+        ),
+        "not_a_point": g("prompt_encoder.not_a_point_embed.weight")[0],
+        "no_mask": g("prompt_encoder.no_mask_embed.weight")[0],
+    }
+
+    def attn_t(pre):
+        qw, qb = _lin_t(sd, pre + ".q_proj")
+        kw, kb = _lin_t(sd, pre + ".k_proj")
+        vw, vb = _lin_t(sd, pre + ".v_proj")
+        ow, ob = _lin_t(sd, pre + ".out_proj")
+        return {"q_w": qw, "q_b": qb, "k_w": kw, "k_b": kb,
+                "v_w": vw, "v_b": vb, "out_w": ow, "out_b": ob}
+
+    dec_layers = []
+    for i in range(cfg.decoder_layers):
+        pre = f"mask_decoder.transformer.layers.{i}"
+        mlp1_w, mlp1_b = _lin_t(sd, pre + ".mlp.lin1")
+        mlp2_w, mlp2_b = _lin_t(sd, pre + ".mlp.lin2")
+        dec_layers.append({
+            "self_attn": attn_t(pre + ".self_attn"),
+            "t2i": attn_t(pre + ".cross_attn_token_to_image"),
+            "i2t": attn_t(pre + ".cross_attn_image_to_token"),
+            "mlp": {"lin1_w": mlp1_w, "lin1_b": mlp1_b,
+                    "lin2_w": mlp2_w, "lin2_b": mlp2_b},
+            **{f"ln{j}_w": g(f"{pre}.layer_norm{j}.weight") for j in range(1, 5)},
+            **{f"ln{j}_b": g(f"{pre}.layer_norm{j}.bias") for j in range(1, 5)},
+        })
+
+    def ff_t(pre, depth):
+        mid = []
+        for i in range(depth - 2):
+            w, b = _lin_t(sd, f"{pre}.layers.{i}")
+            mid.append((w, b))
+        in_w, in_b = _lin_t(sd, pre + ".proj_in")
+        out_w, out_b = _lin_t(sd, pre + ".proj_out")
+        return {"in_w": in_w, "in_b": in_b, "mid": mid,
+                "out_w": out_w, "out_b": out_b}
+
+    nm = cfg.num_multimask_outputs + 1
+    # torch ConvTranspose2d weight (I, O, kh, kw) -> HWIO for conv_transpose
+    up1 = sd["mask_decoder.upscale_conv1.weight"].transpose(2, 3, 0, 1)
+    up2 = sd["mask_decoder.upscale_conv2.weight"].transpose(2, 3, 0, 1)
+    decoder = {
+        "iou_token": g("mask_decoder.iou_token.weight")[0],
+        "mask_tokens": g("mask_decoder.mask_tokens.weight"),
+        "transformer": {
+            "layers": dec_layers,
+            "final_attn": attn_t("mask_decoder.transformer.final_attn_token_to_image"),
+            "final_ln_w": g("mask_decoder.transformer.layer_norm_final_attn.weight"),
+            "final_ln_b": g("mask_decoder.transformer.layer_norm_final_attn.bias"),
+        },
+        "up1_w": jnp.asarray(up1), "up1_b": g("mask_decoder.upscale_conv1.bias"),
+        "up2_w": jnp.asarray(up2), "up2_b": g("mask_decoder.upscale_conv2.bias"),
+        "up_ln_w": g("mask_decoder.upscale_layer_norm.weight"),
+        "up_ln_b": g("mask_decoder.upscale_layer_norm.bias"),
+        "hyper": [
+            ff_t(f"mask_decoder.output_hypernetworks_mlps.{i}", 3)
+            for i in range(nm)
+        ],
+        "iou_head": ff_t("mask_decoder.iou_prediction_head", cfg.iou_head_depth),
+    }
+    return {"vision": vision, "prompt": prompt, "decoder": decoder}

@@ -1,0 +1,83 @@
+"""SAM predictor: preprocessing + box prediction + mask postprocessing.
+
+Mirrors the original SamPredictor contract used by the reference
+(``utils/grounded_sam.py:392-431``): longest-side resize to the model size,
+ImageNet-range normalization, bottom-right padding; per-box multimask
+prediction; mask upscale -> unpad -> resize to original -> threshold at 0.
+Unlike the reference's per-box python loop, all boxes are decoded in one
+batched call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3fields_tpu.models.resize import bilinear_resize
+from d3fields_tpu.models.sam.model import SamConfig, sam_predict_boxes
+
+PIXEL_MEAN = (123.675, 116.28, 103.53)
+PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+class SamPredictor:
+    """Box-prompted segmentation over one image.
+
+    Contract of the original predictor: ``set_image(rgb_uint8)`` then
+    ``predict_boxes(boxes_xyxy)`` -> (masks (N, M, H, W) bool, iou (N, M)).
+    """
+
+    def __init__(self, params, cfg: Optional[SamConfig] = None):
+        self.params = params
+        self.cfg = cfg or SamConfig.vit_huge()
+        self._pixels = None
+        self._orig_hw: Tuple[int, int] = (0, 0)
+        self._resized_hw: Tuple[int, int] = (0, 0)
+
+    def _target_hw(self, H: int, W: int) -> Tuple[int, int]:
+        s = self.cfg.image_size / max(H, W)
+        return int(H * s + 0.5), int(W * s + 0.5)
+
+    def set_image(self, rgb: np.ndarray):
+        H, W = rgb.shape[:2]
+        self._orig_hw = (H, W)
+        rh, rw = self._target_hw(H, W)
+        self._resized_hw = (rh, rw)
+        img = bilinear_resize(jnp.asarray(rgb, jnp.float32), (rh, rw))
+        img = (img - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
+        S = self.cfg.image_size
+        img = jnp.pad(img, ((0, S - rh), (0, S - rw), (0, 0)))
+        self._pixels = img[None]
+        return self
+
+    def predict_boxes(self, boxes_xyxy: np.ndarray, multimask_output=True):
+        """boxes in original-image pixels -> (masks bool (N, M, H, W),
+        iou (N, M))."""
+        if self._pixels is None:
+            raise RuntimeError("call set_image first")
+        H, W = self._orig_hw
+        rh, rw = self._resized_hw
+        boxes = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4).copy()
+        boxes[:, [0, 2]] *= rw / W
+        boxes[:, [1, 3]] *= rh / H
+        low_res, iou = sam_predict_boxes(
+            self.params, self._pixels, jnp.asarray(boxes), self.cfg,
+            multimask_output,
+        )
+        masks = self._postprocess(low_res)
+        return np.asarray(masks) > 0.0, np.asarray(iou)
+
+    def _postprocess(self, low_res):
+        """(N, M, s, s) logits -> (N, M, H, W): upscale to model size, strip
+        the bottom-right padding, resize to the original image."""
+        S = self.cfg.image_size
+        H, W = self._orig_hw
+        rh, rw = self._resized_hw
+        N, M = low_res.shape[:2]
+        x = low_res.reshape(N * M, *low_res.shape[2:])[..., None]
+        x = bilinear_resize(x, (S, S))[:, :rh, :rw]
+        x = bilinear_resize(x, (H, W))[..., 0]
+        return x.reshape(N, M, H, W)

@@ -1,0 +1,131 @@
+"""SAM port parity vs the huggingface torch implementation (tiny config)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from d3fields_tpu.models.sam import model as S
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import (
+        SamConfig, SamMaskDecoderConfig, SamModel, SamPromptEncoderConfig,
+        SamVisionConfig,
+    )
+
+    vis = SamVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        image_size=64, patch_size=8, output_channels=16, window_size=14,
+        global_attn_indexes=[1], num_pos_feats=8, mlp_ratio=4,
+    )
+    prm = SamPromptEncoderConfig(
+        hidden_size=16, image_embedding_size=8, image_size=64, patch_size=8,
+    )
+    dec = SamMaskDecoderConfig(
+        hidden_size=16, num_attention_heads=2, mlp_dim=64,
+        iou_head_hidden_dim=16,
+    )
+    torch.manual_seed(0)
+    hf = SamModel(SamConfig(vision_config=vis, prompt_encoder_config=prm,
+                            mask_decoder_config=dec)).eval()
+    # the zero-init rel-pos/pos-embed of _init_weights make parity trivial;
+    # randomize them like a trained checkpoint would be
+    with torch.no_grad():
+        for layer in hf.vision_encoder.layers:
+            layer.attn.rel_pos_h.normal_(0, 0.02)
+            layer.attn.rel_pos_w.normal_(0, 0.02)
+        hf.vision_encoder.pos_embed.normal_(0, 0.02)
+
+    cfg = S.SamConfig(
+        hidden_size=32, num_layers=2, num_heads=2, mlp_dim=128, patch_size=8,
+        image_size=64, window_size=14, global_attn_indexes=(1,),
+        output_channels=16, prompt_hidden=16, decoder_heads=2,
+        decoder_mlp_dim=64, iou_head_hidden=16,
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = S.convert_hf_state_dict(sd, cfg)
+    return hf, params, cfg
+
+
+def test_vision_encoder_parity(oracle):
+    hf, params, cfg = oracle
+    rs = np.random.RandomState(0)
+    px = rs.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.vision_encoder(
+            torch.from_numpy(px).permute(0, 3, 1, 2)
+        ).last_hidden_state.permute(0, 2, 3, 1).numpy()
+    got = np.asarray(S.vision_encoder(params["vision"], jnp.asarray(px), cfg))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_image_wide_pe_parity(oracle):
+    hf, params, cfg = oracle
+    ref = hf.get_image_wide_positional_embeddings()[0].permute(1, 2, 0).numpy()
+    got = np.asarray(
+        S.image_wide_positional_embedding(params["prompt"], cfg.grid)
+    )
+    # the random fourier table has O(20) entries; sin/cos amplify f32
+    # rounding, so parity is ~1e-5 not 1e-7
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-5)
+
+
+def test_box_prompt_parity(oracle):
+    hf, params, cfg = oracle
+    boxes = np.array([[4.0, 6.0, 40.0, 50.0], [0.0, 0.0, 20.0, 30.0]],
+                     np.float32)
+    with torch.no_grad():
+        ref, _ = hf.prompt_encoder(
+            input_points=None, input_labels=None,
+            input_boxes=torch.from_numpy(boxes)[None], input_masks=None,
+        )
+    got = np.asarray(S.embed_boxes(params["prompt"], jnp.asarray(boxes),
+                                   cfg.image_size))
+    np.testing.assert_allclose(got, ref[0].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_point_prompt_parity(oracle):
+    hf, params, cfg = oracle
+    pts = np.array([[[8.0, 9.0], [30.0, 22.0]]], np.float32)  # (1, 2, 2)
+    lbl = np.array([[1, 0]], np.int32)
+    with torch.no_grad():
+        ref, _ = hf.prompt_encoder(
+            input_points=torch.from_numpy(pts)[None],
+            input_labels=torch.from_numpy(lbl)[None],
+            input_boxes=None, input_masks=None,
+        )
+    got = S.embed_points(params["prompt"], jnp.asarray(pts),
+                         jnp.asarray(lbl), cfg.image_size, pad=True)
+    np.testing.assert_allclose(np.asarray(got), ref[0].numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_box_prediction_parity(oracle):
+    hf, params, cfg = oracle
+    rs = np.random.RandomState(1)
+    px = rs.randn(1, 64, 64, 3).astype(np.float32)
+    boxes = np.array([[4.0, 6.0, 40.0, 50.0], [10.0, 5.0, 60.0, 44.0],
+                      [0.0, 0.0, 63.0, 63.0]], np.float32)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px).permute(0, 3, 1, 2),
+            input_boxes=torch.from_numpy(boxes)[None],
+            multimask_output=True,
+        )
+    masks, iou = S.sam_predict_boxes(
+        params, jnp.asarray(px), jnp.asarray(boxes), cfg, True
+    )
+    # tiny random nets produce near-zero outputs; fourier-PE f32 rounding
+    # puts parity at ~1e-3 absolute (scales with output magnitude)
+    np.testing.assert_allclose(
+        np.asarray(iou), out.iou_scores[0].numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(masks), out.pred_masks[0].numpy(), atol=2e-3
+    )
