@@ -1,0 +1,131 @@
+"""Open-text detection wrapper: the ``predict_with_classes`` contract.
+
+Mirrors the reference detector call (``utils/grounded_sam.py:418-424``):
+classes are joined into one caption ("a. b. c."), the image is resized
+(shortest side 800, cap 1333) and ImageNet-normalized, and detections are
+thresholded on the max sigmoid token logit. Class assignment uses the
+caption's token spans directly (each class owns the span between '.'
+separators) instead of the reference's phrase-substring matching — same
+outcome, no string round-trip.
+
+Tokenization is pluggable: pass any callable str -> list[int] (a BERT
+wordpiece tokenizer when the vocab is available); tests use a toy hash
+tokenizer. Special separator ids follow BERT ([CLS]=101, [SEP]=102,
+'.'=1012).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3fields_tpu.models.groundingdino.model import (
+    GroundingDinoConfig, groundingdino_forward,
+)
+from d3fields_tpu.models.resize import bilinear_resize
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+CLS_ID, SEP_ID, DOT_ID = 101, 102, 1012
+
+
+@dataclasses.dataclass
+class Detections:
+    """Reference-compatible detection container (supervision.Detections
+    subset used at ``utils/grounded_sam.py:433-442``)."""
+
+    xyxy: np.ndarray          # (N, 4) absolute pixel coords
+    confidence: np.ndarray    # (N,)
+    class_id: np.ndarray      # (N,) indices into the query class list
+    mask: Optional[np.ndarray] = None
+
+
+def tokenize_classes(
+    classes: Sequence[str], tokenize: Callable[[str], List[int]]
+) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """Build '[CLS] c1 . c2 . ... [SEP]' ids + per-class token spans."""
+    ids = [CLS_ID]
+    spans = []
+    for c in classes:
+        toks = tokenize(c)
+        spans.append((len(ids), len(ids) + len(toks)))
+        ids.extend(toks)
+        ids.append(DOT_ID)
+    ids.append(SEP_ID)
+    return np.asarray([ids], np.int64), spans
+
+
+class GroundingDinoDetector:
+    def __init__(self, params, cfg: Optional[GroundingDinoConfig] = None,
+                 tokenize: Optional[Callable[[str], List[int]]] = None,
+                 short_side: int = 800, max_side: int = 1333):
+        self.params = params
+        self.cfg = cfg or GroundingDinoConfig()
+        self.tokenize = tokenize
+        self.short_side = short_side
+        self.max_side = max_side
+
+    def _prep(self, rgb: np.ndarray):
+        H, W = rgb.shape[:2]
+        scale = self.short_side / min(H, W)
+        if max(H, W) * scale > self.max_side:
+            scale = self.max_side / max(H, W)
+        rh, rw = round(H * scale), round(W * scale)
+        img = jnp.asarray(rgb, jnp.float32) / 255.0
+        img = bilinear_resize(img, (rh, rw))
+        img = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        return img[None]
+
+    def predict_with_classes(
+        self, image: np.ndarray, classes: Sequence[str],
+        box_threshold: float, text_threshold: float = 0.25,
+        input_ids: Optional[np.ndarray] = None,
+        spans: Optional[List[Tuple[int, int]]] = None,
+    ) -> Detections:
+        """image: (H, W, 3) RGB uint8. Either a tokenizer was configured or
+        (input_ids, spans) are given precomputed."""
+        if input_ids is None:
+            if self.tokenize is None:
+                raise ValueError("no tokenizer configured; pass input_ids")
+            input_ids, spans = tokenize_classes(classes, self.tokenize)
+
+        H, W = image.shape[:2]
+        pixels = self._prep(image)
+        logits, boxes = groundingdino_forward(
+            self.params, self.cfg, pixels, input_ids
+        )
+        probs = np.asarray(jax.nn.sigmoid(logits[0]))   # (Q, max_text_len)
+        boxes = np.asarray(boxes[0])                     # (Q, 4) cxcywh norm
+
+        scores = np.nanmax(
+            np.where(np.isfinite(probs), probs, np.nan), axis=1
+        )
+        keep = scores > box_threshold
+        if not keep.any():
+            return Detections(
+                xyxy=np.zeros((0, 4), np.float32),
+                confidence=np.zeros((0,), np.float32),
+                class_id=np.zeros((0,), np.int64),
+            )
+        kept_boxes = boxes[keep]
+        kept_probs = probs[keep]
+        # class = span with the strongest token response
+        span_scores = np.stack(
+            [kept_probs[:, s:e].max(axis=1) for s, e in spans], axis=1
+        )
+        class_id = span_scores.argmax(axis=1)
+
+        cx, cy, bw, bh = kept_boxes.T
+        xyxy = np.stack(
+            [(cx - bw / 2) * W, (cy - bh / 2) * H,
+             (cx + bw / 2) * W, (cy + bh / 2) * H], axis=1
+        ).astype(np.float32)
+        return Detections(
+            xyxy=xyxy,
+            confidence=scores[keep].astype(np.float32),
+            class_id=class_id.astype(np.int64),
+        )

@@ -1,0 +1,192 @@
+"""GroundingDINO port parity vs huggingface (tiny configs) + grounded-SAM
+pipeline contract."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from d3fields_tpu.models.groundingdino import bert as BB
+from d3fields_tpu.models.groundingdino import model as G
+from d3fields_tpu.models.groundingdino import swin as SW
+from d3fields_tpu.models.groundingdino.detector import (
+    GroundingDinoDetector, tokenize_classes,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import (
+        BertConfig as HFBert, GroundingDinoConfig as HFGDC,
+        GroundingDinoForObjectDetection, SwinConfig as HFSwin,
+    )
+
+    hfc = HFGDC(
+        backbone_config=HFSwin(
+            embed_dim=8, depths=[1, 1], num_heads=[2, 4], window_size=4,
+            image_size=64, patch_size=4, out_features=["stage1", "stage2"],
+        ),
+        text_config=HFBert(
+            vocab_size=2000, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48,
+            max_position_embeddings=64,
+        ),
+        d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_queries=16,
+        max_text_len=32, num_feature_levels=3,
+    )
+    torch.manual_seed(0)
+    hf = GroundingDinoForObjectDetection(hfc).eval()
+    cfg = G.GroundingDinoConfig.tiny_test()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = G.convert_hf_state_dict(sd, cfg)
+    return hf, params, cfg
+
+
+def test_bert_parity():
+    from transformers import BertConfig as HFBert, BertModel
+
+    hfc = HFBert(vocab_size=200, hidden_size=16, num_hidden_layers=2,
+                 num_attention_heads=2, intermediate_size=32,
+                 max_position_embeddings=32)
+    torch.manual_seed(1)
+    hf = BertModel(hfc, add_pooling_layer=False).eval()
+    cfg = BB.BertConfig(vocab_size=200, hidden_size=16, num_layers=2,
+                        num_heads=2, intermediate_size=32, max_position=32)
+    params = BB.convert_hf_bert(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg
+    )
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, 200, (2, 10))
+    mask3d = rs.rand(2, 10, 10) > 0.3
+    mask3d |= np.eye(10, dtype=bool)
+    pos = rs.randint(0, 32, (2, 10))
+    types = np.zeros((2, 10), np.int64)
+    with torch.no_grad():
+        ref = hf(
+            torch.from_numpy(ids), torch.from_numpy(mask3d),
+            torch.from_numpy(types), torch.from_numpy(pos),
+        ).last_hidden_state.numpy()
+    got = np.asarray(BB.bert_encode(
+        params, jnp.asarray(ids), jnp.asarray(mask3d), jnp.asarray(types),
+        jnp.asarray(pos), cfg,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_text_mask_generation_matches_reference():
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        generate_masks_with_special_tokens_and_transfer_map,
+    )
+
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]], np.int64)
+    ref_mask, ref_pos = generate_masks_with_special_tokens_and_transfer_map(
+        torch.from_numpy(ids)
+    )
+    mask, pos = G.generate_text_masks(ids)
+    np.testing.assert_array_equal(mask, ref_mask.numpy())
+    np.testing.assert_array_equal(pos, ref_pos.numpy())
+
+
+def test_full_forward_parity(oracle):
+    hf, params, cfg = oracle
+    rs = np.random.RandomState(0)
+    px = rs.randn(1, 64, 64, 3).astype(np.float32)
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]], np.int64)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px).permute(0, 3, 1, 2),
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.ones_like(torch.from_numpy(ids)),
+        )
+    logits, boxes = G.groundingdino_forward(params, cfg, jnp.asarray(px), ids)
+    ref_l = out.logits.numpy()
+    gl = np.asarray(logits)
+    fin = np.isfinite(ref_l)
+    assert (np.isfinite(gl) == fin).all()
+    np.testing.assert_allclose(gl[fin], ref_l[fin], rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(boxes), out.pred_boxes.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def _toy_tokenizer(text):
+    return [200 + (hash(w) % 1000) for w in text.split()]
+
+
+def test_detector_contract(oracle):
+    _, params, cfg = oracle
+    det = GroundingDinoDetector(params, cfg, tokenize=_toy_tokenizer,
+                                short_side=64, max_side=96)
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+    out = det.predict_with_classes(img, ["mug", "red pen"], box_threshold=0.0)
+    assert out.xyxy.shape == (cfg.num_queries, 4)  # threshold 0 keeps all
+    assert set(np.unique(out.class_id)) <= {0, 1}
+    assert (out.confidence >= 0).all() and (out.confidence <= 1).all()
+    # impossible threshold -> empty detections, well-formed shapes
+    empty = det.predict_with_classes(img, ["mug"], box_threshold=1.1)
+    assert empty.xyxy.shape == (0, 4) and empty.class_id.shape == (0,)
+
+
+def test_grounded_sam_backend_end_to_end(oracle):
+    """Full open-text instance segmentation with tiny dino + tiny SAM."""
+    from transformers import (
+        SamConfig as HFSamConfig, SamMaskDecoderConfig, SamModel,
+        SamPromptEncoderConfig, SamVisionConfig,
+    )
+
+    from d3fields_tpu.models.sam import model as S
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+    from d3fields_tpu.seg.grounded_sam import GroundedSAMBackend
+
+    _, gparams, gcfg = oracle
+    torch.manual_seed(3)
+    hf_sam = SamModel(HFSamConfig(
+        vision_config=SamVisionConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            image_size=64, patch_size=8, output_channels=16, window_size=14,
+            global_attn_indexes=[1], num_pos_feats=8,
+        ),
+        prompt_encoder_config=SamPromptEncoderConfig(
+            hidden_size=16, image_embedding_size=8, image_size=64, patch_size=8
+        ),
+        mask_decoder_config=SamMaskDecoderConfig(
+            hidden_size=16, num_attention_heads=2, mlp_dim=64,
+            iou_head_hidden_dim=16,
+        ),
+    )).eval()
+    scfg = S.SamConfig(
+        hidden_size=32, num_layers=2, num_heads=2, mlp_dim=128, patch_size=8,
+        image_size=64, window_size=14, global_attn_indexes=(1,),
+        output_channels=16, prompt_hidden=16, decoder_heads=2,
+        decoder_mlp_dim=64, iou_head_hidden=16,
+    )
+    sparams = S.convert_hf_state_dict(
+        {k: v.detach().numpy() for k, v in hf_sam.state_dict().items()}, scfg
+    )
+
+    backend = GroundedSAMBackend(
+        GroundingDinoDetector(gparams, gcfg, tokenize=_toy_tokenizer,
+                              short_side=64, max_side=96),
+        SamPredictor(sparams, scfg),
+    )
+    rs = np.random.RandomState(4)
+    img = rs.randint(0, 255, (72, 96, 3), dtype=np.uint8)
+    vm = backend.segment(img, ["mug", "shoe"], [0.3, 0.3])
+    # reference contract: background first with confidence 1.0
+    assert vm.labels[0] == "background"
+    assert vm.confidences[0] == 1.0
+    assert vm.masks.shape[1:] == (72, 96)
+    assert vm.masks.dtype == bool
+    assert set(vm.labels[1:]) <= {"mug", "shoe"}
+    # background is exactly the complement of the union
+    if vm.masks.shape[0] > 1:
+        np.testing.assert_array_equal(
+            vm.masks[0], ~np.any(vm.masks[1:], axis=0)
+        )
