@@ -1,0 +1,150 @@
+"""Video keypoint tracking demo (reference ``vis_tracking.py``).
+
+Per frame: Fusion.update + tracked text queries (GroundedSAM on frame 0,
+XMem propagation after); at t=0 keypoints are farthest-point-sampled per
+instance and their descriptors recorded; each later frame solves a rigid
+SE(3) fit through the differentiable field and writes a reprojection-mosaic
+video + per-frame match-point pickles.
+
+  python -m d3fields_tpu.apps.vis_tracking --synthetic --frames 6 --out out/track
+  python -m d3fields_tpu.apps.vis_tracking --data_path data/... \\
+      --query_texts shoe --query_thresholds 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from d3fields_tpu.config import Boundaries, TrackingConfig
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--query_texts", nargs="+", default=["shoe"])
+    p.add_argument("--query_thresholds", nargs="+", type=float, default=[0.5])
+    p.add_argument("--num_cam", type=int, default=4)
+    p.add_argument("--frames", type=int, default=0, help="0 = all")
+    p.add_argument("--num_kypts", type=int, default=100)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out", default="out/vis_tracking")
+    p.add_argument("--x_lower", type=float, default=-0.3)
+    p.add_argument("--x_upper", type=float, default=0.6)
+    p.add_argument("--y_lower", type=float, default=-0.4)
+    p.add_argument("--y_upper", type=float, default=0.4)
+    p.add_argument("--z_lower", type=float, default=0.001)
+    p.add_argument("--z_upper", type=float, default=0.4)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.track.keypoints import select_keypoints
+    from d3fields_tpu.track.rigid import rigid_tracking
+    from d3fields_tpu.utils.io import save_pickle
+    from d3fields_tpu.utils.visualization import TrackVis, jet_colors
+
+    boundaries = Boundaries(
+        args.x_lower, args.x_upper, args.y_lower, args.y_upper,
+        args.z_lower, args.z_upper,
+    )
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        from d3fields_tpu.utils.synthetic import (
+            render_sphere_scene, sphere_mask_backend,
+        )
+
+        frames = args.frames or 6
+        # spheres drift linearly: a rigid motion the tracker must recover
+        def get_frame(t):
+            offs = np.array([[0.008 * t, 0.004 * t, 0.0],
+                             [-0.005 * t, 0.006 * t, 0.0]])
+            return render_sphere_scene(
+                num_views=args.num_cam, H=120, W=160, feat_dim=32,
+                sphere_offsets=offs,
+            )
+
+        scene0 = get_frame(0)
+        labels = (args.query_texts * 2 if len(args.query_texts) == 1
+                  else args.query_texts)
+        backend = sphere_mask_backend(scene0, labels)
+        fusion = Fusion(num_cam=args.num_cam, mask_backend=backend)
+
+        def refresh_masks(sc):
+            # serve the current frame's analytic masks (per-frame
+            # re-detection fallback of text_queries_for_inst_mask)
+            backend.per_view = sphere_mask_backend(sc, labels).per_view
+            backend.reset()
+
+        feature_of = lambda sc: sc["dino_feats"]
+    else:
+        from d3fields_tpu.apps._backends import build_real_backends
+        from d3fields_tpu.utils.io import load_frame, num_frames
+
+        frames = args.frames or num_frames(args.data_path)
+        feature_backend, mask_backend = build_real_backends()
+        fusion = Fusion(num_cam=args.num_cam, feature_backend=feature_backend,
+                        mask_backend=mask_backend)
+        get_frame = lambda t: load_frame(args.data_path, t, args.num_cam)
+        feature_of = lambda obs: None
+        refresh_masks = lambda obs: None
+
+    tracker = None
+    track_info = {}
+    match_pts_list = None
+    cfg = TrackingConfig(iters=args.iters)
+
+    for t in range(frames):
+        t0 = time.perf_counter()
+        scene = get_frame(t)
+        obs = {k: scene[k] for k in ("color", "depth", "pose", "K")}
+        feats = feature_of(scene)
+        if feats is not None:
+            obs["dino_feats"] = feats
+        refresh_masks(scene)
+        fusion.update(obs)
+        fusion.text_queries_for_inst_mask(
+            args.query_texts, args.query_thresholds, boundaries=boundaries
+        )
+
+        if t == 0:
+            src_feats, src_pts, inst_ids = select_keypoints(
+                fusion.state, fusion.consensus_mask_label, boundaries,
+                args.num_kypts, res=0.002, init_idx=0,
+            )
+            for k, (f, p, i) in enumerate(zip(src_feats, src_pts, inst_ids)):
+                colors = (jet_colors(np.linspace(0, 1, p.shape[0])) * 255
+                          ).astype(np.uint8)
+                track_info[f"inst_{i}"] = {
+                    "src_feats": f, "src_pts": p, "src_pts_color": colors,
+                }
+            match_pts_list = [np.array(p) for p in src_pts]
+            save_pickle(os.path.join(args.out, "src_feats.pkl"), track_info)
+            tracker = TrackVis(obs["pose"], obs["K"], args.out)
+        else:
+            res = rigid_tracking(
+                fusion.state, track_info, match_pts_list, boundaries,
+                match_pts_list[0].shape[0], cfg,
+            )
+            match_pts_list = res["match_pts_list"]
+
+        tracker.visualize_match_pts(match_pts_list, obs["color"], track_info)
+        save_pickle(os.path.join(args.out, f"match_pts_{t:06d}.pkl"),
+                    match_pts_list)
+        print(f"[vis_tracking] frame {t}: {time.perf_counter() - t0:.2f}s, "
+              f"{sum(p.shape[0] for p in match_pts_list)} pts")
+
+    tracker.close()
+    print(f"[vis_tracking] wrote {args.out}/tracking.mp4 + pickles")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -206,11 +206,13 @@ class Fusion:
         config: Optional[D3FieldsConfig] = None,
         feature_backend=None,
         mask_backend=None,
+        video_tracker=None,
     ):
         self.config = config or D3FieldsConfig()
         self.num_cam = num_cam
         self.feature_backend = feature_backend
         self.mask_backend = mask_backend
+        self.video_tracker = video_tracker
         self.state: Optional[FieldState] = None
         self.curr_obs: dict = {}
         self.consensus_mask_label: list = []
@@ -339,6 +341,55 @@ class Fusion:
         onehot = instance_to_onehot(index_masks, len(labels)).astype(np.float32)
         self.set_mask(onehot)
         return index_masks, labels
+
+    def text_queries_for_inst_mask(
+        self,
+        queries,
+        thresholds,
+        boundaries=None,
+        expected_labels=None,
+        robot_pcd=None,
+    ):
+        """Tracked open-text masks: consensus on the first frame, video
+        propagation afterwards (``Fusion.text_queries_for_inst_mask``,
+        ``fusion.py:1173-1256``).
+
+        Propagation uses the configured ``video_tracker``
+        (:class:`d3fields_tpu.seg.video_tracker.VideoMaskTracker`); without
+        one, the mask backend re-runs per frame with the first frame's
+        consensus label order enforced (a per-frame re-detection fallback
+        the reference does not offer — its use_sam branch raises).
+        """
+        first = not self.consensus_mask_label
+        if first:
+            index_masks, labels = self.text_queries_for_inst_mask_no_track(
+                queries, thresholds, boundaries, expected_labels, robot_pcd
+            )
+            if self.video_tracker is not None:
+                rgb = self.curr_obs["color"][..., ::-1]  # BGR -> RGB
+                onehot = self.video_tracker.process(
+                    rgb, index_masks.astype(np.uint8)
+                )
+                self.set_mask(onehot)
+            return index_masks, labels
+        if self.video_tracker is not None:
+            rgb = self.curr_obs["color"][..., ::-1]
+            onehot = self.video_tracker.process(rgb, None)
+            self.set_mask(onehot)
+            from d3fields_tpu.fields.geometry import onehot_to_instance
+
+            return onehot_to_instance(onehot), self.consensus_mask_label
+        return self.text_queries_for_inst_mask_no_track(
+            queries, thresholds, boundaries,
+            expected_labels or self.consensus_mask_label, robot_pcd
+        )
+
+    def clear_xmem_memory(self):
+        """Reset video tracking (``Fusion.clear_xmem_memory``,
+        ``fusion.py:1699-1702``)."""
+        self.consensus_mask_label = []
+        if self.video_tracker is not None:
+            self.video_tracker.clear_memory()
 
     def get_inst_num(self) -> int:
         """Number of consensus instances including background

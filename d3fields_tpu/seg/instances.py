@@ -201,6 +201,15 @@ def filter_instances(
         elif inst.vox_idx.shape[0] < 1:
             to_delete.add(i)
 
+    # The 'background' instance anchors mask channel 0; dropping it (e.g.
+    # when the table lies outside the workspace bounds and its voxel set is
+    # empty) would alias instance 0 with unassigned pixels. The reference
+    # has this failure mode (fusion.py:1040-1044 deletes empty instances
+    # unconditionally); we keep background alive regardless.
+    for i, inst in enumerate(instances):
+        if inst.label == "background":
+            to_delete.discard(i)
+
     return [inst for i, inst in enumerate(instances) if i not in to_delete]
 
 

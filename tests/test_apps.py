@@ -1,0 +1,91 @@
+"""End-to-end app smoke tests (synthetic scenes, headless)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+def test_vis_repr_synthetic(tmp_path):
+    from d3fields_tpu.apps.vis_repr import main
+
+    out = str(tmp_path / "repr")
+    assert main(["--synthetic", "--out", out, "--step", "0.015"]) == 0
+    for name in ("instance_mesh.ply", "descriptor_mesh.ply", "color_mesh.ply"):
+        p = os.path.join(out, name)
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_vis_tracking_synthetic(tmp_path):
+    from d3fields_tpu.apps.vis_tracking import main
+
+    out = str(tmp_path / "track")
+    assert main([
+        "--synthetic", "--frames", "3", "--num_kypts", "20",
+        "--iters", "60", "--out", out,
+    ]) == 0
+    assert os.path.exists(os.path.join(out, "tracking.mp4"))
+    pts = [
+        pickle.load(open(os.path.join(out, f"match_pts_{t:06d}.pkl"), "rb"))
+        for t in range(3)
+    ]
+    # the tracker follows the drifting spheres: recovered displacement of
+    # sphere 0 correlates with the true motion (0.008, 0.004, 0)/frame
+    d = (pts[2][0] - pts[0][0]).mean(axis=0)
+    true = np.array([0.016, 0.008, 0.0])
+    assert np.dot(d, true) / (np.linalg.norm(d) * np.linalg.norm(true)) > 0.6
+    assert 0.25 * np.linalg.norm(true) < np.linalg.norm(d) < 4 * np.linalg.norm(true)
+
+
+def test_precompute_pca(tmp_path):
+    from d3fields_tpu.apps.precompute_pca import main
+    from d3fields_tpu.ops.pca import PCAParams
+
+    out = str(tmp_path / "pca.pkl")
+    assert main(["--synthetic", "--out", out]) == 0
+    params = PCAParams.load(out)
+    assert params.components.shape == (3, 64)
+
+
+def test_trackvis_mosaic(tmp_path):
+    from d3fields_tpu.utils.visualization import TrackVis
+
+    rs = np.random.RandomState(0)
+    poses = np.tile(np.eye(3, 4, dtype=np.float32)[None], (4, 1, 1))
+    poses[:, 2, 3] = 1.0
+    Ks = np.tile(np.array([[100.0, 0, 40], [0, 100, 30], [0, 0, 1]],
+                          np.float32)[None], (4, 1, 1))
+    tv = TrackVis(poses, Ks, str(tmp_path), save_frames=True)
+    info = {"a": {"src_pts_color": rs.randint(0, 255, (5, 3), dtype=np.uint8)}}
+    colors = rs.randint(0, 255, (4, 60, 80, 3), dtype=np.uint8)
+    pts = [rs.uniform(-0.1, 0.1, (5, 3)).astype(np.float32)]
+    m = tv.visualize_match_pts(pts, colors, info)
+    assert m.shape == (42 * 2, 56 * 2, 3)
+    tv.visualize_match_pts(pts, colors, info)
+    tv.close()
+    assert os.path.exists(os.path.join(str(tmp_path), "tracking.mp4"))
+    assert os.path.exists(os.path.join(str(tmp_path), "000001.png"))
+
+
+def test_aggregate_colored_pcd_bounds():
+    from d3fields_tpu.utils.synthetic import render_sphere_scene
+    from d3fields_tpu.utils.visualization import (
+        aggregate_colored_pcd, remove_statistical_outliers,
+    )
+
+    sc = render_sphere_scene(num_views=2, H=60, W=80, feat_dim=8)
+    poses44 = np.concatenate(
+        [sc["pose"], np.tile(np.array([[[0, 0, 0, 1.0]]], np.float32), (2, 1, 1))],
+        axis=1,
+    )
+    b = {"x_lower": -0.5, "x_upper": 0.7, "y_lower": -0.5, "y_upper": 0.6,
+         "z_lower": 0.001, "z_upper": 0.5}
+    pts, cols = aggregate_colored_pcd(
+        sc["color"][..., ::-1], sc["depth"], sc["K"], poses44,
+        boundaries=b, downsample_voxel=0.01,
+    )
+    assert pts.shape[0] > 100 and pts.shape == cols.shape
+    assert pts[:, 2].min() >= 0.001 and (cols >= 0).all() and (cols <= 1).all()
+    keep = remove_statistical_outliers(pts[:2000])
+    assert 0 < keep.shape[0] <= min(pts.shape[0], 2000)
