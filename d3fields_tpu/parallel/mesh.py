@@ -1,0 +1,67 @@
+"""Device-mesh construction and placement helpers.
+
+The reference's only multi-device code is NCCL DDP inside XMem training
+(``XMem/train.py:25,39-41``); its runtime is single-GPU. Here scale-out is
+first-class: a (dp, tp) ``jax.sharding.Mesh`` over ICI, with NamedSharding
+helpers for the two workloads that shard —
+
+- field queries: the point axis over ``dp`` (inference scale-out);
+- XMem training: the batch axis over ``dp`` (the DDP equivalent);
+- tensor-parallel hidden/head dims over ``tp`` for the transformer
+  backbones (optional, see ``__graft_entry__.dryrun_multichip``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def available_devices(min_devices: int = 1):
+    """Devices for mesh building, falling back to the virtual CPU mesh when
+    the platform plugin pins a single chip (see tests/conftest.py)."""
+    import jax
+
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={min_devices}"
+            ).strip()
+        devices = jax.devices("cpu")
+    return devices
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              axis_names: Tuple[str, str] = ("dp", "tp")):
+    """(dp x tp) mesh; dp defaults to all devices / tp."""
+    import jax
+    from jax.sharding import Mesh
+
+    n = dp * tp if dp else None
+    devices = available_devices(n or 1)
+    if dp is None:
+        dp = len(devices) // tp
+    devices = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(devices, axis_names)
+
+
+def shard_leading(mesh, x, axis: str = "dp"):
+    """Place an array with its leading axis split over ``axis``."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(axis, *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh, tree):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

@@ -1,0 +1,165 @@
+"""Multi-chip sharding + XMem training tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conftest import synthetic_scene
+
+from d3fields_tpu.config import XMemConfig
+from d3fields_tpu.fields import fusion as F
+from d3fields_tpu.fields.state import state_from_obs
+from d3fields_tpu.models.xmem import network as N
+from d3fields_tpu.models.xmem import trainer as TR
+from d3fields_tpu.parallel.mesh import make_mesh, replicate, shard_leading
+from d3fields_tpu.parallel.ops import sync_batch_norm
+from d3fields_tpu.parallel.sharded import sharded_batch_eval
+
+
+def test_sharded_batch_eval_matches_single_device(scene):
+    st = state_from_obs(scene, dino_feats=scene["dino_feats"],
+                        mask=scene["mask"], mu=0.02)
+    rs = np.random.RandomState(0)
+    pts = rs.uniform(-0.4, 0.4, (3000, 3)).astype(np.float32)
+    mesh = make_mesh(dp=8, tp=1)
+    out_sharded = sharded_batch_eval(mesh, st, pts, ("dino_feats",), tile=128)
+    out_single = F.batch_eval(st, pts, ("dino_feats",), tile=512)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded["dist"]), np.asarray(out_single["dist"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded["dino_feats"]),
+        np.asarray(out_single["dino_feats"]), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_sync_batch_norm_matches_global_bn():
+    from jax import shard_map
+
+    mesh = make_mesh(dp=4, tp=1)
+    rs = np.random.RandomState(1)
+    x = rs.randn(8, 6, 6, 16).astype(np.float32)
+    scale = rs.rand(16).astype(np.float32) + 0.5
+    bias = rs.randn(16).astype(np.float32)
+
+    fn = shard_map(
+        lambda xs: sync_batch_norm(xs, scale, bias, "dp")[0],
+        mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+    )
+    got = np.asarray(fn(jnp.asarray(x)))
+    mean = x.mean(axis=(0, 1, 2))
+    var = x.var(axis=(0, 1, 2))
+    ref = (x - mean) / np.sqrt(var + 1e-5) * scale + bias
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_train_setup():
+    cfg = XMemConfig(key_dim=16, value_dim=32, hidden_dim=8)
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    Bv, T, O, H, W = 2, 3, 2, 32, 32
+    batch = {
+        "frames": jnp.asarray(rs.rand(Bv, T, H, W, 3).astype(np.float32)),
+        "first_gt": jnp.asarray(
+            (rs.rand(Bv, O, H, W) > 0.5).astype(np.float32)
+        ),
+        "cls_gt": jnp.asarray(rs.randint(0, O + 1, (Bv, T, H, W))),
+        "selector": jnp.ones((Bv, O), jnp.float32),
+    }
+    return cfg, params, batch
+
+
+def test_losses_match_torch_reference(tiny_train_setup):
+    import torch
+    import torch.nn.functional as TF
+
+    rs = np.random.RandomState(2)
+    Bv, O, H, W = 2, 3, 8, 8
+    masks = rs.rand(Bv, O, H, W).astype(np.float32)
+    cls_gt = rs.randint(0, O + 1, (Bv, H, W))
+
+    got = float(TR.dice_loss(jnp.asarray(masks), jnp.asarray(cls_gt)))
+    # reference dice_loss (losses.py:8-19)
+    tm = torch.from_numpy(masks)
+    tg = torch.from_numpy(cls_gt)
+    losses = []
+    for i in range(O):
+        m = tm[:, i].flatten(start_dim=1)
+        g = (tg == (i + 1)).float().flatten(start_dim=1)
+        num = 2 * (m * g).sum(-1)
+        den = m.sum(-1) + g.sum(-1)
+        losses.append(1 - (num + 1) / (den + 1))
+    ref = torch.cat(losses).mean()
+    np.testing.assert_allclose(got, float(ref), rtol=1e-5)
+
+    logits = rs.randn(Bv, O + 1, H, W).astype(np.float32)
+    # warm phase (it < start_warm): plain CE
+    got = float(TR.bootstrapped_ce(
+        jnp.asarray(logits), jnp.asarray(cls_gt), jnp.asarray(0), 10, 20
+    ))
+    ref = TF.cross_entropy(torch.from_numpy(logits), torch.from_numpy(cls_gt))
+    np.testing.assert_allclose(got, float(ref), rtol=1e-5)
+    # hard-mining phase (it > end_warm): top 15% pixels
+    got = float(TR.bootstrapped_ce(
+        jnp.asarray(logits), jnp.asarray(cls_gt), jnp.asarray(100), 10, 20
+    ))
+    raw = TF.cross_entropy(torch.from_numpy(logits), torch.from_numpy(cls_gt),
+                           reduction="none").view(-1)
+    k = int(raw.numel() * 0.15)
+    ref = torch.topk(raw, k)[0].mean()
+    np.testing.assert_allclose(got, float(ref), rtol=1e-4)
+
+
+def test_train_step_decreases_loss(tiny_train_setup):
+    cfg, params, batch = tiny_train_setup
+    opt = TR.make_optimizer(lr=3e-4)
+    state = TR.init_train_state(params, opt)
+    losses = []
+    for _ in range(4):
+        state, out = TR.train_step(state, batch, cfg, opt)
+        losses.append(float(out["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.it) == 4
+
+
+def test_train_step_dp_sharded_matches_replicated(tiny_train_setup):
+    """The DDP equivalent: batch over the dp axis gives the same update."""
+    cfg, params, batch = tiny_train_setup
+    mesh = make_mesh(dp=2, tp=1)
+    opt = TR.make_optimizer(lr=3e-4)
+
+    s_rep = TR.init_train_state(params, opt)
+    s_rep, out_rep = TR.train_step(s_rep, batch, cfg, opt)
+
+    params_sh = replicate(mesh, params)
+    batch_sh = {k: shard_leading(mesh, v) for k, v in batch.items()}
+    s_dp = TR.init_train_state(params_sh, opt)
+    s_dp, out_dp = TR.train_step(s_dp, batch_sh, cfg, opt)
+
+    np.testing.assert_allclose(
+        float(out_dp["loss"]), float(out_rep["loss"]), rtol=1e-5
+    )
+    a = jax.tree.leaves(s_rep.params)[0]
+    b = jax.tree.leaves(s_dp.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_train_setup):
+    cfg, params, batch = tiny_train_setup
+    opt = TR.make_optimizer()
+    state = TR.init_train_state(params, opt)
+    state, _ = TR.train_step(state, batch, cfg, opt)
+    path = str(tmp_path / "ckpt.pkl")
+    TR.save_checkpoint(path, state)
+    restored = TR.load_checkpoint(path, opt)
+    assert int(restored.it) == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
