@@ -420,5 +420,68 @@ class Fusion:
         )
 
 
+    # -- pipeline-state checkpoint ------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Snapshot the full runtime state (observation field, consensus
+        labels, video-tracker memory) — the resume substrate the reference
+        lacks (its only persistence is ad-hoc pickles,
+        ``vis_tracking.py:97-101,138``)."""
+        import pickle
+
+        blob = {
+            "state": None if self.state is None else {
+                k: np.asarray(v)
+                for k, v in (
+                    ("depth", self.state.depth), ("pose", self.state.pose),
+                    ("K", self.state.K),
+                    ("dino_feats", self.state.dino_feats),
+                    ("color", self.state.color), ("mask", self.state.mask),
+                )
+                if v is not None
+            },
+            "mu": None if self.state is None else self.state.mu,
+            "consensus_mask_label": self.consensus_mask_label,
+            "semantic_label": self.semantic_label,
+        }
+        if self.video_tracker is not None:
+            core = self.video_tracker.core
+            blob["tracker"] = {
+                "mem": jax.tree.map(np.asarray, core.mem),
+                "curr_ti": core.curr_ti,
+                "last_mem_ti": core.last_mem_ti,
+                "first_mask_loaded": self.video_tracker.first_mask_loaded,
+            }
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_state(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if blob["state"] is not None:
+            d = blob["state"]
+            self.state = FieldState(
+                depth=jnp.asarray(d["depth"]), pose=jnp.asarray(d["pose"]),
+                K=jnp.asarray(d["K"]),
+                dino_feats=jnp.asarray(d["dino_feats"]) if "dino_feats" in d else None,
+                color=jnp.asarray(d["color"]) if "color" in d else None,
+                mask=jnp.asarray(d["mask"]) if "mask" in d else None,
+                mu=blob["mu"],
+            )
+        self.consensus_mask_label = blob["consensus_mask_label"]
+        self.semantic_label = blob["semantic_label"]
+        if "tracker" in blob and self.video_tracker is not None:
+            core = self.video_tracker.core
+            t = blob["tracker"]
+            core.mem = jax.tree.map(jnp.asarray, t["mem"])
+            core.curr_ti = t["curr_ti"]
+            core.last_mem_ti = t["last_mem_ti"]
+            self.video_tracker.first_mask_loaded = t["first_mask_loaded"]
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"

@@ -1,0 +1,142 @@
+"""ctypes bridge to the native point-cloud runtime (native/pointcloud.cpp).
+
+Replaces the reference's Open3D C++ calls (voxel downsample
+``utils/draw_utils.py:314-323``, statistical outlier removal
+``vis_repr.py:79``) and accelerates the FPS host loop
+(``utils/my_utils.py:478-497``). Falls back to the pure-numpy
+implementations when g++ is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "pointcloud.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libd3pc.so")
+_LOCK = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _LOCK:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)) or (
+                os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _SRC, "-o", _LIB],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.pc_voxel_downsample.restype = ctypes.c_int64
+            lib.pc_voxel_downsample.argtypes = [
+                f32p, ctypes.c_int64, ctypes.c_float, i64p,
+            ]
+            lib.pc_statistical_outliers.restype = ctypes.c_int64
+            lib.pc_statistical_outliers.argtypes = [
+                f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_float, u8p,
+            ]
+            lib.pc_fps.restype = None
+            lib.pc_fps.argtypes = [
+                f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i64p, f32p,
+            ]
+            _lib = lib
+        except Exception as e:
+            import warnings
+
+            detail = ""
+            if isinstance(e, subprocess.CalledProcessError):
+                detail = (e.stderr or b"").decode(errors="replace")[:500]
+            warnings.warn(
+                "native pointcloud library unavailable; falling back to "
+                f"slower numpy paths ({type(e).__name__}: {detail})"
+            )
+            _build_failed = True
+        return _lib
+
+
+def _f32c(pts: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(pts, np.float32)
+
+
+def voxel_downsample_indices(pts: np.ndarray, voxel: float) -> np.ndarray:
+    """Indices of the first point per occupied voxel (input order)."""
+    lib = _load()
+    pts = _f32c(pts)
+    n = pts.shape[0]
+    if lib is None:
+        vox = np.floor(pts / voxel).astype(np.int64)
+        _, idx = np.unique(vox, axis=0, return_index=True)
+        return np.sort(idx)
+    out = np.empty(n, np.int64)
+    kept = lib.pc_voxel_downsample(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(voxel),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out[:kept]
+
+
+def statistical_outlier_mask(pts: np.ndarray, nb_neighbors: int = 5,
+                             std_ratio: float = 0.2) -> np.ndarray:
+    """Boolean keep-mask (Open3D remove_statistical_outlier semantics)."""
+    lib = _load()
+    pts = _f32c(pts)
+    n = pts.shape[0]
+    if n <= nb_neighbors:
+        return np.ones(n, bool)
+    if lib is None:
+        from d3fields_tpu.utils.visualization import (
+            remove_statistical_outliers,
+        )
+
+        mask = np.zeros(n, bool)
+        mask[remove_statistical_outliers(pts, nb_neighbors, std_ratio)] = True
+        return mask
+    mask = np.empty(n, np.uint8)
+    lib.pc_statistical_outliers(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        nb_neighbors, ctypes.c_float(std_ratio),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return mask.astype(bool)
+
+
+def fps_native(pts: np.ndarray, m: int, init_idx: int = -1
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """(sampled points, their indices). Matches ``fps_np`` semantics."""
+    lib = _load()
+    pts = _f32c(pts)
+    n = pts.shape[0]
+    m = min(m, n)
+    if lib is None:
+        from d3fields_tpu.ops.fps import fps_np
+
+        sampled, _, idx = fps_np(pts, m, init_idx=init_idx)
+        return sampled, idx
+    idx = np.empty(m, np.int64)
+    dist = np.empty(n, np.float32)
+    lib.pc_fps(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, m,
+        init_idx, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return pts[idx], idx

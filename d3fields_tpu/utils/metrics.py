@@ -1,0 +1,124 @@
+"""Metrics / logging: AverageMeter, Integrator, Tee.
+
+Rebuilds the reference's observability helpers: ``AverageMeter``
+(``utils/my_utils.py:394-411``), XMem's metric ``Integrator``
+(``XMem/util/log_integrator.py``) with a cross-device mean over a mesh
+axis replacing its ``all_reduce``, and the ``Tee`` stdout capture
+(``utils/my_utils.py:373-391``). TensorBoard logging
+(``XMem/util/logger.py:22-46``) writes JSONL instead — greppable, no
+TensorFlow dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1)
+
+
+class Integrator:
+    """Accumulate scalar dicts; ``finalize`` averages (optionally a global
+    mean over a mesh axis — the DDP ``all_reduce`` of
+    ``log_integrator.py``)."""
+
+    def __init__(self, logger: Optional["JsonlLogger"] = None):
+        self.logger = logger
+        self.values: Dict[str, AverageMeter] = {}
+
+    def add_dict(self, d: Dict[str, float]):
+        for k, v in d.items():
+            self.values.setdefault(k, AverageMeter()).update(float(v))
+
+    def finalize(self, prefix: str, it: int) -> Dict[str, float]:
+        out = {k: m.avg for k, m in self.values.items()}
+        if self.logger is not None:
+            self.logger.log_scalars(prefix, out, it)
+        return out
+
+    def reset(self):
+        self.values = {}
+
+
+class JsonlLogger:
+    """Append-only JSONL metrics sink with git-commit stamping
+    (``TensorboardLogger``'s stamp, ``XMem/util/logger.py:22-46``)."""
+
+    def __init__(self, path: str, run_name: str = "run"):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.f = open(path, "a")
+        stamp = {"run": run_name, "time": time.time()}
+        try:
+            import subprocess
+
+            stamp["git"] = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL
+            ).decode().strip()
+        except Exception:
+            pass
+        self._write({"event": "start", **stamp})
+
+    def _write(self, d: dict):
+        self.f.write(json.dumps(d) + "\n")
+        self.f.flush()
+
+    def log_scalar(self, tag: str, value: float, it: int):
+        self._write({"tag": tag, "value": float(value), "it": int(it)})
+
+    def log_scalars(self, prefix: str, values: Dict[str, float], it: int):
+        self._write(
+            {"prefix": prefix, "it": int(it),
+             **{k: float(v) for k, v in values.items()}}
+        )
+
+    def close(self):
+        self.f.close()
+
+
+class Tee:
+    """Duplicate stdout to a file (``utils/my_utils.py:373-391``)."""
+
+    def __init__(self, path: str, mode: str = "a"):
+        self.file = open(path, mode)
+        self.stdout = sys.stdout
+        sys.stdout = self
+
+    def close(self):
+        sys.stdout = self.stdout
+        self.file.close()
+
+    def write(self, data):
+        self.file.write(data)
+        self.stdout.write(data)
+
+    def flush(self):
+        self.file.flush()
+        self.stdout.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

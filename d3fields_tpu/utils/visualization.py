@@ -118,28 +118,32 @@ def aggregate_colored_pcd(
 
 
 def _voxel_downsample_indices(pts: np.ndarray, voxel: float) -> np.ndarray:
-    vox = np.floor(pts / voxel).astype(np.int64)
-    _, idx = np.unique(vox, axis=0, return_index=True)
-    return np.sort(idx)
+    from d3fields_tpu.ops.pointcloud_native import voxel_downsample_indices
+
+    return voxel_downsample_indices(pts, voxel)
 
 
 def remove_statistical_outliers(pts: np.ndarray, nb_neighbors: int = 5,
                                 std_ratio: float = 0.2) -> np.ndarray:
     """Index filter matching o3d ``remove_statistical_outlier``
     (``vis_repr.py:79``): drop points whose mean k-NN distance exceeds
-    mean + std_ratio * std."""
+    mean + std_ratio * std. Grid-hashed kNN in native C++
+    (``native/pointcloud.cpp``), numpy brute-force fallback."""
     if pts.shape[0] <= nb_neighbors:
         return np.arange(pts.shape[0])
-    # chunked brute-force kNN (host-side; scenes are ~1e5 points)
-    n = pts.shape[0]
-    means = np.empty(n, np.float64)
-    chunk = 2048
-    for s in range(0, n, chunk):
-        d = np.linalg.norm(pts[s : s + chunk, None] - pts[None], axis=-1)
-        part = np.partition(d, nb_neighbors, axis=1)[:, 1 : nb_neighbors + 1]
-        means[s : s + chunk] = part.mean(axis=1)
-    thresh = means.mean() + std_ratio * means.std()
-    return np.nonzero(means <= thresh)[0]
+    from d3fields_tpu.ops.pointcloud_native import _load, statistical_outlier_mask
+
+    if _load() is None:
+        n = pts.shape[0]
+        means = np.empty(n, np.float64)
+        chunk = 2048
+        for s in range(0, n, chunk):
+            d = np.linalg.norm(pts[s : s + chunk, None] - pts[None], axis=-1)
+            part = np.partition(d, nb_neighbors, axis=1)[:, 1 : nb_neighbors + 1]
+            means[s : s + chunk] = part.mean(axis=1)
+        thresh = means.mean() + std_ratio * means.std()
+        return np.nonzero(means <= thresh)[0]
+    return np.nonzero(statistical_outlier_mask(pts, nb_neighbors, std_ratio))[0]
 
 
 # ---------------------------------------------------------------------------

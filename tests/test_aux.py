@@ -1,0 +1,159 @@
+"""Auxiliary subsystem tests: profiling, metrics, correspondence ops,
+image ops, pipeline-state checkpointing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import synthetic_scene
+
+
+def test_stage_timer_and_throughput():
+    from d3fields_tpu.utils.profiling import StageTimer, Throughput
+
+    st = StageTimer()
+    x = jnp.arange(1024.0)
+    for _ in range(3):
+        with st.stage("square") as h:
+            h["out"] = x * x
+    rep = st.report()
+    assert "square" in rep and len(st.times["square"]) == 3
+
+    tp = Throughput()
+    tp.start()
+    y = x + 1
+    tp.stop(units=1024, result_tree=y)
+    assert tp.per_second > 0
+
+
+def test_metrics_and_jsonl(tmp_path):
+    from d3fields_tpu.utils.metrics import (
+        AverageMeter, Integrator, JsonlLogger, Tee,
+    )
+
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+
+    path = str(tmp_path / "log.jsonl")
+    logger = JsonlLogger(path, "test")
+    integ = Integrator(logger)
+    integ.add_dict({"loss": 2.0})
+    integ.add_dict({"loss": 4.0})
+    out = integ.finalize("train", 10)
+    assert out["loss"] == 3.0
+    logger.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "start"
+    assert lines[1]["loss"] == 3.0
+
+    tee_path = str(tmp_path / "tee.txt")
+    with Tee(tee_path):
+        print("hello-tee")
+    assert "hello-tee" in open(tee_path).read()
+
+
+def test_similarity_softmax_matches_direct():
+    from d3fields_tpu.ops.corr import best_matches, similarity_softmax
+
+    rs = np.random.RandomState(0)
+    src = rs.randn(7, 16).astype(np.float32)
+    tgt = rs.randn(333, 16).astype(np.float32)
+    got = np.asarray(similarity_softmax(jnp.asarray(src), jnp.asarray(tgt),
+                                        scale=0.5, tile=64))
+    d = np.linalg.norm(src[:, None] - tgt[None], axis=-1)
+    e = np.exp(-0.5 * d - (-0.5 * d).max(axis=1, keepdims=True))
+    ref = e / e.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+    pts = rs.randn(333, 3).astype(np.float32)
+    match, dist = best_matches(jnp.asarray(src), jnp.asarray(tgt),
+                               jnp.asarray(pts), tile=64)
+    idx = d.argmin(axis=1)
+    np.testing.assert_allclose(np.asarray(match), pts[idx], rtol=1e-5)
+
+
+def test_seed_distance_maps():
+    from d3fields_tpu.ops.image import seed_distance_maps
+
+    seeds = jnp.asarray([[2.0, 3.0], [10.0, 12.0], [0.0, 0.0]])
+    valid = jnp.asarray([True, True, False])
+    out = np.asarray(seed_distance_maps(seeds, valid, (16, 20)))
+    ys, xs = np.meshgrid(np.arange(16), np.arange(20), indexing="ij")
+    ref = np.minimum(
+        np.hypot(ys - 2.0, xs - 3.0), np.hypot(ys - 10.0, xs - 12.0)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    assert out[2, 3] == 0.0
+
+
+def test_depth_to_normal_plane():
+    from d3fields_tpu.ops.image import depth_to_normal
+
+    K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    depth = jnp.full((48, 64), 2.0)  # fronto-parallel plane
+    n = np.asarray(depth_to_normal(depth, K))
+    np.testing.assert_allclose(n[5:-5, 5:-5, 2], -1.0, atol=1e-5)
+
+
+def test_fusion_state_checkpoint_roundtrip(tmp_path, scene):
+    from d3fields_tpu.fields.fusion import Fusion
+
+    f = Fusion()
+    f.update({**{k: scene[k] for k in ("color", "depth", "pose", "K")},
+              "dino_feats": scene["dino_feats"], "mask": scene["mask"]})
+    f.consensus_mask_label = ["background", "thing"]
+    path = str(tmp_path / "pipeline.pkl")
+    f.save_state(path)
+
+    g = Fusion()
+    g.load_state(path)
+    assert g.consensus_mask_label == ["background", "thing"]
+    rs = np.random.RandomState(1)
+    pts = rs.uniform(-0.3, 0.3, (200, 3)).astype(np.float32)
+    a = f.eval(pts)
+    b = g.eval(pts)
+    np.testing.assert_array_equal(np.asarray(a["dist"]), np.asarray(b["dist"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["dino_feats"]), np.asarray(b["dino_feats"])
+    )
+
+
+def test_native_pointcloud_ops():
+    from d3fields_tpu.ops import pointcloud_native as pcn
+    from d3fields_tpu.ops.fps import fps_np
+
+    rs = np.random.RandomState(0)
+    pts = rs.uniform(-1, 1, (4000, 3)).astype(np.float32)
+
+    idx = pcn.voxel_downsample_indices(pts, 0.2)
+    vox = np.floor(pts[idx] / 0.2).astype(np.int64)
+    assert np.unique(vox, axis=0).shape[0] == idx.shape[0]  # one per voxel
+    all_vox = np.unique(np.floor(pts / 0.2).astype(np.int64), axis=0)
+    assert idx.shape[0] == all_vox.shape[0]  # covers every occupied voxel
+
+    # plant far outliers; they must be dropped, inliers mostly kept
+    outliers = np.array([[50.0, 50, 50], [-60, 0, 0]], np.float32)
+    mixed = np.concatenate([pts[:500], outliers])
+    mask = pcn.statistical_outlier_mask(mixed, nb_neighbors=5, std_ratio=1.0)
+    assert not mask[-1] and not mask[-2]
+    assert mask[:500].mean() > 0.9
+
+    sampled, idx = pcn.fps_native(pts[:800], 32, init_idx=0)
+    ref_sampled, _, _ = fps_np(pts[:800], 32, init_idx=0)
+    # exact index parity is not guaranteed (float ULP near-ties flip the
+    # argmax between the C++ and numpy accumulation orders); check the FPS
+    # contract instead: start point, uniqueness, and equal dispersion
+    assert idx[0] == 0 and np.unique(idx).shape[0] == 32
+
+    def coverage(s):  # max over points of distance to nearest sample
+        d = np.linalg.norm(pts[:800, None] - s[None], axis=-1).min(axis=1)
+        return d.max()
+
+    assert abs(coverage(sampled) - coverage(ref_sampled)) < 0.05
