@@ -64,12 +64,14 @@ def bench_tpu(depth, pose, K, feats, mask, n_pts=1024 * 1024, repeats=3):
 
     def run():
         out = batch_eval(state, pts, names, tile=65536, use_pallas=use_pallas)
-        # Force execution + completion of every output buffer: a host fetch
-        # of a scalar derived from each array (block_until_ready alone does
-        # not synchronize through remote-tunnel TPU backends).
-        sync = 0.0
-        for v in out.values():
-            sync += float(v.reshape(-1)[0].astype(jnp.float32))
+        # Force execution + completion of every output buffer with ONE host
+        # fetch (block_until_ready alone does not synchronize through
+        # remote-tunnel TPU backends, and per-buffer fetches each pay a
+        # tunnel round trip).
+        probe = jnp.stack(
+            [v.reshape(-1)[0].astype(jnp.float32) for v in out.values()]
+        ).sum()
+        sync = float(probe)
         del out
         return sync
 

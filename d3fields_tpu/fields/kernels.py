@@ -152,6 +152,41 @@ def fused_weighted_interp(
     return out[:N]
 
 
+def _fullres_taps(xy: Array, hw: Tuple[int, int]):
+    """Shared full-resolution tap set for one view.
+
+    Returns (idx (N, 4) flat clamped corner indices, bw (N, 4) bilinear
+    zeros-padded weights, nearest_sel (N, 4) one-hot of the
+    round-half-to-even nearest corner, nearest_inb (N,)). The nearest pixel
+    is always one of the four bilinear corners, so depth (nearest) and
+    mask/color (bilinear) share ONE gather — exact grid_sample parity for
+    both modes.
+    """
+    H, W = hw
+    ix = geometry._unnormalize(xy[:, 0], W, W, True)
+    iy = geometry._unnormalize(xy[:, 1], H, H, True)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    tx, ty = ix - x0, iy - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    idxs, wgts = [], []
+    for dy, dx, wgt in ((0, 0, (1 - tx) * (1 - ty)), (0, 1, tx * (1 - ty)),
+                        (1, 0, (1 - tx) * ty), (1, 1, tx * ty)):
+        xi, yi = x0i + dx, y0i + dy
+        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        idxs.append(jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
+        wgts.append(wgt * inb.astype(wgt.dtype))
+    rx = jnp.round(ix).astype(jnp.int32)
+    ry = jnp.round(iy).astype(jnp.int32)
+    nearest_inb = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
+    cx = (rx - x0i).astype(jnp.int32)
+    cy = (ry - y0i).astype(jnp.int32)
+    sel = jax.nn.one_hot(cy * 2 + cx, 4, dtype=xy.dtype)
+    return (jnp.stack(idxs, -1), jnp.stack(wgts, -1), sel,
+            nearest_inb.astype(xy.dtype))
+
+
 def eval_field_fused(
     state,
     pts: Array,
@@ -159,20 +194,44 @@ def eval_field_fused(
 ) -> Dict[str, Array]:
     """Drop-in fused replacement for ``fusion.eval_field`` on TPU.
 
-    Stage 1 (XLA): projection, nearest-depth visibility, distance fusion —
-    cheap elementwise/gather work XLA handles well. Stage 2 (Pallas): the
-    1024-wide descriptor fuse runs through :func:`fused_weighted_interp`;
-    maps too large for the interpolation-matrix trick (full-resolution
-    mask/color) fall back to the gather path.
+    One row-gather serves every full-resolution map AND the nearest-depth
+    visibility tap (depth is prepended as channel 0 of a combined table and
+    read out through the nearest-corner one-hot); patch-grid descriptor maps
+    go through the Pallas interpolation-matrix MXU kernel
+    (:func:`fused_weighted_interp`).
     """
-    from d3fields_tpu.fields import fusion as ffusion
-
     mu = jnp.asarray(state.mu, pts.dtype)
     xy, in_front, pts_depth = geometry.project_points(pts, state.pose, state.K)
     H, W = state.image_hw
-    inter_depth = geometry.interpolate_maps(
-        state.depth[..., None], xy, (H, W), mode="nearest"
-    )[..., 0]
+    V = state.num_views
+    N = pts.shape[0]
+
+    names = tuple(return_names)
+    maps = state.feature_maps(names) if names else {}
+    full_names = [n for n in names if maps[n].shape[1:3] == (H, W)]
+    patch_names = [n for n in names if maps[n].shape[1:3] != (H, W)]
+
+    if full_names:
+        # ---- combined full-res gather: depth + every full-res map ----
+        table = jnp.concatenate(
+            [state.depth[..., None]] + [maps[n] for n in full_names], axis=-1
+        ).reshape(V, H * W, -1)
+        idx4, bw4, sel4, ninb = jax.vmap(
+            lambda p: _fullres_taps(p, (H, W))
+        )(xy)  # (V, N, 4[, .])
+        rows = jnp.stack(
+            [
+                jnp.take(table[v], idx4[v].reshape(-1), axis=0).reshape(
+                    N, 4, table.shape[-1]
+                )
+                for v in range(V)
+            ]
+        )  # (V, N, 4, Ctot)
+        inter_depth = (rows[..., 0] * sel4).sum(-1) * ninb  # (V, N)
+    else:
+        inter_depth = geometry.interpolate_maps(
+            state.depth[..., None], xy, (H, W), mode="nearest"
+        )[..., 0]
 
     dist_raw = inter_depth - pts_depth
     dist_valid = (inter_depth > 0.0) & in_front & (dist_raw > -mu)
@@ -189,30 +248,40 @@ def eval_field_fused(
         "dist": dist_fused,
         "valid_mask": jnp.logical_not(all_invalid),
     }
-    if not return_names:
+    if not names:
         return outputs
 
-    maps = state.feature_maps(tuple(return_names))
     vw = vf * weight  # (V, N)
     on_tpu = jax.default_backend() == "tpu"
     # f32 (HIGHEST-precision matmul) off-TPU for exact parity testing; bf16
     # on TPU where it doubles MXU throughput inside the cosine budget.
     matmul_dtype = "bfloat16" if on_tpu else "float32"
-    for name in return_names:
+
+    def finish(acc, name):
+        val = acc / (denom[:, None] + _EPS)
+        val = jnp.where(all_invalid[:, None], 0.0, val)
+        outputs[name] = val.astype(pts.dtype)
+
+    # full-res maps: interpolate from the already-gathered rows
+    c0 = 1
+    for name in full_names:
+        C = maps[name].shape[-1]
+        tap = rows[..., c0 : c0 + C]                     # (V, N, 4, C)
+        interp = (tap * bw4[..., None]).sum(axis=2)      # (V, N, C)
+        finish((interp * vw[..., None]).sum(axis=0), name)
+        c0 += C
+
+    # patch-grid maps: Pallas interpolation-matrix matmul
+    for name in patch_names:
         m = maps[name]
-        V, h, w_, C = m.shape
+        _, h, w_, C = m.shape
         if h * w_ <= MAX_ONEHOT_PIXELS:
-            taps = jax.vmap(
+            idx, tw = jax.vmap(
                 lambda p: geometry.bilinear_taps(p, (H, W), (h, w_))
             )(xy)
-            idx, tw = taps  # (V, N, 4) each
-            tw = tw * vw[..., None]
             acc = fused_weighted_interp(
-                m.reshape(V, h * w_, C),
-                idx,
-                tw,
-                interpret=not on_tpu,
-                matmul_dtype=matmul_dtype,
+                m.reshape(V, h * w_, C), idx, tw * vw[..., None],
+                interpret=not on_tpu, matmul_dtype=matmul_dtype,
             )
         else:
             acc = None
@@ -220,7 +289,5 @@ def eval_field_fused(
                 tap = geometry.sample_map_bilinear(m[v], xy[v], (H, W))
                 contrib = tap * vw[v][:, None]
                 acc = contrib if acc is None else acc + contrib
-        val = acc / (denom[:, None] + _EPS)
-        val = jnp.where(all_invalid[:, None], 0.0, val)
-        outputs[name] = val.astype(pts.dtype)
+        finish(acc, name)
     return outputs
