@@ -151,8 +151,13 @@ def topk_softmax(sim: Array, top_k: int, *, return_usage: bool = False):
     vals, idxs = jax.lax.top_k(sim.T, top_k)        # (N, k)
     vals = jnp.exp(vals - vals[:, :1])              # max is first (sorted)
     vals = vals / vals.sum(axis=1, keepdims=True)
+    # Densify without scatter (XLA scatters serialize on TPU): accumulate
+    # per-tap iota-compare one-hots -- pure VPU work that XLA fuses.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
     aff_t = jnp.zeros((N, L), sim.dtype)
-    aff_t = aff_t.at[jnp.arange(N)[:, None], idxs].add(vals)
+    for t in range(top_k):
+        hit = (iota == idxs[:, t][:, None]).astype(sim.dtype)
+        aff_t = aff_t + hit * vals[:, t][:, None]
     affinity = aff_t.T
     if return_usage:
         return affinity, affinity.sum(axis=1)
@@ -188,6 +193,10 @@ def match_memory(mem: XMemMemory, qk: Array, qe: Optional[Array]):
     sim = similarity(keys, shr, qk, qe)
     sim = jnp.where(valid[:, None], sim, _NEG_INF)
     affinity, usage = topk_softmax(sim, mem.top_k, return_usage=True)
+    # materialize the dense affinity: without the barrier XLA fuses the
+    # 30-tap densification into the readout matmul's operand and re-executes
+    # it for every output tile (~5x the whole match cost)
+    affinity = jax.lax.optimization_barrier(affinity)
 
     values = jnp.concatenate([mem.lv, mem.wv], axis=2)      # (O, CV, Lc+Wc)
     readout = jnp.einsum("ocl,ln->ocn", values, affinity)
