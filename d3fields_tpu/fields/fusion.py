@@ -420,6 +420,97 @@ class Fusion:
         )
 
 
+    # -- reference-API conveniences -----------------------------------------
+    def extract_mesh(self, init_grid, out, grid_shape):
+        """(vertices, triangles) from a grid eval result
+        (``Fusion.extract_mesh``, ``fusion.py:1313-1330``)."""
+        from d3fields_tpu.mesh.extract import extract_mesh as _extract
+
+        return _extract(np.asarray(init_grid), np.asarray(out["dist"]), grid_shape)
+
+    def create_instance_mask_mesh(self, vertices, triangles, out):
+        from d3fields_tpu.mesh.extract import create_instance_mask_mesh
+
+        return [create_instance_mask_mesh(vertices, triangles, out["mask"])]
+
+    def create_descriptor_mesh(self, vertices, triangles, out, pca_info,
+                               mask_out_bg=True):
+        from d3fields_tpu.mesh.extract import create_descriptor_mesh
+        from d3fields_tpu.ops.pca import PCAParams
+
+        pca = pca_info["pca"] if isinstance(pca_info, dict) else pca_info
+        if not isinstance(pca, PCAParams):
+            pca = PCAParams.from_sklearn(pca)
+        return create_descriptor_mesh(
+            vertices, triangles, out["dino_feats"], out.get("mask"), pca,
+            mask_out_bg=mask_out_bg,
+        )
+
+    def create_color_mesh(self, vertices, triangles, out):
+        from d3fields_tpu.mesh.extract import create_color_mesh
+
+        return create_color_mesh(vertices, triangles, out["color_tensor"])
+
+    def select_features_rand(self, boundaries, N, per_instance=False,
+                             res=0.001, init_idx=-1):
+        """Reference keypoint-selection API (``fusion.py:1418-1481``):
+        returns {instance_name: {'src_feats', 'src_pts'}} keyed by consensus
+        label with duplicate suffixes."""
+        from d3fields_tpu.track.keypoints import select_keypoints
+
+        self._require_state()
+        feats, pts, ids = select_keypoints(
+            self.state, self.consensus_mask_label, self._boundaries(boundaries),
+            N, res=res, per_instance=per_instance, init_idx=init_idx,
+        )
+        out = {}
+        for f, p, i in zip(feats, pts, ids):
+            name = f"{self.consensus_mask_label[i]}_{i}"
+            out[name] = {"src_feats": f, "src_pts": p}
+        return out
+
+    def select_features_from_pcd(self, pcd, N, per_instance=False,
+                                 init_idx=-1):
+        """Cloud-sampled variant (``fusion.py:1483-1540``)."""
+        from d3fields_tpu.track.keypoints import select_keypoints
+
+        self._require_state()
+        feats, pts, ids = select_keypoints(
+            self.state, self.consensus_mask_label, self.config.boundaries,
+            N, per_instance=per_instance, init_idx=init_idx, pcd=pcd,
+        )
+        out = {}
+        for f, p, i in zip(feats, pts, ids):
+            out[f"{self.consensus_mask_label[i]}_{i}"] = {
+                "src_feats": f, "src_pts": p,
+            }
+        return out
+
+    def rigid_tracking(self, src_feat_info, last_match_pts_list, boundaries,
+                       rand_ptcl_num):
+        """Reference signature (``fusion.py:1608-1685``)."""
+        from d3fields_tpu.track.rigid import rigid_tracking as _track
+
+        self._require_state()
+        return _track(
+            self.state, src_feat_info, last_match_pts_list,
+            self._boundaries(boundaries), rand_ptcl_num,
+            self.config.tracking,
+        )
+
+    def vis_curr_mask(self) -> np.ndarray:
+        """Jet-blended per-view instance overlay (``fusion.py:1687-1697``),
+        returned as (V, H, W, 3) uint8 instead of shown in a window."""
+        from d3fields_tpu.fields.geometry import onehot_to_instance
+        from d3fields_tpu.utils.visualization import blend_instance_mask
+
+        self._require_state()
+        idx = np.asarray(onehot_to_instance(np.asarray(self.state.mask)))
+        color = self.curr_obs["color"]
+        return np.stack(
+            [blend_instance_mask(color[v], idx[v]) for v in range(self.num_cam)]
+        )
+
     # -- pipeline-state checkpoint ------------------------------------------
     def save_state(self, path: str) -> None:
         """Snapshot the full runtime state (observation field, consensus

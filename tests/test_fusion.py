@@ -155,3 +155,43 @@ def test_fusion_facade(scene, qpts):
     out = fus.batch_eval_np(qpts, ("dino_feats", "mask"))
     assert out["dino_feats"].shape == (qpts.shape[0], scene["dino_feats"].shape[-1])
     assert out["mask"].shape == (qpts.shape[0], scene["mask"].shape[-1])
+
+
+def test_reference_api_facade(scene):
+    """The reference's Fusion method surface works end-to-end
+    (vis_repr.py:88-126 / vis_tracking.py:91-134 call pattern)."""
+    from d3fields_tpu.config import Boundaries
+    from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.fields.geometry import create_grid
+    from d3fields_tpu.ops.pca import PCAParams
+
+    b = Boundaries(-0.35, 0.35, -0.35, 0.35, -0.05, 0.3)
+    f = Fusion()
+    f.update({**{k: scene[k] for k in ("color", "depth", "pose", "K")},
+              "dino_feats": scene["dino_feats"], "mask": scene["mask"]})
+    f.consensus_mask_label = ["background", "obj_a", "obj_b"]
+
+    grid, grid_shape = create_grid(b, 0.02)
+    out = f.batch_eval(grid.astype(np.float32), ())
+    verts, tris = f.extract_mesh(grid, out, grid_shape)
+    assert verts.shape[0] > 0
+
+    vout = f.batch_eval_np(verts.astype(np.float32),
+                           ("dino_feats", "mask", "color_tensor"))
+    meshes = f.create_instance_mask_mesh(verts, tris, vout)
+    pca = PCAParams.fit(vout["dino_feats"], 3)
+    desc = f.create_descriptor_mesh(verts, tris, vout, {"pca": pca})
+    color = f.create_color_mesh(verts, tris, vout)
+    assert meshes[0].vertex_colors is not None
+    assert desc.vertex_colors.shape == (verts.shape[0], 4)
+    assert color.vertices.shape == verts.shape
+
+    info = f.select_features_rand(b, 12, per_instance=True, res=0.01,
+                                  init_idx=0)
+    assert info and all(v["src_pts"].shape == (12, 3) for v in info.values())
+    last = [v["src_pts"] for v in info.values()]
+    res = f.rigid_tracking(info, last, b, 12)
+    assert len(res["match_pts_list"]) == len(last)
+
+    overlay = f.vis_curr_mask()
+    assert overlay.shape == scene["color"].shape and overlay.dtype == np.uint8
