@@ -1,0 +1,117 @@
+"""XMem training entry point (reference ``XMem/train.py``).
+
+The reference launches NCCL DDP processes; here one process lays the batch
+over a ``dp`` mesh axis (multi-chip via ICI; the virtual CPU mesh for dry
+runs) and XLA all-reduces gradients.
+
+  python -m d3fields_tpu.apps.train_xmem --synthetic --steps 5 --batch 2 \\
+      --out out/xmem_train
+  python -m d3fields_tpu.apps.train_xmem --data_root <videos> --steps 1000 \\
+      --dp 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=None,
+                   help="<root>/<video>/{frames,masks}/*.png")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--num_frames", type=int, default=3)
+    p.add_argument("--max_jump", type=int, default=5)
+    p.add_argument("--max_num_obj", type=int, default=2)
+    p.add_argument("--size", type=int, nargs=2, default=(96, 128))
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--dp", type=int, default=0, help="0 = single device")
+    p.add_argument("--key_dim", type=int, default=64)
+    p.add_argument("--value_dim", type=int, default=512)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--out", default="out/xmem_train")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models.xmem import network as N
+    from d3fields_tpu.models.xmem import trainer as TR
+    from d3fields_tpu.models.xmem.data import (
+        DirectoryVideoSource, SyntheticVideoSource, VideoClipLoader,
+    )
+    from d3fields_tpu.utils.metrics import Integrator, JsonlLogger
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
+                     hidden_dim=args.hidden_dim)
+    if args.synthetic:
+        source = SyntheticVideoSource(hw=tuple(args.size))
+    elif args.data_root:
+        source = DirectoryVideoSource(args.data_root)
+    else:
+        raise SystemExit("need --data_root or --synthetic")
+    loader = VideoClipLoader(
+        source, num_frames=args.num_frames, max_jump=args.max_jump,
+        max_num_obj=args.max_num_obj, out_hw=tuple(args.size),
+    )
+
+    opt = TR.make_optimizer(lr=args.lr)
+    if args.resume:
+        state = TR.load_checkpoint(args.resume, opt)
+        print(f"[train_xmem] resumed from {args.resume} at it={int(state.it)}")
+    else:
+        params = N.init_params(jax.random.PRNGKey(0), cfg)
+        state = TR.init_train_state(params, opt)
+
+    mesh = None
+    if args.dp > 1:
+        from d3fields_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh(dp=args.dp, tp=1)
+        state = TR.TrainState(
+            replicate(mesh, state.params),
+            replicate(mesh, state.opt_state), state.it,
+        )
+
+    logger = JsonlLogger(os.path.join(args.out, "train.jsonl"), "xmem")
+    integ = Integrator(logger)
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        batch = loader.batch(args.batch)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            from d3fields_tpu.parallel.mesh import shard_leading
+
+            jbatch = {k: shard_leading(mesh, v) for k, v in jbatch.items()}
+        state, out = TR.train_step(state, jbatch, cfg, opt)
+        integ.add_dict({"loss": float(out["loss"])})
+        if (step + 1) % args.log_every == 0:
+            stats = integ.finalize("train", int(state.it))
+            integ.reset()
+            dt = (time.perf_counter() - t0) / args.log_every
+            t0 = time.perf_counter()
+            print(f"[train_xmem] it={int(state.it)} loss={stats['loss']:.4f} "
+                  f"{dt:.2f}s/step")
+        if (step + 1) % args.save_every == 0:
+            TR.save_checkpoint(os.path.join(args.out, f"ckpt_{int(state.it)}.pkl"),
+                               state)
+    TR.save_checkpoint(os.path.join(args.out, "ckpt_final.pkl"), state)
+    logger.close()
+    print(f"[train_xmem] done; final checkpoint in {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,215 @@
+"""Training data pipeline for the XMem trainer.
+
+Rebuild of the reference's VOS dataset machinery
+(``XMem/dataset/vos_dataset.py``) sized to what the jitted trainer
+consumes: static-shape batches of
+
+  frames   (B, T, H, W, 3) float32 in [0, 1], ImageNet-normalized
+  first_gt (B, O, H, W)    one-hot masks of frame 0
+  cls_gt   (B, T, H, W)    int object indices (0 = background)
+  selector (B, O)          1.0 for live objects
+
+with the reference's sampling semantics:
+
+- temporal-skip sampling: a growing acceptable set within ``max_jump`` of
+  any chosen frame (``vos_dataset.py:112-126``), 50% sequence reversal;
+- up to ``max_num_obj`` objects sampled per clip, selector masking unused
+  slots (``vos_dataset.py:186-200``).
+
+Sources are pluggable: a directory layout (``<root>/<video>/frame_*.png`` +
+``<root>/<video>/mask_*.png`` index masks) or the synthetic sphere renderer
+for data-free runs. Augmentation keeps the reference's crop-and-resize core
+(the TPS warping is a CPU-side aug the curriculum can add later).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def sample_frame_indices(length: int, num_frames: int, max_jump: int,
+                         rs: np.random.RandomState) -> List[int]:
+    """Temporal-skip sampling (``vos_dataset.py:112-126``)."""
+    jump = min(length, max_jump)
+    idxs = [int(rs.randint(length))]
+    acceptable = set(
+        range(max(0, idxs[-1] - jump), min(length, idxs[-1] + jump + 1))
+    ) - set(idxs)
+    while len(idxs) < num_frames:
+        nxt = int(rs.choice(sorted(acceptable)))
+        idxs.append(nxt)
+        acceptable |= set(
+            range(max(0, nxt - jump), min(length, nxt + jump + 1))
+        )
+        acceptable -= set(idxs)
+    idxs = sorted(idxs)
+    if rs.rand() < 0.5:
+        idxs = idxs[::-1]
+    return idxs
+
+
+def _crop_resize(img: np.ndarray, crop: Tuple[int, int, int, int],
+                 out_hw: Tuple[int, int], nearest: bool) -> np.ndarray:
+    import cv2
+
+    y0, x0, h, w = crop
+    patch = img[y0 : y0 + h, x0 : x0 + w]
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    return cv2.resize(patch, (out_hw[1], out_hw[0]), interpolation=interp)
+
+
+def assemble_clip(
+    frames: np.ndarray, masks: np.ndarray, *, out_hw: Tuple[int, int],
+    max_num_obj: int, rs: np.random.RandomState,
+    crop_scale: Tuple[float, float] = (0.36, 1.0),
+) -> Optional[Dict[str, np.ndarray]]:
+    """(T, H, W, 3) uint8 + (T, H, W) index masks -> one trainer sample.
+
+    A shared random crop-and-resize plays the role of the reference's
+    geometric augmentations; objects absent from frame 0 are dropped
+    (they cannot seed the memory), extra objects beyond ``max_num_obj``
+    are subsampled (``vos_dataset.py:171-200``).
+    """
+    T, H, W = masks.shape
+    scale = rs.uniform(*crop_scale)
+    ch = max(2, int(round(H * np.sqrt(scale))))
+    cw = max(2, int(round(W * np.sqrt(scale))))
+    y0 = rs.randint(H - ch + 1)
+    x0 = rs.randint(W - cw + 1)
+    crop = (y0, x0, ch, cw)
+
+    out_frames = np.stack([
+        _crop_resize(frames[t], crop, out_hw, nearest=False) for t in range(T)
+    ]).astype(np.float32) / 255.0
+    out_frames = (out_frames - IMAGENET_MEAN) / IMAGENET_STD
+    out_masks = np.stack([
+        _crop_resize(masks[t].astype(np.uint8), crop, out_hw, nearest=True)
+        for t in range(T)
+    ])
+
+    labels = np.unique(out_masks[0])
+    labels = labels[labels != 0]
+    if labels.shape[0] == 0:
+        return None
+    if labels.shape[0] > max_num_obj:
+        labels = rs.choice(labels, size=max_num_obj, replace=False)
+
+    oh, ow = out_hw
+    first_gt = np.zeros((max_num_obj, oh, ow), np.float32)
+    cls_gt = np.zeros((T, oh, ow), np.int64)
+    selector = np.zeros((max_num_obj,), np.float32)
+    for slot, lab in enumerate(labels):
+        first_gt[slot] = out_masks[0] == lab
+        cls_gt[out_masks == lab] = slot + 1
+        selector[slot] = 1.0
+    return {
+        "frames": out_frames.astype(np.float32),
+        "first_gt": first_gt,
+        "cls_gt": cls_gt,
+        "selector": selector,
+    }
+
+
+class DirectoryVideoSource:
+    """``<root>/<video>/frames/*.png`` + ``<root>/<video>/masks/*.png``
+    (index masks). The directory analogue of VOSDataset's im/gt roots."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.videos = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d, "frames"))
+        )
+        if not self.videos:
+            raise FileNotFoundError(f"no videos under {root}")
+
+    def load(self, video: str, indices: Sequence[int]):
+        import cv2
+
+        fdir = os.path.join(self.root, video, "frames")
+        mdir = os.path.join(self.root, video, "masks")
+        names = sorted(os.listdir(fdir))
+        frames, masks = [], []
+        for i in indices:
+            frames.append(cv2.imread(os.path.join(fdir, names[i]))[..., ::-1])
+            mname = os.path.splitext(names[i])[0] + ".png"
+            masks.append(cv2.imread(os.path.join(mdir, mname),
+                                    cv2.IMREAD_GRAYSCALE))
+        return np.stack(frames), np.stack(masks)
+
+    def length(self, video: str) -> int:
+        return len(os.listdir(os.path.join(self.root, video, "frames")))
+
+
+class SyntheticVideoSource:
+    """Data-free source: drifting-sphere videos from utils.synthetic."""
+
+    def __init__(self, num_videos: int = 8, length: int = 12,
+                 hw: Tuple[int, int] = (96, 128)):
+        self.videos = [f"synthetic_{i}" for i in range(num_videos)]
+        self._length = length
+        self.hw = hw
+
+    def length(self, video: str) -> int:
+        return self._length
+
+    def load(self, video: str, indices: Sequence[int]):
+        from d3fields_tpu.utils.synthetic import render_sphere_scene
+
+        seed = int(video.split("_")[-1])
+        rs = np.random.RandomState(seed)
+        vel = rs.uniform(-0.01, 0.01, (2, 3))
+        vel[:, 2] = 0.0
+        frames, masks = [], []
+        for t in indices:
+            sc = render_sphere_scene(
+                num_views=1, H=self.hw[0], W=self.hw[1], feat_dim=4,
+                seed=seed, sphere_offsets=vel * t,
+            )
+            frames.append(sc["color"][0])
+            m = np.zeros(self.hw, np.uint8)
+            for si in range(sc["sphere_masks"].shape[1]):
+                m[sc["sphere_masks"][0, si]] = si + 1
+            masks.append(m)
+        return np.stack(frames), np.stack(masks)
+
+
+class VideoClipLoader:
+    """Batches trainer samples with reference sampling semantics."""
+
+    def __init__(self, source, *, num_frames: int = 3, max_jump: int = 5,
+                 max_num_obj: int = 3, out_hw: Tuple[int, int] = (96, 128),
+                 seed: int = 0):
+        self.source = source
+        self.num_frames = num_frames
+        self.max_jump = max_jump
+        self.max_num_obj = max_num_obj
+        self.out_hw = out_hw
+        self.rs = np.random.RandomState(seed)
+
+    def sample(self) -> Dict[str, np.ndarray]:
+        while True:
+            video = self.source.videos[self.rs.randint(len(self.source.videos))]
+            idxs = sample_frame_indices(
+                self.source.length(video), self.num_frames, self.max_jump,
+                self.rs,
+            )
+            frames, masks = self.source.load(video, idxs)
+            out = assemble_clip(
+                frames, masks, out_hw=self.out_hw,
+                max_num_obj=self.max_num_obj, rs=self.rs,
+            )
+            if out is not None:
+                return out
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        samples = [self.sample() for _ in range(batch_size)]
+        return {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }

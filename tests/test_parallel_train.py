@@ -163,3 +163,38 @@ def test_checkpoint_roundtrip(tmp_path, tiny_train_setup):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_video_clip_loader_feeds_trainer():
+    from d3fields_tpu.models.xmem.data import (
+        SyntheticVideoSource, VideoClipLoader, sample_frame_indices,
+    )
+
+    rs = np.random.RandomState(0)
+    # sampling semantics: indices within max_jump chains, sorted or reversed
+    for _ in range(20):
+        idxs = sample_frame_indices(30, 4, 5, rs)
+        assert len(set(idxs)) == 4
+        s = sorted(idxs)
+        assert idxs == s or idxs == s[::-1]
+        assert all(s[i + 1] - s[i] <= 10 for i in range(3))
+
+    loader = VideoClipLoader(
+        SyntheticVideoSource(num_videos=2, length=8, hw=(64, 64)),
+        num_frames=3, max_jump=3, max_num_obj=2, out_hw=(64, 64),
+    )
+    batch = loader.batch(2)
+    assert batch["frames"].shape == (2, 3, 64, 64, 3)
+    assert batch["first_gt"].shape == (2, 2, 64, 64)
+    assert batch["cls_gt"].shape == (2, 3, 64, 64)
+    assert set(np.unique(batch["cls_gt"])) <= {0, 1, 2}
+    assert (batch["first_gt"].sum(axis=(2, 3)) > 0).any()
+
+    # the batch drives a real training step
+    cfg = XMemConfig(key_dim=16, value_dim=32, hidden_dim=8)
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    opt = TR.make_optimizer(lr=1e-4)
+    state = TR.init_train_state(params, opt)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, out = TR.train_step(state, jbatch, cfg, opt)
+    assert np.isfinite(float(out["loss"]))
