@@ -238,6 +238,9 @@ def eval_field_fused(
 
     if full_names:
         # ---- combined full-res gather: depth + every full-res map ----
+        # (a contiguous 2-pixel-slice lax.gather variant was tried and is
+        # ~40x SLOWER: TPU lowers small unaligned gather slices to scalar
+        # loops; jnp.take of whole table rows is the fast form)
         table = jnp.concatenate(
             [state.depth[..., None]] + [maps[n] for n in full_names], axis=-1
         ).reshape(V, H * W, -1)
