@@ -1,0 +1,133 @@
+"""XMem video-segmentation evaluation harness (reference ``XMem/eval.py``).
+
+Runs mask propagation over video directories, writes predicted index masks
+as PNGs, and reports FPS (``total_frames / total_process_time``,
+``XMem/eval.py:248-250``). Works on any directory layout
+
+  <root>/<video>/frames/*.png    RGB frames
+  <root>/<video>/masks/<first>.png  index mask of the first frame
+
+or on synthetic drifting-sphere videos with ``--synthetic`` (reporting IoU
+against the analytic ground truth as the J-score stand-in).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--size", type=int, default=480)
+    p.add_argument("--ckpt", default=None,
+                   help="trainer checkpoint or torch XMem state dict")
+    p.add_argument("--key_dim", type=int, default=64)
+    p.add_argument("--value_dim", type=int, default=512)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--out", default="out/eval_xmem")
+    return p
+
+
+def _load_params(args, cfg):
+    import jax
+
+    from d3fields_tpu.models.xmem import network as N
+
+    if args.ckpt:
+        import pickle
+
+        with open(args.ckpt, "rb") as f:
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and "params" in blob:
+            return jax.tree.map(np.asarray, blob["params"])
+        return N.convert_torch_state_dict(blob, cfg)
+    return N.init_params(jax.random.PRNGKey(0), cfg)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import time
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.utils.profiling import Throughput
+
+    cfg = XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
+                     hidden_dim=args.hidden_dim)
+    params = _load_params(args, cfg)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        from d3fields_tpu.utils.synthetic import render_sphere_scene
+
+        def videos():
+            def frames(t):
+                offs = np.array([[0.008 * t, 0.004 * t, 0.0],
+                                 [-0.005 * t, 0.006 * t, 0.0]])
+                sc = render_sphere_scene(num_views=1, H=120, W=160,
+                                         feat_dim=4, sphere_offsets=offs)
+                m = np.zeros((120, 160), np.uint8)
+                for si in range(sc["sphere_masks"].shape[1]):
+                    m[sc["sphere_masks"][0, si]] = si + 1
+                return sc["color"][0], m
+            yield "synthetic_0", frames
+    else:
+        import cv2
+
+        def videos():
+            for vid in sorted(os.listdir(args.data_root)):
+                fdir = os.path.join(args.data_root, vid, "frames")
+                mdir = os.path.join(args.data_root, vid, "masks")
+                if not os.path.isdir(fdir):
+                    continue
+                names = sorted(os.listdir(fdir))
+
+                def frames(t, names=names, fdir=fdir, mdir=mdir):
+                    rgb = cv2.imread(os.path.join(fdir, names[t]))[..., ::-1]
+                    mpath = os.path.join(
+                        mdir, os.path.splitext(names[t])[0] + ".png"
+                    )
+                    m = (cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
+                         if os.path.exists(mpath) else None)
+                    return rgb, m
+                yield vid, frames
+
+    tp = Throughput()
+    ious = []
+    for vid, get in videos():
+        rgb0, m0 = get(0)
+        num_obj = int(m0.max())
+        tracker = VideoMaskTracker(
+            params, cfg, num_views=1, num_objects=num_obj,
+            image_hw=rgb0.shape[:2], size=args.size,
+        )
+        vdir = os.path.join(args.out, vid)
+        os.makedirs(vdir, exist_ok=True)
+        onehot = tracker.process(rgb0[None], m0[None])
+        for t in range(1, args.frames):
+            rgb, gt = get(t)
+            tp.start()
+            onehot = tracker.process(rgb[None])
+            tp.stop(units=1, result_tree=None)
+            pred = onehot[0].argmax(-1).astype(np.uint8)
+            import cv2
+
+            cv2.imwrite(os.path.join(vdir, f"{t:05d}.png"), pred)
+            if gt is not None and gt.max() > 0:
+                inter = ((pred > 0) & (gt > 0)).sum()
+                union = ((pred > 0) | (gt > 0)).sum()
+                ious.append(inter / max(union, 1))
+        print(f"[eval_xmem] {vid}: {args.frames - 1} frames propagated")
+    print(f"[eval_xmem] FPS: {tp.per_second:.2f}"
+          + (f", fg-IoU vs GT: {np.mean(ious):.3f}" if ious else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

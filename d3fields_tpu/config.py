@@ -114,3 +114,44 @@ class D3FieldsConfig:
     boundaries: Boundaries = dataclasses.field(default_factory=Boundaries)
     feat_backbone: str = "dinov2"
     seed: Optional[int] = 0
+
+
+# ---------------------------------------------------------------------------
+# serialization (the unified replacement for the reference's three config
+# mechanisms, SURVEY section 5)
+# ---------------------------------------------------------------------------
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> "D3FieldsConfig":
+    kwargs = {}
+    sub = {
+        f.name: f.default_factory
+        for f in dataclasses.fields(D3FieldsConfig)
+        if f.default_factory is not dataclasses.MISSING
+        and dataclasses.is_dataclass(f.default_factory)
+    }
+    for k, v in d.items():
+        if k in sub and isinstance(v, dict):
+            v = {kk: tuple(vv) if isinstance(vv, list) else vv
+                 for kk, vv in v.items()}
+            kwargs[k] = sub[k](**v)
+        else:
+            kwargs[k] = v
+    return D3FieldsConfig(**kwargs)
+
+
+def save_config(cfg, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+
+
+def load_config(path: str) -> "D3FieldsConfig":
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f))

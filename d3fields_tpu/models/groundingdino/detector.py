@@ -124,8 +124,41 @@ class GroundingDinoDetector:
             [(cx - bw / 2) * W, (cy - bh / 2) * H,
              (cx + bw / 2) * W, (cy + bh / 2) * H], axis=1
         ).astype(np.float32)
-        return Detections(
+        det = Detections(
             xyxy=xyxy,
             confidence=scores[keep].astype(np.float32),
             class_id=class_id.astype(np.int64),
         )
+        return dedup_boxes(det)
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.clip(rb - lt, 0, None).prod(-1)
+    area_a = np.clip(a[:, 2:] - a[:, :2], 0, None).prod(-1)
+    area_b = np.clip(b[:, 2:] - b[:, :2], 0, None).prod(-1)
+    return inter / (area_a[:, None] + area_b[None] - inter + 1e-9)
+
+
+def dedup_boxes(det: Detections, iou_threshold: float = 0.9) -> Detections:
+    """Drop near-duplicate detections, keeping the higher confidence
+    (reference duplicate-box removal, ``utils/grounded_sam.py:500-517``)."""
+    n = det.xyxy.shape[0]
+    if n <= 1:
+        return det
+    order = np.argsort(-det.confidence)
+    iou = box_iou(det.xyxy, det.xyxy)
+    keep = np.ones(n, bool)
+    for rank, i in enumerate(order):
+        if not keep[i]:
+            continue
+        for j in order[rank + 1:]:
+            if keep[j] and iou[i, j] > iou_threshold:
+                keep[j] = False
+    return Detections(
+        xyxy=det.xyxy[keep], confidence=det.confidence[keep],
+        class_id=det.class_id[keep],
+        mask=None if det.mask is None else det.mask[keep],
+    )

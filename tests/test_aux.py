@@ -157,3 +157,35 @@ def test_native_pointcloud_ops():
         return d.max()
 
     assert abs(coverage(sampled) - coverage(ref_sampled)) < 0.05
+
+
+def test_config_roundtrip(tmp_path):
+    from d3fields_tpu.config import (
+        Boundaries, D3FieldsConfig, FusionConfig, load_config, save_config,
+    )
+
+    cfg = D3FieldsConfig(
+        fusion=FusionConfig(mu=0.05, query_tile=1024),
+        boundaries=Boundaries(-1, 1, -2, 2, 0, 3),
+    )
+    path = str(tmp_path / "cfg.json")
+    save_config(cfg, path)
+    back = load_config(path)
+    assert back.fusion.mu == 0.05 and back.fusion.query_tile == 1024
+    assert back.boundaries.x_lower == -1 and back == cfg
+
+
+def test_box_dedup():
+    from d3fields_tpu.models.groundingdino.detector import (
+        Detections, dedup_boxes,
+    )
+
+    det = Detections(
+        xyxy=np.array([[0, 0, 10, 10], [0.2, 0.1, 10, 10], [20, 20, 30, 30]],
+                      np.float32),
+        confidence=np.array([0.5, 0.9, 0.7], np.float32),
+        class_id=np.array([0, 0, 1]),
+    )
+    out = dedup_boxes(det, 0.9)
+    assert out.xyxy.shape[0] == 2
+    assert 0.9 in out.confidence and 0.7 in out.confidence  # higher conf kept
