@@ -318,14 +318,24 @@ class Fusion:
         Ks = np.asarray(self.state.K)
         poses44 = self._poses44()
 
-        views = []
-        for i in range(self.num_cam):
-            vm = self.mask_backend.segment(color[i], queries, thresholds)
-            if robot_pcd is not None:
-                vm = segb.filter_masks_by_robot_pcd(
+        # backends consume RGB; obs color is BGR (reference cv2 convention,
+        # conversion the reference does inside its model wrappers)
+        rgb = np.ascontiguousarray(color[..., ::-1])
+        if hasattr(self.mask_backend, "segment_views"):
+            # batched backend: one detector pass over all views
+            views = self.mask_backend.segment_views(rgb, queries, thresholds)
+        else:
+            views = [
+                self.mask_backend.segment(rgb[i], queries, thresholds)
+                for i in range(self.num_cam)
+            ]
+        if robot_pcd is not None:
+            views = [
+                segb.filter_masks_by_robot_pcd(
                     vm, depth[i], Ks[i], poses44[i], robot_pcd
                 )
-            views.append(vm)
+                for i, vm in enumerate(views)
+            ]
         self.view_masks = views
         _, idx = np.unique(views[0].labels, return_index=True)
         self.semantic_label = list(np.array(views[0].labels)[np.sort(idx)])

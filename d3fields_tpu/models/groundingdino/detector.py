@@ -131,6 +131,54 @@ class GroundingDinoDetector:
         )
         return dedup_boxes(det)
 
+    def predict_with_classes_batch(
+        self, images: np.ndarray, classes: Sequence[str],
+        box_threshold: float, text_threshold: float = 0.25,
+        input_ids: Optional[np.ndarray] = None,
+        spans: Optional[List[Tuple[int, int]]] = None,
+    ) -> List[Detections]:
+        """All V views in ONE forward (the reference detects per view in a
+        python loop, ``fusion.py:1116-1120``). images (V, H, W, 3)."""
+        if input_ids is None:
+            if self.tokenize is None:
+                raise ValueError("no tokenizer configured; pass input_ids")
+            input_ids, spans = tokenize_classes(classes, self.tokenize)
+        V, H, W = images.shape[:3]
+        pixels = jnp.concatenate([self._prep(img) for img in images], axis=0)
+        ids = np.repeat(np.asarray(input_ids), V, axis=0)
+        logits, boxes = groundingdino_forward(self.params, self.cfg, pixels, ids)
+        probs_all = np.asarray(jax.nn.sigmoid(logits))
+        boxes_all = np.asarray(boxes)
+
+        out = []
+        for v in range(V):
+            probs, bx = probs_all[v], boxes_all[v]
+            scores = np.nanmax(
+                np.where(np.isfinite(probs), probs, np.nan), axis=1
+            )
+            keep = scores > box_threshold
+            if not keep.any():
+                out.append(Detections(
+                    xyxy=np.zeros((0, 4), np.float32),
+                    confidence=np.zeros((0,), np.float32),
+                    class_id=np.zeros((0,), np.int64),
+                ))
+                continue
+            kp, kb = probs[keep], bx[keep]
+            span_scores = np.stack(
+                [kp[:, s:e].max(axis=1) for s, e in spans], axis=1
+            )
+            cx, cy, bw, bh = kb.T
+            xyxy = np.stack(
+                [(cx - bw / 2) * W, (cy - bh / 2) * H,
+                 (cx + bw / 2) * W, (cy + bh / 2) * H], axis=1
+            ).astype(np.float32)
+            out.append(dedup_boxes(Detections(
+                xyxy=xyxy, confidence=scores[keep].astype(np.float32),
+                class_id=span_scores.argmax(axis=1).astype(np.int64),
+            )))
+        return out
+
 
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""

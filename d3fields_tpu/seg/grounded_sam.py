@@ -59,3 +59,35 @@ class GroundedSAMBackend:
         masks = masks_mm[np.arange(masks_mm.shape[0]), best]  # (N, H, W)
         labels = [queries[int(c)] for c in det.class_id]
         return with_background(masks, labels, det.confidence)
+
+    def segment_views(
+        self,
+        images: np.ndarray,
+        queries: Sequence[str],
+        thresholds: Sequence[float],
+    ) -> List[ViewMasks]:
+        """Every view in batched forwards: ONE GroundingDINO pass over all V
+        images, then ONE padded SAM decode per view count (the reference
+        runs a python loop of detector+SAM per view, ``fusion.py:1116-1120``).
+        images (V, H, W, 3) RGB uint8."""
+        dets = self.detector.predict_with_classes_batch(
+            images, list(queries), box_threshold=float(thresholds[0]),
+            text_threshold=TEXT_THRESHOLD,
+        )
+        out = []
+        H, W = images.shape[1:3]
+        for v, det in enumerate(dets):
+            if det.xyxy.shape[0] == 0:
+                out.append(with_background(
+                    np.zeros((0, H, W), bool), [],
+                    np.zeros((0,), np.float32),
+                ))
+                continue
+            masks_mm, iou = self.sam.set_image(images[v]).predict_boxes(
+                det.xyxy, multimask_output=True
+            )
+            best = iou.argmax(axis=1)
+            masks = masks_mm[np.arange(masks_mm.shape[0]), best]
+            labels = [queries[int(c)] for c in det.class_id]
+            out.append(with_background(masks, labels, det.confidence))
+        return out

@@ -190,3 +190,55 @@ def test_grounded_sam_backend_end_to_end(oracle):
         np.testing.assert_array_equal(
             vm.masks[0], ~np.any(vm.masks[1:], axis=0)
         )
+
+
+def test_batched_views_match_per_view(oracle):
+    """segment_views == per-view segment (one batched forward vs loop)."""
+    from transformers import (
+        SamConfig as HFSamConfig, SamMaskDecoderConfig, SamModel,
+        SamPromptEncoderConfig, SamVisionConfig,
+    )
+
+    from d3fields_tpu.models.sam import model as S
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+    from d3fields_tpu.seg.grounded_sam import GroundedSAMBackend
+
+    _, gparams, gcfg = oracle
+    torch.manual_seed(3)
+    hf_sam = SamModel(HFSamConfig(
+        vision_config=SamVisionConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            image_size=64, patch_size=8, output_channels=16, window_size=14,
+            global_attn_indexes=[1], num_pos_feats=8,
+        ),
+        prompt_encoder_config=SamPromptEncoderConfig(
+            hidden_size=16, image_embedding_size=8, image_size=64, patch_size=8
+        ),
+        mask_decoder_config=SamMaskDecoderConfig(
+            hidden_size=16, num_attention_heads=2, mlp_dim=64,
+            iou_head_hidden_dim=16,
+        ),
+    )).eval()
+    scfg = S.SamConfig(
+        hidden_size=32, num_layers=2, num_heads=2, mlp_dim=128, patch_size=8,
+        image_size=64, window_size=14, global_attn_indexes=(1,),
+        output_channels=16, prompt_hidden=16, decoder_heads=2,
+        decoder_mlp_dim=64, iou_head_hidden=16,
+    )
+    sparams = S.convert_hf_state_dict(
+        {k: v.detach().numpy() for k, v in hf_sam.state_dict().items()}, scfg
+    )
+    backend = GroundedSAMBackend(
+        GroundingDinoDetector(gparams, gcfg, tokenize=_toy_tokenizer,
+                              short_side=64, max_side=96),
+        SamPredictor(sparams, scfg),
+    )
+    rs = np.random.RandomState(7)
+    imgs = rs.randint(0, 255, (2, 72, 96, 3), dtype=np.uint8)
+    batched = backend.segment_views(imgs, ["mug", "shoe"], [0.3])
+    single = [backend.segment(imgs[v], ["mug", "shoe"], [0.3])
+              for v in range(2)]
+    for b, s in zip(batched, single):
+        assert b.labels == s.labels
+        np.testing.assert_array_equal(b.masks, s.masks)
+        np.testing.assert_allclose(b.confidences, s.confidences, rtol=1e-4)
