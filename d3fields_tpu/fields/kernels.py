@@ -1,20 +1,28 @@
-"""Pallas TPU kernels for the fused field-query hot path.
+"""Pallas TPU kernels + gather layouts for the fused field-query hot path.
 
 The reference's bottleneck is the (V, N, 1024) bilinear feature gather +
 weighted fuse (``fusion.py:372-388``), which forces 60k-point chunking on
-GPU. TPUs execute arbitrary gathers poorly but matmuls superbly, so the
-kernel recasts interpolation as an *interpolation-matrix matmul*:
+GPU. The TPU design:
 
-  for each (point-tile, view):  out += W_interp(T, P) @ feats_v(P, C)
+- **Patch-grid descriptor maps** (DINOv2, small h*w): interpolation becomes
+  an *interpolation-matrix matmul* — per point-tile and view a 4-sparse
+  (T, P) matrix (bilinear tap weights pre-multiplied by the view's
+  visibility*distance weight, built in-register from a broadcasted-iota
+  compare) hits the MXU against the (P, C) map. All views' maps sit
+  resident in VMEM (constant BlockSpec index map — DMA'd once per grid);
+  an f32 accumulator carries the cross-view sum so nothing of size
+  (V, N, C) ever exists. bf16 on TPU, HIGHEST-precision f32 for parity.
+- **Full-resolution maps** (masks/colors) + the nearest-depth visibility
+  tap share ONE combined row gather: the nearest pixel is always one of the
+  four bilinear corners, so depth rides as channel 0 of the tap rows and is
+  read out through a round-half-even one-hot.
+- **Dist-only queries** use lane-aligned row gathers (512-byte transfers +
+  one-hot lane select) instead of width-1 element gathers.
 
-where ``W_interp`` has (at most) 4 non-zeros per row — the bilinear tap
-weights, pre-multiplied by the view's visibility*distance weight — built
-in-register from a broadcasted-iota compare. The MXU eats the (T, P) x
-(P, C) product; nothing of size (V, N, C) ever exists.
-
-The view axis is the minor grid dimension so the output block stays resident
-in VMEM and accumulates across views (standard Pallas revisiting pattern);
-feature-map blocks stream through VMEM one view at a time.
+Measured on 1M points / 4 views (v5e): dist-only 42ms, +1024-d descriptors
+89ms, +full-res masks 160ms. Hard-won lowering facts are documented inline
+(scatters serialize; small lax.gather slices lower to scalar loops; vmapped
+batched gathers are ~2x slower than per-view unrolled takes).
 """
 
 from __future__ import annotations
