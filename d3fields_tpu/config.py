@@ -15,14 +15,18 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class Boundaries:
-    """Axis-aligned workspace bounds in meters (reference ``vis_repr.py:34-51``)."""
+    """Axis-aligned workspace bounds in meters.
+
+    Defaults match the reference demo table exactly (``vis_repr.py:38-44``:
+    x in [-0.4, 0.4], y in [-0.4, 0.3], z in [-0.2, 0.02] — the tabletop
+    scenes look down at objects below the camera plane)."""
 
     x_lower: float = -0.4
     x_upper: float = 0.4
-    y_lower: float = -0.35
-    y_upper: float = 0.35
-    z_lower: float = -0.02
-    z_upper: float = 0.2
+    y_lower: float = -0.4
+    y_upper: float = 0.3
+    z_lower: float = -0.2
+    z_upper: float = 0.02
 
     @property
     def lower(self) -> Tuple[float, float, float]:
@@ -59,7 +63,7 @@ class InstanceConfig:
     iou_threshold: float = 0.005     # pcd iou distance threshold (fusion.py:1069)
     vox_merge_iou: float = 0.20      # voxel-set merge threshold (fusion.py:824)
     pcd_merge_iou: float = 0.25      # pcd merge threshold (fusion.py:765)
-    min_points: int = 10             # drop instances smaller than this
+    min_points: int = 1              # drop instances with fewer voxels (reference deletes only empty ones, fusion.py:1040-1044)
     background_labels: Tuple[str, ...] = ("table",)  # fusion.py:1030
 
 

@@ -100,36 +100,9 @@ class GroundingDinoDetector:
         )
         probs = np.asarray(jax.nn.sigmoid(logits[0]))   # (Q, max_text_len)
         boxes = np.asarray(boxes[0])                     # (Q, 4) cxcywh norm
-
-        scores = np.nanmax(
-            np.where(np.isfinite(probs), probs, np.nan), axis=1
+        return _postprocess_view(
+            probs, boxes, spans, box_threshold, text_threshold, (H, W)
         )
-        keep = scores > box_threshold
-        if not keep.any():
-            return Detections(
-                xyxy=np.zeros((0, 4), np.float32),
-                confidence=np.zeros((0,), np.float32),
-                class_id=np.zeros((0,), np.int64),
-            )
-        kept_boxes = boxes[keep]
-        kept_probs = probs[keep]
-        # class = span with the strongest token response
-        span_scores = np.stack(
-            [kept_probs[:, s:e].max(axis=1) for s, e in spans], axis=1
-        )
-        class_id = span_scores.argmax(axis=1)
-
-        cx, cy, bw, bh = kept_boxes.T
-        xyxy = np.stack(
-            [(cx - bw / 2) * W, (cy - bh / 2) * H,
-             (cx + bw / 2) * W, (cy + bh / 2) * H], axis=1
-        ).astype(np.float32)
-        det = Detections(
-            xyxy=xyxy,
-            confidence=scores[keep].astype(np.float32),
-            class_id=class_id.astype(np.int64),
-        )
-        return dedup_boxes(det)
 
     def predict_with_classes_batch(
         self, images: np.ndarray, classes: Sequence[str],
@@ -152,32 +125,46 @@ class GroundingDinoDetector:
 
         out = []
         for v in range(V):
-            probs, bx = probs_all[v], boxes_all[v]
-            scores = np.nanmax(
-                np.where(np.isfinite(probs), probs, np.nan), axis=1
-            )
-            keep = scores > box_threshold
-            if not keep.any():
-                out.append(Detections(
-                    xyxy=np.zeros((0, 4), np.float32),
-                    confidence=np.zeros((0,), np.float32),
-                    class_id=np.zeros((0,), np.int64),
-                ))
-                continue
-            kp, kb = probs[keep], bx[keep]
-            span_scores = np.stack(
-                [kp[:, s:e].max(axis=1) for s, e in spans], axis=1
-            )
-            cx, cy, bw, bh = kb.T
-            xyxy = np.stack(
-                [(cx - bw / 2) * W, (cy - bh / 2) * H,
-                 (cx + bw / 2) * W, (cy + bh / 2) * H], axis=1
-            ).astype(np.float32)
-            out.append(dedup_boxes(Detections(
-                xyxy=xyxy, confidence=scores[keep].astype(np.float32),
-                class_id=span_scores.argmax(axis=1).astype(np.int64),
-            )))
+            out.append(_postprocess_view(
+                probs_all[v], boxes_all[v], spans, box_threshold,
+                text_threshold, (H, W),
+            ))
         return out
+
+
+def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
+    """Shared detection post-processing for one view: threshold on the max
+    sigmoid token logit, assign the class by the strongest span among tokens
+    above ``text_threshold`` (the reference's phrase extraction keeps only
+    tokens above it, ``utils/grounded_sam.py:414``), convert to absolute
+    xyxy, drop near-duplicates."""
+    H, W = hw
+    scores = np.nanmax(np.where(np.isfinite(probs), probs, np.nan), axis=1)
+    keep = scores > box_threshold
+    if not keep.any():
+        return Detections(
+            xyxy=np.zeros((0, 4), np.float32),
+            confidence=np.zeros((0,), np.float32),
+            class_id=np.zeros((0,), np.int64),
+        )
+    kp, kb = probs[keep], boxes[keep]
+    kp_thr = np.where(kp > text_threshold, kp, 0.0)
+    span_scores = np.stack([kp_thr[:, s:e].max(axis=1) for s, e in spans], 1)
+    # boxes whose every span token fell below text_threshold fall back to
+    # the unthresholded response (reference would emit an empty phrase)
+    fallback = np.stack([kp[:, s:e].max(axis=1) for s, e in spans], 1)
+    span_scores = np.where(
+        span_scores.max(axis=1, keepdims=True) > 0, span_scores, fallback
+    )
+    cx, cy, bw, bh = kb.T
+    xyxy = np.stack(
+        [(cx - bw / 2) * W, (cy - bh / 2) * H,
+         (cx + bw / 2) * W, (cy + bh / 2) * H], axis=1
+    ).astype(np.float32)
+    return dedup_boxes(Detections(
+        xyxy=xyxy, confidence=scores[keep].astype(np.float32),
+        class_id=span_scores.argmax(axis=1).astype(np.int64),
+    ))
 
 
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:

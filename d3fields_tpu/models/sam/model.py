@@ -283,7 +283,9 @@ def two_way_transformer(params: Params, tokens: Array, image_emb: Array,
     queries, keys = tokens, image_emb
     for i, lp in enumerate(params["layers"]):
         if i == 0:
-            queries = queries + _attn(queries, queries, queries, lp["self_attn"], nh)
+            # skip_first_layer_pe: the self-attention output REPLACES the
+            # queries (no residual) on layer 0 (HF SamTwoWayAttentionBlock)
+            queries = _attn(queries, queries, queries, lp["self_attn"], nh)
         else:
             q = queries + tokens
             queries = queries + _attn(q, q, queries, lp["self_attn"], nh)
@@ -493,9 +495,15 @@ def convert_hf_state_dict(sd, cfg: SamConfig) -> Params:
                 "out_w": out_w, "out_b": out_b}
 
     nm = cfg.num_multimask_outputs + 1
-    # torch ConvTranspose2d weight (I, O, kh, kw) -> HWIO for conv_transpose
-    up1 = sd["mask_decoder.upscale_conv1.weight"].transpose(2, 3, 0, 1)
-    up2 = sd["mask_decoder.upscale_conv2.weight"].transpose(2, 3, 0, 1)
+    # torch ConvTranspose2d weight (I, O, kh, kw) -> spatially FLIPPED HWIO
+    # (jax conv_transpose without transpose_kernel is a fractionally-strided
+    # convolution; torch's transposed conv applies the mirrored kernel)
+    up1 = np.ascontiguousarray(
+        sd["mask_decoder.upscale_conv1.weight"][:, :, ::-1, ::-1]
+    ).transpose(2, 3, 0, 1)
+    up2 = np.ascontiguousarray(
+        sd["mask_decoder.upscale_conv2.weight"][:, :, ::-1, ::-1]
+    ).transpose(2, 3, 0, 1)
     decoder = {
         "iou_token": g("mask_decoder.iou_token.weight")[0],
         "mask_tokens": g("mask_decoder.mask_tokens.weight"),

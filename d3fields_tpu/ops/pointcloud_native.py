@@ -127,11 +127,15 @@ def fps_native(pts: np.ndarray, m: int, init_idx: int = -1
     pts = _f32c(pts)
     n = pts.shape[0]
     m = min(m, n)
+    if init_idx < 0:
+        # fps_np's -1 contract draws a random start; resolve it here so the
+        # native and fallback paths share the randomized-seed semantics
+        init_idx = int(np.random.randint(n))
     if lib is None:
         from d3fields_tpu.ops.fps import fps_np
 
-        sampled, _, idx = fps_np(pts, m, init_idx=init_idx)
-        return sampled, idx
+        sampled, idx, _ = fps_np(pts, m, init_idx=init_idx)
+        return sampled, np.asarray(idx, np.int64)
     idx = np.empty(m, np.int64)
     dist = np.empty(n, np.float32)
     lib.pc_fps(

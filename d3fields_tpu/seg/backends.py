@@ -37,8 +37,6 @@ class MaskBackend(Protocol):
 def with_background(masks: np.ndarray, labels: List[str], confs: np.ndarray) -> ViewMasks:
     """Prepend the background mask = NOT(union of instance masks), conf 1.0
     (``utils/grounded_sam.py:437-440``)."""
-    if masks.shape[0] == 0:
-        H = W = 0
     bg = ~np.any(masks, axis=0) if masks.shape[0] else np.ones(masks.shape[1:], bool)
     return ViewMasks(
         masks=np.concatenate([bg[None], masks], axis=0),

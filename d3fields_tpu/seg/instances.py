@@ -68,7 +68,14 @@ def pcd_iou(pcd_1: np.ndarray, pcd_2: np.ndarray, threshold: float):
 
 
 def vox_idx_iou(a: np.ndarray, b: np.ndarray) -> Tuple[float, float, float]:
-    """Set IoU over voxel indices (``Fusion.vox_idx_iou``, ``fusion.py:794-799``)."""
+    """Set IoU over voxel indices (``Fusion.vox_idx_iou``, ``fusion.py:794-799``).
+
+    NOTE the secondary ratios are |A|/|A∪B| and |B|/|A∪B| — NOT the
+    containment ratios ``pcd_iou`` uses. This intentionally matches the
+    reference's voxel variant, whose filter relies on these size-vs-union
+    ratios; with disjoint sets the >0.5 trigger fires but the per-voxel
+    arbitration is then a no-op (no shared voxels), same as the reference.
+    """
     sa, sb = set(a.tolist()), set(b.tolist())
     union = len(sa | sb)
     if union == 0:
@@ -198,7 +205,7 @@ def filter_instances(
             continue
         if inst.label in cfg.background_labels:
             to_delete.add(i)
-        elif inst.vox_idx.shape[0] < 1:
+        elif inst.vox_idx.shape[0] < max(1, cfg.min_points):
             to_delete.add(i)
 
     # The 'background' instance anchors mask channel 0; dropping it (e.g.

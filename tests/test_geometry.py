@@ -111,7 +111,7 @@ def test_onehot_roundtrip(rng):
 def test_voxel_hash_roundtrip(rng):
     b = Boundaries()
     vh = geometry.VoxelHash.from_boundaries(b, 0.03)
-    pts = rng.uniform(low=[-0.39, -0.34, -0.01], high=[0.39, 0.34, 0.19], size=(300, 3))
+    pts = rng.uniform(low=[-0.39, -0.39, -0.19], high=[0.39, 0.29, 0.01], size=(300, 3))
     idx = vh.pcd_to_index(pts)
     assert idx.min() >= 0
     vox = vh.index_to_voxel(idx)

@@ -121,11 +121,12 @@ def test_full_box_prediction_parity(oracle):
     masks, iou = S.sam_predict_boxes(
         params, jnp.asarray(px), jnp.asarray(boxes), cfg, True
     )
-    # tiny random nets produce near-zero outputs; fourier-PE f32 rounding
-    # puts parity at ~1e-3 absolute (scales with output magnitude)
-    np.testing.assert_allclose(
-        np.asarray(iou), out.iou_scores[0].numpy(), atol=1e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(masks), out.pred_masks[0].numpy(), atol=2e-3
-    )
+    # compare at the oracle's own output scale: absolute tolerances once
+    # masked a real decoder bug (layer-0 residual) because tiny random nets
+    # emit ~1e-5-magnitude outputs
+    ref_iou = out.iou_scores[0].numpy()
+    ref_masks = out.pred_masks[0].numpy()
+    iou_scale = np.abs(ref_iou).max() + 1e-12
+    mask_scale = np.abs(ref_masks).max() + 1e-12
+    assert np.abs(np.asarray(iou) - ref_iou).max() / iou_scale < 2e-2
+    assert np.abs(np.asarray(masks) - ref_masks).max() / mask_scale < 2e-2
