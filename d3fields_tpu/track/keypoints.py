@@ -67,7 +67,9 @@ def select_keypoints(
         pts = cand[sel]
         if pts.shape[0] == 0:
             continue
-        sample_pts, _, _ = fps_np(pts, num_per_instance, init_idx=init_idx)
+        from d3fields_tpu.ops.pointcloud_native import fps_native
+
+        sample_pts, _ = fps_native(pts, num_per_instance, init_idx=init_idx)
         feats = ffusion.eval_field_jit(
             state, jnp.asarray(sample_pts, jnp.float32), ("dino_feats",)
         )["dino_feats"]
