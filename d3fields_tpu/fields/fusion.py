@@ -543,6 +543,8 @@ class Fusion:
             "mu": None if self.state is None else self.state.mu,
             "consensus_mask_label": self.consensus_mask_label,
             "semantic_label": self.semantic_label,
+            "num_cam": self.num_cam,
+            "curr_obs_color": self.curr_obs.get("color"),
         }
         if self.video_tracker is not None:
             core = self.video_tracker.core
@@ -575,6 +577,11 @@ class Fusion:
             )
         self.consensus_mask_label = blob["consensus_mask_label"]
         self.semantic_label = blob["semantic_label"]
+        self.num_cam = blob.get("num_cam") or (
+            None if self.state is None else self.state.num_views
+        )
+        if blob.get("curr_obs_color") is not None:
+            self.curr_obs["color"] = blob["curr_obs_color"]
         if "tracker" in blob and self.video_tracker is not None:
             core = self.video_tracker.core
             t = blob["tracker"]

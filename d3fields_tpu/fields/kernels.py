@@ -196,28 +196,19 @@ def _fullres_taps(xy: Array, hw: Tuple[int, int]):
     both modes.
     """
     H, W = hw
+    idx, wgts = geometry.bilinear_taps(xy, (H, W), (H, W))
+    # nearest corner: round-half-even relative to the bilinear base corner
     ix = geometry._unnormalize(xy[:, 0], W, W, True)
     iy = geometry._unnormalize(xy[:, 1], H, H, True)
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    tx, ty = ix - x0, iy - y0
-    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
-
-    idxs, wgts = [], []
-    for dy, dx, wgt in ((0, 0, (1 - tx) * (1 - ty)), (0, 1, tx * (1 - ty)),
-                        (1, 0, (1 - tx) * ty), (1, 1, tx * ty)):
-        xi, yi = x0i + dx, y0i + dy
-        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        idxs.append(jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
-        wgts.append(wgt * inb.astype(wgt.dtype))
+    x0i = jnp.floor(ix).astype(jnp.int32)
+    y0i = jnp.floor(iy).astype(jnp.int32)
     rx = jnp.round(ix).astype(jnp.int32)
     ry = jnp.round(iy).astype(jnp.int32)
     nearest_inb = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
-    cx = (rx - x0i).astype(jnp.int32)
-    cy = (ry - y0i).astype(jnp.int32)
-    sel = jax.nn.one_hot(cy * 2 + cx, 4, dtype=xy.dtype)
-    return (jnp.stack(idxs, -1), jnp.stack(wgts, -1), sel,
-            nearest_inb.astype(xy.dtype))
+    sel = jax.nn.one_hot(
+        (ry - y0i) * 2 + (rx - x0i), 4, dtype=xy.dtype
+    )
+    return idx, wgts, sel, nearest_inb.astype(xy.dtype)
 
 
 def eval_field_fused(

@@ -117,6 +117,13 @@ class XMemCore:
         H, W = image_hw
         if H % 16 or W % 16:
             raise ValueError("image must be pre-padded to multiples of 16")
+        if cfg.deep_update_every != -1:
+            raise NotImplementedError(
+                "only deep_update_every=-1 (deep updates synchronized to "
+                "memory frames) is implemented — the d3fields configuration "
+                "(fusion.py:272); unsynchronized schedules need a separate "
+                "counter and encode_value variant"
+            )
         self.params = params
         self.cfg = cfg
         self.num_views = num_views

@@ -94,6 +94,13 @@ def init_memory(
     dtype=jnp.float32,
 ) -> XMemMemory:
     """Preallocate stores for a (h, w) key grid (1/16 of the padded input)."""
+    if not cfg.enable_long_term:
+        raise NotImplementedError(
+            "enable_long_term=False implies an unbounded working memory "
+            "(reference kv_memory_store.py grows without consolidation), "
+            "which has no static-shape equivalent; the d3fields pipeline "
+            "always runs with long-term memory on (fusion.py:265)"
+        )
     h, w = key_hw
     hw = h * w
     wc = cfg.max_mid_term_frames * hw

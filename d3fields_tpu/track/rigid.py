@@ -99,22 +99,23 @@ def rigid_tracking_jit(
             params, state, src_feats, last_pts, bounds_lo, bounds_hi, cfg
         )
         updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
+        new_params = optax.apply_updates(params, updates)
         losses = jnp.stack(
             [aux["feat_loss"], aux["dist_loss"], aux["reg_loss"], aux["oob_loss"]]
         )
-        return (params, opt_state), losses
+        # record the points/params of THIS step's forward (pre-update): the
+        # reference returns the last iteration's forward, i.e. the params
+        # after iters-1 updates (fusion.py:1643-1665)
+        return (new_params, opt_state), (losses, aux["match_pts"], params)
 
-    (params, _), loss_hist = jax.lax.scan(
+    (params, _), (loss_hist, match_hist, params_hist) = jax.lax.scan(
         step, (params, opt_state), None, length=cfg.iters
     )
-    # final forward with optimized params (the reference returns the points
-    # from the last step's forward; one extra eval keeps semantics clean)
-    match_pts = rigid_transform_points(last_pts, params["log_r"], params["t"])
+    last_params = jax.tree.map(lambda x: x[-1], params_hist)
     return {
-        "match_pts": match_pts,
-        "t": params["t"],
-        "log_r": params["log_r"],
+        "match_pts": match_hist[-1],
+        "t": last_params["t"],
+        "log_r": last_params["log_r"],
         "loss_history": loss_hist,  # (iters, 4): feat/dist/reg/oob
     }
 

@@ -189,3 +189,22 @@ def test_box_dedup():
     out = dedup_boxes(det, 0.9)
     assert out.xyxy.shape[0] == 2
     assert 0.9 in out.confidence and 0.7 in out.confidence  # higher conf kept
+
+
+def test_fusion_resume_supports_reference_api(tmp_path, scene):
+    """After load_state, view-count/color-dependent methods work
+    (num_cam and obs color are part of the snapshot)."""
+    from d3fields_tpu.fields.fusion import Fusion
+
+    f = Fusion()
+    f.update({**{k: scene[k] for k in ("color", "depth", "pose", "K")},
+              "dino_feats": scene["dino_feats"], "mask": scene["mask"]})
+    f.consensus_mask_label = ["background", "a", "b"]
+    path = str(tmp_path / "resume.pkl")
+    f.save_state(path)
+
+    g = Fusion()
+    g.load_state(path)
+    assert g.num_cam == scene["color"].shape[0]
+    overlay = g.vis_curr_mask()
+    assert overlay.shape == scene["color"].shape
