@@ -496,6 +496,33 @@ class Fusion:
             }
         return out
 
+    def select_features_rand_v2(self, boundaries, N, per_instance=False,
+                                num_per_cam=None):
+        """Depth-backprojection keypoint variant
+        (``select_features_rand_v2``, ``fusion.py:1543-1606``)."""
+        from d3fields_tpu.track.keypoints import select_keypoints_from_depth
+
+        self._require_state()
+        per_cam = num_per_cam or max(1, N // max(self.num_cam, 1))
+        feats, pts, ids = select_keypoints_from_depth(
+            self.state, self.consensus_mask_label, per_cam,
+            per_instance=per_instance,
+        )
+        return {
+            f"{self.consensus_mask_label[i]}_{i}": {"src_feats": f, "src_pts": p}
+            for f, p, i in zip(feats, pts, ids)
+        }
+
+    def close(self):
+        """Release model/backend references (``Fusion.close``,
+        ``fusion.py:1704-1712``); the facade holds no GPU allocations, so
+        this just drops the backends and state."""
+        self.feature_backend = None
+        self.mask_backend = None
+        self.video_tracker = None
+        self.state = None
+        self.curr_obs = {}
+
     def rigid_tracking(self, src_feat_info, last_match_pts_list, boundaries,
                        rand_ptcl_num):
         """Reference signature (``fusion.py:1608-1685``)."""

@@ -91,3 +91,72 @@ def project_to_view(
     uv[:, 0] = uv[:, 0] * K[0, 0] + K[0, 2]
     uv[:, 1] = uv[:, 1] * K[1, 1] + K[1, 2]
     return uv.astype(np.int32)
+
+
+def select_keypoints_from_depth(
+    state: FieldState,
+    consensus_labels: Sequence[str],
+    num_per_cam: int,
+    *,
+    per_instance: bool = True,
+    max_depth: float = 1.5,
+    erode_px: int = 15,
+    init_idx: int = 0,
+) -> Tuple[List[np.ndarray], List[np.ndarray], List[int]]:
+    """Depth-backprojection keypoint variant (``select_features_rand_v2``,
+    ``fusion.py:1543-1606``): per camera, FPS over the eroded instance-mask
+    PIXELS, backproject through the depth map to world, concatenate across
+    cameras, and read descriptors from the field at those points.
+    """
+    import cv2
+
+    from d3fields_tpu.ops.pointcloud_native import fps_native
+
+    depth = np.asarray(state.depth)
+    Ks = np.asarray(state.K)
+    poses = np.asarray(state.pose)
+    mask = np.asarray(state.mask)
+    V = depth.shape[0]
+
+    src_feats_list: List[np.ndarray] = []
+    src_pts_list: List[np.ndarray] = []
+    instance_ids: List[int] = []
+    last_label = consensus_labels[0]
+    for i in range(1, len(consensus_labels)):
+        if consensus_labels[i] == last_label and not per_instance:
+            continue
+        pts_all = []
+        for v in range(V):
+            m = mask[v, :, :, i].astype(bool)
+            m &= (depth[v] > 0.0) & (depth[v] < max_depth)
+            m = cv2.erode(
+                (m * 255).astype(np.uint8),
+                np.ones((erode_px, erode_px), np.uint8), iterations=1,
+            ) > 0
+            pix = np.argwhere(m).astype(np.float32)  # (n, 2) = (y, x)
+            if pix.shape[0] == 0:
+                continue
+            sel, _ = fps_native(
+                np.concatenate([pix, np.zeros_like(pix[:, :1])], 1),
+                min(num_per_cam, pix.shape[0]), init_idx=init_idx,
+            )
+            ys, xs = sel[:, 0].astype(int), sel[:, 1].astype(int)
+            z = depth[v][ys, xs]
+            K = Ks[v]
+            cam = np.stack(
+                [(xs - K[0, 2]) * z / K[0, 0], (ys - K[1, 2]) * z / K[1, 1], z],
+                axis=1,
+            )
+            R, t = poses[v][:, :3], poses[v][:, 3]
+            pts_all.append((cam - t) @ R)  # camera -> world
+        if not pts_all:
+            continue
+        sample_pts = np.concatenate(pts_all, axis=0).astype(np.float32)
+        feats = ffusion.eval_field_jit(
+            state, jnp.asarray(sample_pts), ("dino_feats",)
+        )["dino_feats"]
+        src_feats_list.append(np.asarray(feats))
+        src_pts_list.append(sample_pts)
+        instance_ids.append(i)
+        last_label = consensus_labels[i]
+    return src_feats_list, src_pts_list, instance_ids

@@ -1,0 +1,26 @@
+"""Determinism helpers (reference ``set_seed``, ``utils/my_utils.py:222-228``).
+
+JAX is deterministic by construction (explicit PRNG keys); this seeds the
+host-side numpy/python RNGs the pipeline's host stages use (FPS random
+starts, data sampling) and returns a root jax key for model code.
+"""
+
+from __future__ import annotations
+
+import random
+
+
+def set_seed(seed: int):
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+    import jax
+
+    return jax.random.PRNGKey(seed)

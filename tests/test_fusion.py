@@ -195,3 +195,29 @@ def test_reference_api_facade(scene):
 
     overlay = f.vis_curr_mask()
     assert overlay.shape == scene["color"].shape and overlay.dtype == np.uint8
+
+
+def test_select_features_rand_v2_and_close(scene):
+    from conftest import synthetic_scene
+
+    from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.utils.seeding import set_seed
+
+    set_seed(0)
+    sc = synthetic_scene(num_views=4, H=128, W=160, ground=True, focal=240.0)
+    # coherent sphere masks (random masks don't survive the reference's
+    # 15x15 erosion, fusion.py:1562)
+    sphere = sc["sphere_masks"][:, 0]
+    mask = np.stack([~sphere, sphere], axis=-1).astype(np.float32)
+    f = Fusion()
+    f.update({**{k: sc[k] for k in ("color", "depth", "pose", "K")},
+              "dino_feats": sc["dino_feats"], "mask": mask})
+    f.consensus_mask_label = ["background", "a"]
+    info = f.select_features_rand_v2(None, 12, per_instance=True)
+    assert info
+    for v in info.values():
+        # num_per_cam = 12 // 4 views = 3 per cam, <= 12 total world points
+        assert v["src_pts"].shape[1] == 3 and v["src_pts"].shape[0] <= 12
+        assert v["src_feats"].shape[0] == v["src_pts"].shape[0]
+    f.close()
+    assert f.state is None and f.mask_backend is None
