@@ -33,12 +33,16 @@ def build_parser():
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", default="out/vis_tracking")
-    p.add_argument("--x_lower", type=float, default=-0.3)
-    p.add_argument("--x_upper", type=float, default=0.6)
+    # reference vis_tracking.py:21-40 defaults (tabletop scenes, objects at
+    # z < 0.02); --synthetic overrides with the sphere scene's workspace
+    p.add_argument("--x_lower", type=float, default=-0.4)
+    p.add_argument("--x_upper", type=float, default=0.4)
     p.add_argument("--y_lower", type=float, default=-0.4)
-    p.add_argument("--y_upper", type=float, default=0.4)
-    p.add_argument("--z_lower", type=float, default=0.001)
-    p.add_argument("--z_upper", type=float, default=0.4)
+    p.add_argument("--y_upper", type=float, default=0.3)
+    p.add_argument("--z_lower", type=float, default=-0.3)
+    p.add_argument("--z_upper", type=float, default=0.02)
+    p.add_argument("--kypts_z_lower", type=float, default=-0.2)
+    p.add_argument("--kypts_z_upper", type=float, default=-0.02)
     return p
 
 
@@ -53,6 +57,12 @@ def main(argv=None):
     boundaries = Boundaries(
         args.x_lower, args.x_upper, args.y_lower, args.y_upper,
         args.z_lower, args.z_upper,
+    )
+    # separate keypoint-selection bounds (reference kypts_boundaries,
+    # vis_tracking.py:35-40)
+    kypts_boundaries = Boundaries(
+        args.x_lower, args.x_upper, args.y_lower, args.y_upper,
+        args.kypts_z_lower, args.kypts_z_upper,
     )
     os.makedirs(args.out, exist_ok=True)
 
@@ -71,6 +81,8 @@ def main(argv=None):
                 sphere_offsets=offs,
             )
 
+        boundaries = Boundaries(-0.3, 0.6, -0.4, 0.4, 0.001, 0.4)
+        kypts_boundaries = boundaries
         scene0 = get_frame(0)
         labels = (args.query_texts * 2 if len(args.query_texts) == 1
                   else args.query_texts)
@@ -116,7 +128,7 @@ def main(argv=None):
 
         if t == 0:
             src_feats, src_pts, inst_ids = select_keypoints(
-                fusion.state, fusion.consensus_mask_label, boundaries,
+                fusion.state, fusion.consensus_mask_label, kypts_boundaries,
                 args.num_kypts, res=0.002, init_idx=0,
             )
             for k, (f, p, i) in enumerate(zip(src_feats, src_pts, inst_ids)):
@@ -128,12 +140,14 @@ def main(argv=None):
             match_pts_list = [np.array(p) for p in src_pts]
             save_pickle(os.path.join(args.out, "src_feats.pkl"), track_info)
             tracker = TrackVis(obs["pose"], obs["K"], args.out)
-        else:
-            res = rigid_tracking(
-                fusion.state, track_info, match_pts_list, boundaries,
-                match_pts_list[0].shape[0], cfg,
-            )
-            match_pts_list = res["match_pts_list"]
+
+        # the reference optimizes at EVERY frame including t=0 (refining the
+        # FPS samples onto the field surface, vis_tracking.py:130-134)
+        res = rigid_tracking(
+            fusion.state, track_info, match_pts_list, boundaries,
+            match_pts_list[0].shape[0], cfg,
+        )
+        match_pts_list = res["match_pts_list"]
 
         tracker.visualize_match_pts(match_pts_list, obs["color"], track_info)
         save_pickle(os.path.join(args.out, f"match_pts_{t:06d}.pkl"),

@@ -185,10 +185,16 @@ class Dinov2Backbone:
     tokens to the (ph, pw) grid.
     """
 
-    def __init__(self, params, cfg: Dinov2Config, compute_dtype: str = "float32"):
+    def __init__(self, params, cfg: Dinov2Config, compute_dtype: str = "float32",
+                 pos_interpolate: str = "hub"):
+        """``pos_interpolate``: 'hub' reproduces torch-hub DINOv2's
+        scale-factor interpolation with interpolate_offset=0.1 (what the
+        reference loads, ``fusion.py:223``); 'hf' is huggingface
+        Dinov2Model's exact-size grid."""
         self.params = params
         self.cfg = cfg
         self.compute_dtype = compute_dtype
+        self.pos_interpolate = pos_interpolate
         self._pos_cache: Dict[Tuple[int, int], Array] = {}
 
     def interpolated_pos_embed(self, gh: int, gw: int) -> Array:
@@ -200,7 +206,18 @@ class Dinov2Backbone:
                 out = pe
             else:
                 cls_pe, patch_pe = pe[:1], pe[1:].reshape(G, G, -1)
-                patch_pe = cubic_resize_np(patch_pe, (gh, gw)).reshape(gh * gw, -1)
+                if self.pos_interpolate == "hub":
+                    # torch-hub DINOv2 interpolates with explicit scale
+                    # factors (g + 0.1)/G (interpolate_offset=0.1,
+                    # dinov2/models/vision_transformer.py) -- a different
+                    # sampling grid than the plain size-ratio path
+                    off = 0.1
+                    scale_hw = ((gh + off) / G, (gw + off) / G)
+                else:  # 'hf': huggingface Dinov2Model exact-size grid
+                    scale_hw = None
+                patch_pe = cubic_resize_np(
+                    patch_pe, (gh, gw), scale_hw=scale_hw
+                ).reshape(gh * gw, -1)
                 out = np.concatenate([cls_pe, patch_pe], axis=0)
             self._pos_cache[key] = jnp.asarray(out)
         return self._pos_cache[key]

@@ -458,7 +458,12 @@ def _transformer_forward(params, cfg: GroundingDinoConfig,
         if text_pad_mask is not None else None
     hidden = target
     intermediate = []
-    intermediate_refs = []
+
+    def _logit(r):
+        rc = jnp.clip(r, 1e-5, 1 - 1e-5)
+        return jnp.log(rc / (1 - rc))
+
+    ref_into_last = reference
     for li, lp in enumerate(params["decoder_layers"]):
         ref_input = jnp.broadcast_to(
             reference[:, :, None, :], (B, cfg.num_queries, L, 4)
@@ -469,22 +474,24 @@ def _transformer_forward(params, cfg: GroundingDinoConfig,
             lp, cfg, hidden, qpos, ref_input, vision, text, spatial_shapes,
             text_bias,
         )
+        # in-loop refinement uses the UN-normed hidden (HF decoder hack)
+        ref_into_last = reference
         delta = _mlp_head(hidden, params["bbox_head"])
-        logit_ref = jnp.log(
-            jnp.clip(reference, 1e-5, 1 - 1e-5)
-            / (1 - jnp.clip(reference, 1e-5, 1 - 1e-5))
-        )
-        reference = jax.nn.sigmoid(delta + logit_ref)
+        reference = jax.nn.sigmoid(delta + _logit(reference))
         intermediate.append(
             _layer_norm(hidden, params["dec_ln_w"], params["dec_ln_b"])
         )
-        intermediate_refs.append(reference)
 
     final_hidden = intermediate[-1]
     logits = contrastive_logits(
         final_hidden, text, text_token_mask, cfg.max_text_len
     )
-    boxes = intermediate_refs[-1]
+    # final pred_boxes re-apply the bbox head to the LAYER-NORMED final
+    # hidden against the reference points that entered the last layer
+    # (GroundingDinoForObjectDetection.forward, NOT the in-loop refs —
+    # they differ once decoder.layer_norm is non-identity)
+    final_delta = _mlp_head(final_hidden, params["bbox_head"])
+    boxes = jax.nn.sigmoid(final_delta + _logit(ref_into_last))
     return logits, boxes
 
 
@@ -494,7 +501,17 @@ def groundingdino_forward(params, cfg: GroundingDinoConfig,
 
     Returns (logits (B, Q, max_text_len), boxes (B, Q, 4) normalized
     cxcywh) — the contract of ``GroundingDinoForObjectDetection``.
+
+    Runs at f32 matmul precision: default-precision TPU matmuls plus the
+    discrete top-k query selection turn small numeric noise into entirely
+    different detections (measured: 0.59 box drift at default precision vs
+    1e-5 at f32); detection runs once per video, so precision > speed here.
     """
+    with jax.default_matmul_precision("float32"):
+        return _groundingdino_forward_impl(params, cfg, pixels, input_ids)
+
+
+def _groundingdino_forward_impl(params, cfg, pixels, input_ids):
     text_self_mask_np, pos_ids_np = generate_text_masks(np.asarray(input_ids))
     token_mask_np = np.ones_like(np.asarray(input_ids), bool)
 

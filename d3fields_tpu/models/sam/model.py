@@ -380,20 +380,37 @@ def mask_decoder(params: Params, image_emb: Array, image_pe: Array,
 # full forward
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sam_encode_image(params: Params, pixels: Array, cfg: SamConfig) -> Array:
+    """pixels (1, S, S, 3) preprocessed -> image embeddings (h, w, C).
+    Split from the box decoder so one encoding serves any number of
+    predict calls without re-running the ViT trunk."""
+    with jax.default_matmul_precision("float32"):
+        return vision_encoder(params["vision"], pixels, cfg)[0]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+def sam_decode_boxes(params: Params, image_emb: Array, boxes: Array,
+                     cfg: SamConfig, multimask_output: bool = True):
+    """image_emb (h, w, C) from :func:`sam_encode_image`; boxes (N, 4) xyxy
+    in model-input pixels -> (low_res_masks (N, M, 4h, 4w), iou (N, M))."""
+    with jax.default_matmul_precision("float32"):
+        size = cfg.grid
+        pe = image_wide_positional_embedding(params["prompt"], size)
+        sparse = embed_boxes(params["prompt"], boxes, cfg.image_size)
+        dense = no_mask_dense_embedding(params["prompt"], size)
+        return mask_decoder(
+            params["decoder"], image_emb, pe, sparse, dense, cfg,
+            multimask_output=multimask_output,
+        )
+
+
 def sam_predict_boxes(params: Params, pixels: Array, boxes: Array,
                       cfg: SamConfig, multimask_output: bool = True):
-    """pixels (1, S, S, 3) preprocessed; boxes (N, 4) xyxy in model input
-    pixels. Returns (low_res_masks (N, M, S/4, S/4), iou (N, M))."""
-    image_emb = vision_encoder(params["vision"], pixels, cfg)[0]
-    size = cfg.grid
-    pe = image_wide_positional_embedding(params["prompt"], size)
-    sparse = embed_boxes(params["prompt"], boxes, cfg.image_size)
-    dense = no_mask_dense_embedding(params["prompt"], size)
-    return mask_decoder(
-        params["decoder"], image_emb, pe, sparse, dense, cfg,
-        multimask_output=multimask_output,
-    )
+    """One-shot encode + decode (see the predictor for the cached-encoding
+    path). pixels (1, S, S, 3); boxes (N, 4)."""
+    image_emb = sam_encode_image(params, pixels, cfg)
+    return sam_decode_boxes(params, image_emb, boxes, cfg, multimask_output)
 
 
 # ---------------------------------------------------------------------------

@@ -16,8 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from d3fields_tpu.models.resize import bilinear_resize
-from d3fields_tpu.models.sam.model import SamConfig, sam_predict_boxes
+from d3fields_tpu.models.resize import bilinear_resize, bilinear_resize_exact
+from d3fields_tpu.models.sam.model import (
+    SamConfig, sam_decode_boxes, sam_encode_image,
+)
 
 PIXEL_MEAN = (123.675, 116.28, 103.53)
 PIXEL_STD = (58.395, 57.12, 57.375)
@@ -34,6 +36,7 @@ class SamPredictor:
         self.params = params
         self.cfg = cfg or SamConfig.vit_huge()
         self._pixels = None
+        self._image_emb = None
         self._orig_hw: Tuple[int, int] = (0, 0)
         self._resized_hw: Tuple[int, int] = (0, 0)
 
@@ -42,6 +45,9 @@ class SamPredictor:
         return int(H * s + 0.5), int(W * s + 0.5)
 
     def set_image(self, rgb: np.ndarray):
+        """Encodes the image ONCE (the encoder jit is split from the box
+        decoder, so repeated predict calls reuse the embedding — the
+        original SamPredictor's embedding cache)."""
         H, W = rgb.shape[:2]
         self._orig_hw = (H, W)
         rh, rw = self._target_hw(H, W)
@@ -51,7 +57,17 @@ class SamPredictor:
         S = self.cfg.image_size
         img = jnp.pad(img, ((0, S - rh), (0, S - rw), (0, 0)))
         self._pixels = img[None]
+        self._image_emb = sam_encode_image(self.params, self._pixels, self.cfg)
         return self
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad the box count to a small set of sizes so varying per-view
+        detection counts don't each trigger a decoder recompile."""
+        b = 4
+        while b < n:
+            b *= 2
+        return b
 
     def predict_boxes(self, boxes_xyxy: np.ndarray, multimask_output=True):
         """boxes in original-image pixels -> (masks bool (N, M, H, W),
@@ -61,23 +77,31 @@ class SamPredictor:
         H, W = self._orig_hw
         rh, rw = self._resized_hw
         boxes = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4).copy()
+        n = boxes.shape[0]
         boxes[:, [0, 2]] *= rw / W
         boxes[:, [1, 3]] *= rh / H
-        low_res, iou = sam_predict_boxes(
-            self.params, self._pixels, jnp.asarray(boxes), self.cfg,
+        nb = self._bucket(n)
+        if nb != n:
+            boxes = np.concatenate(
+                [boxes, np.tile(boxes[-1:], (nb - n, 1))], axis=0
+            )
+        low_res, iou = sam_decode_boxes(
+            self.params, self._image_emb, jnp.asarray(boxes), self.cfg,
             multimask_output,
         )
-        masks = self._postprocess(low_res)
-        return np.asarray(masks) > 0.0, np.asarray(iou)
+        masks = self._postprocess(low_res[:n])
+        return np.asarray(masks) > 0.0, np.asarray(iou)[:n]
 
     def _postprocess(self, low_res):
         """(N, M, s, s) logits -> (N, M, H, W): upscale to model size, strip
-        the bottom-right padding, resize to the original image."""
+        the bottom-right padding, resize to the original image. Exact
+        F.interpolate semantics (no antialias) like the original SAM
+        postprocess — thresholded logits are sensitive to the kernel."""
         S = self.cfg.image_size
         H, W = self._orig_hw
         rh, rw = self._resized_hw
         N, M = low_res.shape[:2]
         x = low_res.reshape(N * M, *low_res.shape[2:])[..., None]
-        x = bilinear_resize(x, (S, S))[:, :rh, :rw]
-        x = bilinear_resize(x, (H, W))[..., 0]
+        x = bilinear_resize_exact(x, (S, S))[:, :rh, :rw]
+        x = bilinear_resize_exact(x, (H, W))[..., 0]
         return x.reshape(N, M, H, W)

@@ -77,10 +77,10 @@ class VideoMaskTracker:
         padded grid (nearest resize, reference ``fusion.py:279-280``)."""
         V, H, W = mask.shape
         rh, rw = self.resized_hw
-        ys = (np.arange(rh) + 0.5) * H / rh - 0.5
-        xs = (np.arange(rw) + 0.5) * W / rw - 0.5
-        yi = np.clip(np.round(ys).astype(int), 0, H - 1)
-        xi = np.clip(np.round(xs).astype(int), 0, W - 1)
+        # torchvision NEAREST lowers to F.interpolate(mode='nearest'):
+        # src = floor(dst * in/out) — an asymmetric lattice, not half-pixel
+        yi = np.clip((np.arange(rh) * H // rh).astype(int), 0, H - 1)
+        xi = np.clip((np.arange(rw) * W // rw).astype(int), 0, W - 1)
         small = mask[:, yi[:, None], xi[None, :]]  # (V, rh, rw)
         onehot = np.stack(
             [(small == i + 1) for i in range(self.num_objects)], axis=1

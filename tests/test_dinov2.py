@@ -76,7 +76,7 @@ def test_forward_matches_hf_interpolated_res(hf_pair, rng):
     with torch.no_grad():
         ref = model(torch.as_tensor(pixels).permute(0, 3, 1, 2)).last_hidden_state.numpy()
 
-    backbone = d2.Dinov2Backbone(params, cfg)
+    backbone = d2.Dinov2Backbone(params, cfg, pos_interpolate="hf")
     pos = backbone.interpolated_pos_embed(H // 14, W // 14)
     out = np.asarray(d2.forward_tokens(params, jnp.asarray(pixels), pos, cfg.num_heads))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=3e-4)

@@ -42,6 +42,18 @@ def oracle():
     )
     torch.manual_seed(0)
     hf = GroundingDinoForObjectDetection(hfc).eval()
+    # HF zero-initializes the bbox-head output layers and leaves
+    # decoder.layer_norm at identity — which once masked a real final-box
+    # bug (boxes computed from un-normed hidden). Randomize them so the
+    # oracle exercises those paths.
+    with torch.no_grad():
+        for head in hf.bbox_embed:
+            head.layers[-1].weight.normal_(0, 0.05)
+            head.layers[-1].bias.normal_(0, 0.05)
+        hf.model.decoder.layer_norm.weight.normal_(1.0, 0.2)
+        hf.model.decoder.layer_norm.bias.normal_(0, 0.2)
+        hf.model.encoder_output_bbox_embed.layers[-1].weight.normal_(0, 0.05)
+        hf.model.encoder_output_bbox_embed.layers[-1].bias.normal_(0, 0.05)
     cfg = G.GroundingDinoConfig.tiny_test()
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     params = G.convert_hf_state_dict(sd, cfg)
