@@ -63,8 +63,12 @@ def seed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array):
     return prob_with_bg, mem
 
 
-@functools.partial(jax.jit, static_argnames=("is_mem_frame",))
-def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: bool):
+@jax.jit
+def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array):
+    """One compiled step covers BOTH frame kinds: ``is_mem_frame`` is a
+    traced bool selecting the memory-write branch with ``lax.cond`` (a
+    static flag would compile two full executables, each a multi-minute
+    remote compile on the tunnel)."""
     key, shrinkage, selection, f16, f8, f4 = N.encode_key(
         params, image[None], need_sk=True, need_ek=True
     )
@@ -74,22 +78,25 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: bool):
     h, w = key.shape[1], key.shape[2]
     readout = readout.transpose(0, 2, 1).reshape(O, h, w, cv)
 
+    # the decoder GRU hidden is only used on non-mem frames but is cheap;
+    # computing it unconditionally keeps the cond branches same-shaped
     dec_hidden, logits, prob_with_bg = N.segment(
-        params, f16[0], f8[0], f4[0], mem.hidden, readout,
-        h_out=not is_mem_frame,
+        params, f16[0], f8[0], f4[0], mem.hidden, readout, h_out=True,
     )
 
-    if is_mem_frame:
+    def mem_branch(mem):
         value, hidden = N.encode_value(
             params, image, f16[0], mem.hidden, prob_with_bg[1:],
             is_deep_update=True,
         )
         k, s, e = _flatten_key(key[0], shrinkage[0], selection[0])
         v = value.reshape(O, h * w, cv).transpose(0, 2, 1)
-        mem = mem.replace(hidden=hidden)
-        mem = M.add_memory(mem, k, s, v, e)
-    else:
-        mem = mem.replace(hidden=dec_hidden)
+        return M.add_memory(mem.replace(hidden=hidden), k, s, v, e)
+
+    def normal_branch(mem):
+        return mem.replace(hidden=dec_hidden)
+
+    mem = jax.lax.cond(is_mem_frame, mem_branch, normal_branch, mem)
     return prob_with_bg, mem
 
 
@@ -98,8 +105,8 @@ seed_step_jit = jax.jit(seed_step)
 seed_step_views = jax.jit(jax.vmap(seed_step, in_axes=(None, 0, 0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("is_mem_frame",))
-def propagate_step_views(params, mem, images, is_mem_frame: bool):
+@jax.jit
+def propagate_step_views(params, mem, images, is_mem_frame: Array):
     return jax.vmap(
         lambda m, im: _propagate(params, m, im, is_mem_frame)
     )(mem, images)
@@ -160,7 +167,7 @@ class XMemCore:
             raise ValueError("first frame must provide masks")
         is_mem_frame = (self.curr_ti - self.last_mem_ti) >= self.cfg.mem_every
         prob, self.mem = propagate_step_views(
-            self.params, self.mem, images, is_mem_frame
+            self.params, self.mem, images, jnp.asarray(is_mem_frame)
         )
         if is_mem_frame:
             self.last_mem_ti = self.curr_ti
