@@ -15,7 +15,6 @@ Frame schedule (host-side counters, mirrors ``inference_core.py:50-56``):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
