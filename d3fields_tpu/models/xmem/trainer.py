@@ -80,8 +80,9 @@ def bootstrapped_ce(logits: Array, cls_gt: Array, it: Array,
 # ---------------------------------------------------------------------------
 
 def sequence_loss(params, batch: Dict[str, Array], it: Array,
-                  cfg: XMemConfig, *, start_warm: int = 20000,
-                  end_warm: int = 70000) -> Tuple[Array, Dict[str, Array]]:
+                  cfg: XMemConfig, rng: Optional[Array] = None, *,
+                  start_warm: int = 20000, end_warm: int = 70000,
+                  deep_update_prob: float = 0.2) -> Tuple[Array, Dict[str, Array]]:
     """One sample's T-frame rollout loss (vmapped over batch by the step).
 
     batch: frames (T, H, W, 3), first_gt (O, H, W) one-hot,
@@ -144,13 +145,25 @@ def sequence_loss(params, batch: Dict[str, Array], it: Array,
 
         if ti < T - 1:
             hidden = new_hidden
-            v16, hidden = N.encode_value(
+            # the reference deep-updates the hidden state on a Bernoulli
+            # (deep_update_prob) coin per frame during training
+            # (XMem/model/trainer.py:118)
+            v16, deep_hidden = N.encode_value(
                 params, frames[ti], f16[ti], hidden, prob_with_bg[1:],
                 is_deep_update=True,
             )
+            if rng is not None:
+                coin = jax.random.bernoulli(
+                    jax.random.fold_in(rng, ti), deep_update_prob
+                )
+                hidden = jnp.where(coin, deep_hidden, hidden)
+            else:
+                hidden = deep_hidden
             values.append(v16)
     aux["num_frames"] = jnp.asarray(T)
-    return total / (T - 1), aux
+    # the reference sums per-frame ce+dice without dividing by frame count
+    # (losses.py:60-66); normalizing would shrink gradients as T grows
+    return total, aux
 
 
 class TrainState(NamedTuple):
@@ -181,9 +194,14 @@ def train_step(state: TrainState, batch: Dict[str, Array],
     ICI — the DDP equivalent (``XMem/train.py:25``, ``trainer.py:27-31``)."""
 
     def mean_loss(params):
+        bsz = jax.tree.leaves(batch)[0].shape[0]
+        step_key = jax.random.fold_in(jax.random.PRNGKey(0), state.it)
+        keys = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(
+            jnp.arange(bsz)
+        )
         losses, aux = jax.vmap(
-            lambda b: sequence_loss(params, b, state.it, cfg)
-        )(batch)
+            lambda b, k: sequence_loss(params, b, state.it, cfg, k)
+        )(batch, keys)
         return losses.mean(), aux
 
     (loss, aux), grads = jax.value_and_grad(mean_loss, has_aux=True)(

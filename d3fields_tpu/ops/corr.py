@@ -52,4 +52,5 @@ def best_matches(src: Array, tgt: Array, tgt_pts: Array,
     ``network/dense_correspondence_network.py:488-551``)."""
     d = pairwise_sq_dist(src, tgt, tile=tile)
     idx = jnp.argmin(d, axis=1)
-    return tgt_pts[idx], jnp.sqrt(jnp.take_along_axis(d, idx[:, None], 1)[:, 0])
+    best = jnp.maximum(jnp.take_along_axis(d, idx[:, None], 1)[:, 0], 0.0)
+    return tgt_pts[idx], jnp.sqrt(best)

@@ -34,7 +34,8 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         try:
             if (not os.path.exists(_LIB)) or (
-                os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
             ):
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
@@ -126,6 +127,7 @@ def fps_native(pts: np.ndarray, m: int, init_idx: int = -1
     lib = _load()
     pts = _f32c(pts)
     n = pts.shape[0]
+    m_req = m
     m = min(m, n)
     if init_idx < 0:
         # fps_np's -1 contract draws a random start; resolve it here so the
@@ -135,7 +137,8 @@ def fps_native(pts: np.ndarray, m: int, init_idx: int = -1
         from d3fields_tpu.ops.fps import fps_np
 
         sampled, idx, _ = fps_np(pts, m, init_idx=init_idx)
-        return sampled, np.asarray(idx, np.int64)
+        sampled, idx = _pad_fps(pts, np.asarray(idx, np.int64), m_req)
+        return sampled, idx
     idx = np.empty(m, np.int64)
     dist = np.empty(n, np.float32)
     lib.pc_fps(
@@ -143,4 +146,15 @@ def fps_native(pts: np.ndarray, m: int, init_idx: int = -1
         init_idx, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    return _pad_fps(pts, idx, m_req)
+
+
+def _pad_fps(pts: np.ndarray, idx: np.ndarray, m_req: int):
+    """fps_np always returns exactly particle_num points: once every point
+    is selected the min-distance field is all zeros and argmax keeps
+    returning index 0 (``utils/my_utils.py:478-497``); replicate that
+    duplicate-padding so callers can stack fixed-size keypoint sets."""
+    if idx.shape[0] < m_req:
+        pad = np.zeros(m_req - idx.shape[0], np.int64)
+        idx = np.concatenate([idx, pad])
     return pts[idx], idx

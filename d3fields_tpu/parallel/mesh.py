@@ -21,17 +21,30 @@ import numpy as np
 
 def available_devices(min_devices: int = 1):
     """Devices for mesh building, falling back to the virtual CPU mesh when
-    the platform plugin pins a single chip (see tests/conftest.py)."""
+    the platform plugin pins a single chip (see tests/conftest.py).
+
+    The force-count flag must be in the environment BEFORE the cpu client is
+    first created (clients are cached); set it before touching jax.devices,
+    which initializes every backend. If the cpu client already exists with
+    too few devices, fail with an actionable message instead of a reshape
+    error downstream."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={min_devices}"
+        ).strip()
     import jax
 
     devices = jax.devices()
     if len(devices) < min_devices:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={min_devices}"
-            ).strip()
         devices = jax.devices("cpu")
+    if len(devices) < min_devices:
+        raise RuntimeError(
+            f"need {min_devices} devices but only {len(devices)} exist and "
+            "the cpu backend was already initialized without "
+            "--xla_force_host_platform_device_count; set XLA_FLAGS before "
+            "the first jax call (tests/conftest.py pattern)"
+        )
     return devices
 
 

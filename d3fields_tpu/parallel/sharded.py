@@ -21,6 +21,14 @@ from d3fields_tpu.fields import fusion as F
 from d3fields_tpu.fields.state import FieldState
 
 
+@functools.partial(jax.jit, static_argnames=("names", "t"))
+def _run_sharded(st, p, names, t):
+    # module-level jit: defining this inside sharded_batch_eval would make
+    # every call a fresh function object and recompile the whole sharded
+    # evaluation each time
+    return F._batch_eval_padded(st, p, names, t, False)
+
+
 def sharded_batch_eval(
     mesh: Mesh,
     state: FieldState,
@@ -45,10 +53,5 @@ def sharded_batch_eval(
         state, jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
     )
     pts = jax.device_put(pts, NamedSharding(mesh, P(axis, None)))
-
-    @functools.partial(jax.jit, static_argnames=("names", "t"))
-    def run(st, p, names, t):
-        return F._batch_eval_padded(st, p, names, t, False)
-
-    out = run(state_r, pts, tuple(return_names), tile)
+    out = _run_sharded(state_r, pts, tuple(return_names), tile)
     return {k: v[:n] for k, v in out.items()}

@@ -75,20 +75,20 @@ def draw_keypoints(img_bgr: np.ndarray, uv: np.ndarray,
 def aggregate_colored_pcd(
     colors_rgb: np.ndarray, depths: np.ndarray, Ks: np.ndarray,
     poses44: np.ndarray, boundaries=None, downsample_voxel: float = 0.0,
-    masks: Optional[np.ndarray] = None,
+    masks: Optional[np.ndarray] = None, max_depth: float = 1.5,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Backproject all views -> (points (N, 3), colors (N, 3) float [0,1]).
 
     Mirrors ``aggr_point_cloud_from_data`` (``utils/draw_utils.py:325-413``)
-    without the Open3D dependency.
+    without the Open3D dependency: the reference's (depth>0)&(depth<1.5)
+    cutoff applies (``draw_utils.py:346``) and voxel downsampling runs PER
+    VIEW before concatenation, like its per-view o3d clouds.
     """
-    from d3fields_tpu.fields.geometry import voxel_downsample_np
-
     pts_all, col_all = [], []
     V, H, W = depths.shape
     for v in range(V):
         d = depths[v]
-        sel = d > 0
+        sel = (d > 0) & (d < max_depth)
         if masks is not None:
             sel &= masks[v].astype(bool)
         ys, xs = np.nonzero(sel)
@@ -99,8 +99,12 @@ def aggregate_colored_pcd(
         cam = np.stack([x, y, z], -1)
         c2w = np.linalg.inv(poses44[v])
         world = cam @ c2w[:3, :3].T + c2w[:3, 3]
+        cols_v = colors_rgb[v][ys, xs].astype(np.float32) / 255.0
+        if downsample_voxel > 0 and world.shape[0]:
+            idx = _voxel_downsample_indices(world, downsample_voxel)
+            world, cols_v = world[idx], cols_v[idx]
         pts_all.append(world)
-        col_all.append(colors_rgb[v][ys, xs].astype(np.float32) / 255.0)
+        col_all.append(cols_v)
     pts = np.concatenate(pts_all, 0)
     cols = np.concatenate(col_all, 0)
     if boundaries is not None:
@@ -111,9 +115,6 @@ def aggregate_colored_pcd(
             & (pts[:, 2] > b["z_lower"]) & (pts[:, 2] < b["z_upper"])
         )
         pts, cols = pts[keep], cols[keep]
-    if downsample_voxel > 0 and pts.shape[0]:
-        idx = _voxel_downsample_indices(pts, downsample_voxel)
-        pts, cols = pts[idx], cols[idx]
     return pts, cols
 
 
@@ -139,8 +140,11 @@ def remove_statistical_outliers(pts: np.ndarray, nb_neighbors: int = 5,
         chunk = 2048
         for s in range(0, n, chunk):
             d = np.linalg.norm(pts[s : s + chunk, None] - pts[None], axis=-1)
-            part = np.partition(d, nb_neighbors, axis=1)[:, 1 : nb_neighbors + 1]
-            means[s : s + chunk] = part.mean(axis=1)
+            # k+1 smallest include the self 0-distance in ARBITRARY order;
+            # summing and dividing by k averages {0, k-1 true neighbors}
+            # like Open3D's KNN (which returns the query itself first)
+            part = np.partition(d, nb_neighbors, axis=1)[:, : nb_neighbors + 1]
+            means[s : s + chunk] = part.sum(axis=1) / nb_neighbors
         thresh = means.mean() + std_ratio * means.std()
         return np.nonzero(means <= thresh)[0]
     return np.nonzero(statistical_outlier_mask(pts, nb_neighbors, std_ratio))[0]

@@ -61,8 +61,9 @@ int64_t pc_voxel_downsample(const float* pts, int64_t n, float voxel,
 }
 
 // Statistical outlier removal with a uniform-grid kNN. keep_mask: n uint8.
-// Matches Open3D semantics: drop points whose mean distance to the k nearest
-// neighbors exceeds mean + std_ratio * std over all points.
+// Matches Open3D semantics: its KNN returns the query point itself (0
+// distance) among the k results, so the per-point mean averages {0, k-1
+// nearest neighbors}; the threshold uses the SAMPLE std (n-1 denominator).
 int64_t pc_statistical_outliers(const float* pts, int64_t n, int k,
                                 float std_ratio, uint8_t* keep_mask) {
   if (n == 0) return 0;
@@ -123,21 +124,20 @@ int64_t pc_statistical_outliers(const float* pts, int64_t n, int k,
       // done when the kth best is within the guaranteed-covered radius
       if (best[k - 1] <= ring * cell || ring > 64) break;
     }
+    // Open3D's SearchKNN(point, k) includes the query itself as one of the
+    // k hits: average the k-1 nearest true neighbors together with the
+    // implicit 0 self-distance, dividing by k.
     double s = 0;
-    int cnt = 0;
-    for (int j = 0; j < k; ++j)
-      if (std::isfinite(best[j])) {
-        s += best[j];
-        ++cnt;
-      }
-    mean_d[i] = cnt ? s / cnt : 0.0;
+    for (int j = 0; j < k - 1; ++j)
+      if (std::isfinite(best[j])) s += best[j];
+    mean_d[i] = k > 0 ? s / k : 0.0;
   }
   double mu = 0;
   for (int64_t i = 0; i < n; ++i) mu += mean_d[i];
   mu /= n;
   double var = 0;
   for (int64_t i = 0; i < n; ++i) var += (mean_d[i] - mu) * (mean_d[i] - mu);
-  double thresh = mu + std_ratio * std::sqrt(var / n);
+  double thresh = mu + std_ratio * std::sqrt(var / std::max<int64_t>(n - 1, 1));
   int64_t kept = 0;
   for (int64_t i = 0; i < n; ++i) {
     keep_mask[i] = mean_d[i] <= thresh;
