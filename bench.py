@@ -63,7 +63,7 @@ def bench_tpu(depth, pose, K, feats, mask, n_pts=1024 * 1024, repeats=3):
     names = ("dino_feats", "mask")
 
     def run():
-        out = batch_eval(state, pts, names, tile=65536, use_pallas=use_pallas)
+        out = batch_eval(state, pts, names, tile=131072, use_pallas=use_pallas)
         # Force execution + completion of every output buffer with ONE host
         # fetch (block_until_ready alone does not synchronize through
         # remote-tunnel TPU backends, and per-buffer fetches each pay a

@@ -149,8 +149,19 @@ def _batch_eval_padded(
     if use_pallas:
         from d3fields_tpu.fields import kernels
 
+        # Pack the 2x2-corner gather table (depth + full-res maps) ONCE
+        # (loop-invariant operand of the lax.map scan) instead of per tile.
+        # Only needed when a full-res map is queried; the dist-only nearest
+        # tap uses lane-aligned row gathers instead.
+        H, W = state.image_hw
+        maps = state.feature_maps(return_names) if return_names else {}
+        has_fullres = any(maps[n].shape[1:3] == (H, W) for n in return_names)
+        packed = kernels.pack_corner_table(state, return_names) if has_fullres else None
+
         def one(p):
-            return kernels.eval_field_fused(state, p, return_names)
+            return kernels.eval_field_fused(
+                state, p, return_names, packed_table=packed
+            )
     else:
         def one(p):
             return eval_field(state, p, return_names)

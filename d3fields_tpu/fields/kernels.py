@@ -13,16 +13,21 @@ GPU. The TPU design:
   an f32 accumulator carries the cross-view sum so nothing of size
   (V, N, C) ever exists. bf16 on TPU, HIGHEST-precision f32 for parity.
 - **Full-resolution maps** (masks/colors) + the nearest-depth visibility
-  tap share ONE combined row gather: the nearest pixel is always one of the
-  four bilinear corners, so depth rides as channel 0 of the tap rows and is
-  read out through a round-half-even one-hot.
+  tap share ONE packed row gather per (view, point): the four bilinear
+  corner pixels are pre-packed into a single table row
+  (:func:`pack_corner_table`, one HBM pass per state, hoisted out of the
+  tile loop), the nearest pixel is always one of those corners, and depth
+  rides as channel 0 of each corner, read out through a round-half-even
+  one-hot. 4x fewer gathers than per-corner taps (measured 4.3x faster).
 - **Dist-only queries** use lane-aligned row gathers (512-byte transfers +
   one-hot lane select) instead of width-1 element gathers.
 
-Measured on 1M points / 4 views (v5e): dist-only 42ms, +1024-d descriptors
-89ms, +full-res masks 160ms. Hard-won lowering facts are documented inline
-(scatters serialize; small lax.gather slices lower to scalar loops; vmapped
-batched gathers are ~2x slower than per-view unrolled takes).
+Measured on 1M points / 4 views (v5e): dist-only 40ms, +1024-d descriptors
+~110ms, +full-res masks ~122ms (8.6M pts/s end-to-end). Hard-won lowering
+facts are documented inline (scatters serialize; small lax.gather slices
+lower to scalar loops; vmapped batched gathers are ~2x slower than per-view
+unrolled takes; a 4-wide packed depth gather loses to 128-lane rows until a
+full-res map shares the row).
 """
 
 from __future__ import annotations
@@ -185,44 +190,103 @@ def _nearest_via_rows(depth: Array, xy: Array, hw: Tuple[int, int],
     return (rows * sel).sum(-1) * inb.astype(depth.dtype)
 
 
-def _fullres_taps(xy: Array, hw: Tuple[int, int]):
-    """Shared full-resolution tap set for one view.
+def _fullres_taps_packed(xy: Array, hw: Tuple[int, int]):
+    """Shared full-resolution tap set for one view, packed-table form.
 
-    Returns (idx (N, 4) flat clamped corner indices, bw (N, 4) bilinear
-    zeros-padded weights, nearest_sel (N, 4) one-hot of the
-    round-half-to-even nearest corner, nearest_inb (N,)). The nearest pixel
-    is always one of the four bilinear corners, so depth (nearest) and
-    mask/color (bilinear) share ONE gather — exact grid_sample parity for
-    both modes.
+    Returns (base (N,) int32 row index into the packed 2x2-corner table,
+    bw (N, 4) bilinear zeros-padded weights, nearest_sel (N, 4) one-hot of
+    the round-half-to-even nearest corner, nearest_inb (N,)). The nearest
+    pixel is always one of the four bilinear corners, so depth (nearest)
+    and mask/color (bilinear) share ONE row gather — exact grid_sample
+    parity for both modes.
     """
     H, W = hw
-    idx, wgts = geometry.bilinear_taps(xy, (H, W), (H, W))
-    # nearest corner: round-half-even relative to the bilinear base corner
     ix = geometry._unnormalize(xy[:, 0], W, W, True)
     iy = geometry._unnormalize(xy[:, 1], H, H, True)
-    x0i = jnp.floor(ix).astype(jnp.int32)
-    y0i = jnp.floor(iy).astype(jnp.int32)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    tx = ix - x0
+    ty = iy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wgts = []
+    for dy, dx, wgt in (
+        (0, 0, (1 - tx) * (1 - ty)),
+        (0, 1, tx * (1 - ty)),
+        (1, 0, (1 - tx) * ty),
+        (1, 1, tx * ty),
+    ):
+        inb = (
+            (x0i + dx >= 0) & (x0i + dx <= W - 1)
+            & (y0i + dy >= 0) & (y0i + dy <= H - 1)
+        )
+        wgts.append(wgt * inb.astype(xy.dtype))
+    bw = jnp.stack(wgts, axis=-1)
+    # Packed rows are indexed by top-left corner over the 1-px-padded grid
+    # (y0 in [-1, H-1], x0 in [-1, W-1]); points farther out clamp onto a
+    # valid row whose contribution is killed by the zero weights above.
+    base = (jnp.clip(y0i, -1, H - 1) + 1) * (W + 1) + (jnp.clip(x0i, -1, W - 1) + 1)
+    # nearest corner: round-half-even relative to the bilinear base corner
     rx = jnp.round(ix).astype(jnp.int32)
     ry = jnp.round(iy).astype(jnp.int32)
     nearest_inb = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
     sel = jax.nn.one_hot(
         (ry - y0i) * 2 + (rx - x0i), 4, dtype=xy.dtype
     )
-    return idx, wgts, sel, nearest_inb.astype(xy.dtype)
+    return base, bw, sel, nearest_inb.astype(xy.dtype)
+
+
+def pack_corner_table(state, return_names: Tuple[str, ...]) -> Array:
+    """Precompute the packed 2x2-corner gather table for the full-res maps.
+
+    Row ``(y0+1)*(W+1) + (x0+1)`` of the result holds the four bilinear
+    corner pixels ``[(y0,x0), (y0,x0+1), (y0+1,x0), (y0+1,x0+1)]`` of the
+    concatenated [depth | full-res maps] stack, with out-of-image pixels
+    zero (zeros-padding grid_sample baked into the table). One row gather
+    per (view, point) then serves the nearest-depth visibility tap AND
+    every full-res bilinear map — 4x fewer gathers than per-corner taps
+    (measured 4.3x faster on v5e). Cost: one pass over HBM (~25 MB for
+    4 views at 240x320x5), hoisted out of the ``lax.map`` tile loop by
+    ``batch_eval``.
+
+    Returns (V, (H+1)*(W+1), 4*Ctot) with Ctot = 1 + sum of map channels,
+    tap-major layout: ``row.reshape(4, Ctot)[tap]`` is corner ``tap``.
+    """
+    H, W = state.image_hw
+    maps = state.feature_maps(tuple(return_names)) if return_names else {}
+    full = [state.depth[..., None]] + [
+        maps[n] for n in return_names if maps[n].shape[1:3] == (H, W)
+    ]
+    stack = jnp.concatenate(full, axis=-1)  # (V, H, W, Ctot)
+    V = stack.shape[0]
+    tp = jnp.pad(stack, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [
+            tp[:, : H + 1, : W + 1],
+            tp[:, : H + 1, 1 : W + 2],
+            tp[:, 1 : H + 2, : W + 1],
+            tp[:, 1 : H + 2, 1 : W + 2],
+        ],
+        axis=-1,
+    )  # (V, H+1, W+1, 4*Ctot), tap-major: [tap0 chans | tap1 | tap2 | tap3]
+    return packed.reshape(V, (H + 1) * (W + 1), 4 * stack.shape[-1])
 
 
 def eval_field_fused(
     state,
     pts: Array,
     return_names: Tuple[str, ...] = ("dino_feats", "mask"),
+    packed_table: Array | None = None,
 ) -> Dict[str, Array]:
     """Drop-in fused replacement for ``fusion.eval_field`` on TPU.
 
-    One row-gather serves every full-resolution map AND the nearest-depth
-    visibility tap (depth is prepended as channel 0 of a combined table and
-    read out through the nearest-corner one-hot); patch-grid descriptor maps
-    go through the Pallas interpolation-matrix MXU kernel
-    (:func:`fused_weighted_interp`).
+    ONE packed row-gather per (view, point) serves every full-resolution map
+    AND the nearest-depth visibility tap: the four bilinear corner pixels are
+    pre-packed into one table row (:func:`pack_corner_table`, pass it as
+    ``packed_table`` to hoist the packing out of a tile loop), with depth as
+    channel 0 of each corner read out through the nearest-corner one-hot.
+    Patch-grid descriptor maps go through the Pallas interpolation-matrix
+    MXU kernel (:func:`fused_weighted_interp`).
     """
     mu = jnp.asarray(state.mu, pts.dtype)
     xy, in_front, pts_depth = geometry.project_points(pts, state.pose, state.K)
@@ -236,29 +300,27 @@ def eval_field_fused(
     patch_names = [n for n in names if maps[n].shape[1:3] != (H, W)]
 
     if full_names:
-        # ---- combined full-res gather: depth + every full-res map ----
-        # (a contiguous 2-pixel-slice lax.gather variant was tried and is
-        # ~40x SLOWER: TPU lowers small unaligned gather slices to scalar
-        # loops; jnp.take of whole table rows is the fast form)
-        table = jnp.concatenate(
-            [state.depth[..., None]] + [maps[n] for n in full_names], axis=-1
-        ).reshape(V, H * W, -1)
-        idx4, bw4, sel4, ninb = jax.vmap(
-            lambda p: _fullres_taps(p, (H, W))
-        )(xy)  # (V, N, 4[, .])
+        # ---- combined packed full-res gather: depth + every full-res map.
+        # (per-corner jnp.take taps were 4.3x slower; a contiguous
+        # 2-pixel-slice lax.gather variant is ~40x slower: TPU lowers small
+        # unaligned gather slices to scalar loops. One whole-row take from
+        # the pre-packed 2x2-corner table is the fast form.)
+        if packed_table is None:
+            packed_table = pack_corner_table(state, names)
+        ctot = packed_table.shape[-1] // 4
+        base, bw4, sel4, ninb = jax.vmap(
+            lambda p: _fullres_taps_packed(p, (H, W))
+        )(xy)  # (V, N[, .])
         rows = jnp.stack(
-            [
-                jnp.take(table[v], idx4[v].reshape(-1), axis=0).reshape(
-                    N, 4, table.shape[-1]
-                )
-                for v in range(V)
-            ]
-        )  # (V, N, 4, Ctot)
+            [jnp.take(packed_table[v], base[v], axis=0) for v in range(V)]
+        ).reshape(V, N, 4, ctot)  # (V, N, 4, Ctot)
         inter_depth = (rows[..., 0] * sel4).sum(-1) * ninb  # (V, N)
     else:
         # dist-only query: single nearest tap per view. Width-1 element
         # gathers are latency-bound on TPU; fetching 128-wide rows and
-        # selecting the lane with a one-hot dot is ~25% faster.
+        # selecting the lane with a one-hot dot is ~20% faster (and beats a
+        # 4-wide packed-corner gather, which only wins once >=1 full-res map
+        # shares the row).
         inter_depth = jnp.stack(
             [_nearest_via_rows(state.depth[v], xy[v], (H, W)) for v in range(V)]
         )

@@ -57,3 +57,19 @@ def test_eval_field_fused_matches_reference_impl(scene, qpts):
     np.testing.assert_allclose(np.asarray(fused["dist"]), np.asarray(base["dist"]), rtol=1e-5, atol=1e-6)
     for k in names:
         np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(base[k]), rtol=1e-4, atol=1e-5)
+    # precomputed packed-corner table (the form batch_eval hoists out of the
+    # tile loop) must be identical to the inline path
+    packed = kernels.pack_corner_table(st, names)
+    pre = kernels.eval_field_fused(st, jnp.asarray(qpts), names, packed_table=packed)
+    for k in ("dist",) + names:
+        np.testing.assert_array_equal(np.asarray(pre[k]), np.asarray(fused[k]))
+
+
+def test_batch_eval_pallas_path_matches(scene, qpts):
+    st = _state(scene)
+    names = ("dino_feats", "mask")
+    base = ffusion.batch_eval(st, qpts, names, tile=128, use_pallas=False)
+    fused = ffusion.batch_eval(st, qpts, names, tile=128, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(fused["dist"]), np.asarray(base["dist"]), rtol=1e-5, atol=1e-6)
+    for k in names:
+        np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(base[k]), rtol=1e-4, atol=1e-5)
