@@ -31,6 +31,14 @@ def build_parser():
     p.add_argument("--value_dim", type=int, default=512)
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--out", default="out/eval_xmem")
+    p.add_argument("--flip", action="store_true",
+                   help="test-time augmentation: propagate the horizontally "
+                        "flipped video, un-flip predictions (XMem/eval.py "
+                        "--flip)")
+    p.add_argument("--save_scores", action="store_true",
+                   help="also save per-object probability maps as .npy for "
+                        "multi-scale/flip merging (XMem/eval.py "
+                        "--save_scores; merge with apps.merge_scores)")
     return p
 
 
@@ -109,16 +117,25 @@ def main(argv=None):
         )
         vdir = os.path.join(args.out, vid)
         os.makedirs(vdir, exist_ok=True)
-        onehot = tracker.process(rgb0[None], m0[None])
+        if args.flip:
+            rgb0, m0 = rgb0[:, ::-1], m0[:, ::-1]
+        onehot = tracker.process(np.ascontiguousarray(rgb0[None]),
+                                 np.ascontiguousarray(m0[None]))
         for t in range(1, args.frames):
             rgb, gt = get(t)
+            if args.flip:
+                rgb = np.ascontiguousarray(rgb[:, ::-1])
             tp.start()
             onehot = tracker.process(rgb[None])
             tp.stop(units=1, result_tree=None)
-            pred = onehot[0].argmax(-1).astype(np.uint8)
+            prob = onehot[0][:, ::-1] if args.flip else onehot[0]  # (H, W, O+1)
+            pred = prob.argmax(-1).astype(np.uint8)
             import cv2
 
             cv2.imwrite(os.path.join(vdir, f"{t:05d}.png"), pred)
+            if args.save_scores:
+                np.save(os.path.join(vdir, f"{t:05d}.npy"),
+                        prob.astype(np.float16))
             if gt is not None and gt.max() > 0:
                 inter = ((pred > 0) & (gt > 0)).sum()
                 union = ((pred > 0) | (gt > 0)).sum()

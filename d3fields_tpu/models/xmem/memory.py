@@ -118,7 +118,12 @@ def init_memory(
         hidden=z((num_objects, h, w, ch)),
         hw=hw, top_k=cfg.top_k,
         min_elements=cfg.min_mid_term_frames * hw,
-        num_prototypes=cfg.num_prototypes,
+        # consolidation picks prototypes from the candidate block of
+        # wc - min_elements entries; clamp for tiny key grids (the
+        # reference always has hw >= 1200 so never hits this)
+        num_prototypes=min(
+            cfg.num_prototypes, wc - cfg.min_mid_term_frames * hw
+        ),
     )
 
 

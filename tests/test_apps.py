@@ -89,3 +89,46 @@ def test_aggregate_colored_pcd_bounds():
     assert pts[:, 2].min() >= 0.001 and (cols >= 0).all() and (cols <= 1).all()
     keep = remove_statistical_outliers(pts[:2000])
     assert 0 < keep.shape[0] <= min(pts.shape[0], 2000)
+
+
+def test_eval_xmem_flip_scores_and_merge(tmp_path):
+    """eval_xmem --synthetic with flip TTA + score saving, then merge the
+    plain and flipped runs (reference XMem/eval.py --flip/--save_scores +
+    merge_multi_scale.py)."""
+    from d3fields_tpu.apps.eval_xmem import main as eval_main
+    from d3fields_tpu.apps.merge_scores import main as merge_main
+
+    common = ["--synthetic", "--frames", "3", "--size", "48",
+              "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+              "--save_scores"]
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "flip")
+    assert eval_main(common + ["--out", out_a]) == 0
+    assert eval_main(common + ["--out", out_b, "--flip"]) == 0
+    for out in (out_a, out_b):
+        assert os.path.exists(os.path.join(out, "synthetic_0", "00001.png"))
+        assert os.path.exists(os.path.join(out, "synthetic_0", "00001.npy"))
+    prob = np.load(os.path.join(out_a, "synthetic_0", "00001.npy"))
+    assert prob.ndim == 3 and prob.shape[:2] == (120, 160)
+
+    merged = str(tmp_path / "merged")
+    assert merge_main(["--inputs", out_a, out_b, "--out", merged]) == 0
+    import cv2
+
+    m = cv2.imread(os.path.join(merged, "synthetic_0", "00001.png"),
+                   cv2.IMREAD_GRAYSCALE)
+    assert m is not None and m.shape == (120, 160)
+
+
+def test_train_xmem_synthetic(tmp_path):
+    from d3fields_tpu.apps.train_xmem import main as train_main
+
+    out = str(tmp_path / "train")
+    rc = train_main([
+        "--synthetic", "--steps", "2", "--batch", "1", "--num_frames", "3",
+        "--size", "48", "64", "--key_dim", "8", "--value_dim", "16",
+        "--hidden_dim", "8", "--save_every", "2", "--log_every", "1",
+        "--out", out,
+    ])
+    assert rc == 0
+    assert any(f.startswith("ckpt") or f.endswith(".pkl") for f in os.listdir(out))

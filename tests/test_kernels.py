@@ -65,6 +65,32 @@ def test_eval_field_fused_matches_reference_impl(scene, qpts):
         np.testing.assert_array_equal(np.asarray(pre[k]), np.asarray(fused[k]))
 
 
+def test_bf16_descriptor_drift_within_budget(rng):
+    """The TPU-default bf16 interpolation matmul must stay inside the
+    <1e-3 descriptor cosine-error budget (BASELINE.json north star; the
+    reference's fp16-vs-fp32 drift harness, ``fusion.py:1729-1744``)."""
+    V, h, w, C = 4, 24, 32, 1024
+    H, W = 240, 320
+    N = 513
+    feats = rng.standard_normal((V, h * w, C)).astype(np.float32)
+    xy = rng.uniform(0, 300, size=(V, N, 2)).astype(np.float32)
+    vw = rng.uniform(0, 1, size=(V, N)).astype(np.float32)
+    idx, tw = jax.vmap(lambda p: geometry.bilinear_taps(jnp.asarray(p), (H, W), (h, w)))(
+        jnp.asarray(xy)
+    )
+    tw = tw * jnp.asarray(vw)[..., None]
+    f = jnp.asarray(feats)
+    hi = np.asarray(kernels.fused_weighted_interp(
+        f, idx, tw, interpret=True, matmul_dtype="float32"))
+    lo = np.asarray(kernels.fused_weighted_interp(
+        f, idx, tw, interpret=True, matmul_dtype="bfloat16"))
+    keep = np.linalg.norm(hi, axis=-1) > 1e-3
+    cos = np.sum(hi * lo, -1) / (
+        np.linalg.norm(hi, axis=-1) * np.linalg.norm(lo, axis=-1) + 1e-12
+    )
+    assert (1.0 - cos[keep]).max() < 1e-3
+
+
 def test_batch_eval_pallas_path_matches(scene, qpts):
     st = _state(scene)
     names = ("dino_feats", "mask")
