@@ -285,7 +285,10 @@ def key_projection(f16: Array, p: Params, *, need_s: bool, need_e: bool):
 
 def soft_aggregate(prob: Array, axis: int) -> Array:
     """Soft aggregation from STM (``aggregate.py:6-19``): prepend implicit
-    background prod(1-p), renormalize through logits."""
+    background prod(1-p), renormalize through logits. Always computed in
+    f32: in bf16 the clip bound 1-1e-7 rounds to exactly 1.0 and the logit
+    becomes log(inf) -> NaN."""
+    prob = prob.astype(jnp.float32)
     bg = jnp.prod(1.0 - prob, axis=axis, keepdims=True)
     new_prob = jnp.concatenate([bg, prob], axis=axis)
     new_prob = jnp.clip(new_prob, 1e-7, 1.0 - 1e-7)

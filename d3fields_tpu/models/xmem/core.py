@@ -15,6 +15,7 @@ Frame schedule (host-side counters, mirrors ``inference_core.py:50-56``):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -39,40 +40,67 @@ def _flatten_key(key: Array, shrinkage: Optional[Array],
     return k, s, e
 
 
-def seed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array):
+def _cast_floats(tree, dt):
+    if dt == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dt)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def seed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
+              compute_dtype: str = "float32"):
     """Frame-0 step: seed memory from given per-object masks.
 
     image (H, W, 3) normalized, H/W multiples of 16; mask_prob (O, H, W)
     in [0, 1] (no background channel). Returns (prob_with_bg (O+1, H, W),
     updated memory). Mirrors ``inference_core.py:75-105`` with mask given.
+    ``compute_dtype`` is the CNN dtype (memory buffers keep f32 —
+    ``add_memory`` casts on store).
     """
+    dt = jnp.dtype(compute_dtype)
+    paramsc = _cast_floats(params, dt)
     key, shrinkage, selection, f16, f8, f4 = N.encode_key(
-        params, image[None], need_sk=True, need_ek=True
+        paramsc, image.astype(dt)[None], need_sk=True, need_ek=True
     )
     prob_with_bg = B.soft_aggregate(mask_prob, axis=0)
 
     value, hidden = N.encode_value(
-        params, image, f16[0], mem.hidden, prob_with_bg[1:], is_deep_update=True
+        paramsc, image.astype(dt), f16[0], mem.hidden.astype(dt),
+        prob_with_bg[1:].astype(dt), is_deep_update=True,
     )
     k, s, e = _flatten_key(key[0], shrinkage[0], selection[0])
     O, h, w, cv = value.shape
     v = value.reshape(O, h * w, cv).transpose(0, 2, 1)
-    mem = mem.replace(hidden=hidden)
+    mem = mem.replace(hidden=hidden.astype(mem.hidden.dtype))
     mem = M.add_memory(mem, k, s, v, e)
-    return prob_with_bg, mem
+    return prob_with_bg.astype(jnp.float32), mem
 
 
-@jax.jit
-def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array):
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
+               compute_dtype: str = "float32"):
     """One compiled step covers BOTH frame kinds: ``is_mem_frame`` is a
     traced bool selecting the memory-write branch with ``lax.cond`` (a
     static flag would compile two full executables, each a multi-minute
-    remote compile on the tunnel)."""
+    remote compile on the tunnel).
+
+    ``compute_dtype`` sets the CNN (encode_key / segment / encode_value)
+    dtype; the memory attention always runs f32 (keys/values are cast on
+    store/load), so bf16 halves conv time without touching the affinity
+    math.
+    """
+    dt = jnp.dtype(compute_dtype)
+    paramsc = _cast_floats(params, dt)
+    image = image.astype(dt)
     key, shrinkage, selection, f16, f8, f4 = N.encode_key(
-        params, image[None], need_sk=True, need_ek=True
+        paramsc, image[None], need_sk=True, need_ek=True
     )
     qk, _, qe = _flatten_key(key[0], None, selection[0])
-    readout, mem = M.match_memory(mem, qk, qe)  # (O, CV, hw)
+    f32 = mem.wk.dtype
+    readout, mem = M.match_memory(mem, qk.astype(f32), qe.astype(f32))
     O, cv, hw = readout.shape
     h, w = key.shape[1], key.shape[2]
     readout = readout.transpose(0, 2, 1).reshape(O, h, w, cv)
@@ -80,34 +108,45 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array):
     # the decoder GRU hidden is only used on non-mem frames but is cheap;
     # computing it unconditionally keeps the cond branches same-shaped
     dec_hidden, logits, prob_with_bg = N.segment(
-        params, f16[0], f8[0], f4[0], mem.hidden, readout, h_out=True,
+        paramsc, f16[0], f8[0], f4[0], mem.hidden.astype(dt),
+        readout.astype(dt), h_out=True,
     )
 
     def mem_branch(mem):
         value, hidden = N.encode_value(
-            params, image, f16[0], mem.hidden, prob_with_bg[1:],
-            is_deep_update=True,
+            paramsc, image, f16[0], mem.hidden.astype(dt),
+            prob_with_bg[1:].astype(dt), is_deep_update=True,
         )
         k, s, e = _flatten_key(key[0], shrinkage[0], selection[0])
         v = value.reshape(O, h * w, cv).transpose(0, 2, 1)
-        return M.add_memory(mem.replace(hidden=hidden), k, s, v, e)
+        return M.add_memory(
+            mem.replace(hidden=hidden.astype(mem.hidden.dtype)), k, s, v, e
+        )
 
     def normal_branch(mem):
-        return mem.replace(hidden=dec_hidden)
+        return mem.replace(hidden=dec_hidden.astype(mem.hidden.dtype))
 
     mem = jax.lax.cond(is_mem_frame, mem_branch, normal_branch, mem)
-    return prob_with_bg, mem
+    return prob_with_bg.astype(jnp.float32), mem
 
 
-seed_step_jit = jax.jit(seed_step)
+seed_step_jit = jax.jit(seed_step, static_argnames=("compute_dtype",))
 # vmapped multi-camera variants (params shared, memory/images stacked)
-seed_step_views = jax.jit(jax.vmap(seed_step, in_axes=(None, 0, 0, 0)))
 
 
-@jax.jit
-def propagate_step_views(params, mem, images, is_mem_frame: Array):
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def seed_step_views(params, mem, images, mask_prob,
+                    compute_dtype: str = "float32"):
     return jax.vmap(
-        lambda m, im: _propagate(params, m, im, is_mem_frame)
+        lambda m, im, mp: seed_step(params, m, im, mp, compute_dtype)
+    )(mem, images, mask_prob)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def propagate_step_views(params, mem, images, is_mem_frame: Array,
+                         compute_dtype: str = "float32"):
+    return jax.vmap(
+        lambda m, im: _propagate(params, m, im, is_mem_frame, compute_dtype)
     )(mem, images)
 
 
@@ -158,7 +197,8 @@ class XMemCore:
         self.curr_ti += 1
         if mask_prob is not None:
             prob, self.mem = seed_step_views(
-                self.params, self.mem, images, mask_prob
+                self.params, self.mem, images, mask_prob,
+                self.cfg.compute_dtype,
             )
             self.last_mem_ti = self.curr_ti
             return prob
@@ -166,7 +206,8 @@ class XMemCore:
             raise ValueError("first frame must provide masks")
         is_mem_frame = (self.curr_ti - self.last_mem_ti) >= self.cfg.mem_every
         prob, self.mem = propagate_step_views(
-            self.params, self.mem, images, jnp.asarray(is_mem_frame)
+            self.params, self.mem, images, jnp.asarray(is_mem_frame),
+            self.cfg.compute_dtype,
         )
         if is_mem_frame:
             self.last_mem_ti = self.curr_ti

@@ -10,6 +10,7 @@ Two layers of validation:
    checked against the static-buffer implementation.
 """
 
+import dataclasses
 import os
 import sys
 
@@ -424,6 +425,38 @@ def test_core_schedule_and_consolidation():
     # mem frames at t=2,4,6,8 -> sizes (in units of hw): 1,2,2,3,3,4->2,2,3
     assert sizes == [hw, 2 * hw, 2 * hw, 3 * hw, 3 * hw, 2 * hw, 2 * hw, 3 * hw]
     assert int(np.asarray(core.mem.l_size)[0]) == cfg.num_prototypes
+
+
+def test_core_bf16_compute_close_to_f32():
+    """compute_dtype='bfloat16' (CNNs in bf16, memory attention f32) must
+    track the f32 step closely: same argmax masks on nearly all pixels."""
+    cfg32 = XMemConfig(max_mid_term_frames=4, min_mid_term_frames=2,
+                       num_prototypes=8, max_long_term_elements=64,
+                       top_k=5, mem_every=2)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    params = N.init_params(jax.random.PRNGKey(2), cfg32)
+    rs = np.random.RandomState(3)
+    V, O, H, W = 1, 2, 48, 48
+    a = C.XMemCore(params, cfg32, num_views=V, num_objects=O, image_hw=(H, W))
+    b = C.XMemCore(params, cfg16, num_views=V, num_objects=O, image_hw=(H, W))
+    imgs = jnp.asarray(rs.rand(V, H, W, 3).astype(np.float32))
+    mask = jnp.asarray((rs.rand(V, O, H, W) > 0.5).astype(np.float32))
+    pa = np.asarray(a.step(imgs, mask))
+    pb = np.asarray(b.step(imgs, mask))
+    assert pb.dtype == np.float32
+    np.testing.assert_allclose(pa, pb, rtol=0, atol=1e-6)  # seed uses given mask
+    for t in range(1, 4):
+        frame = jnp.asarray(rs.rand(V, H, W, 3).astype(np.float32))
+        pa = np.asarray(a.step(frame))
+        pb = np.asarray(b.step(frame))
+        agree = (pa.argmax(1) == pb.argmax(1)).mean()
+        # random-init weights on noise give near-uniform probs, where any
+        # drift flips the argmax; trained weights sit far from the decision
+        # boundary. Bound the drift itself tightly and the flips loosely.
+        assert agree > 0.9, f"frame {t}: argmax agreement {agree}"
+        drift = np.abs(pa - pb)
+        assert np.quantile(drift, 0.99) < 0.1, f"frame {t}: p99 drift"
+        assert np.isfinite(pb).all()
 
 
 # ---------------------------------------------------------------------------
