@@ -228,16 +228,32 @@ class Dinov2Backbone:
         if patch_hw is None:
             patch_hw = (H // 10, W // 10)
         ph, pw = patch_hw
-        pixels = jnp.asarray(images, jnp.float32) / 255.0
-        pixels = bilinear_resize(pixels, (ph * P, pw * P))
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
-        pixels = (pixels - mean) / std
         pos = self.interpolated_pos_embed(ph, pw)
-        tokens = forward_tokens(
-            self.params, pixels, pos, self.cfg.num_heads, self.compute_dtype
+        # ONE dispatch for upload + preprocess + forward: separate
+        # resize/normalize ops each pay a host->device round trip (~20 ms
+        # apiece through a remote-tunnel backend).
+        return _extract_patch_features(
+            self.params, jnp.asarray(images), pos, (ph * P, pw * P),
+            self.cfg.num_heads, self.compute_dtype,
         )
-        return tokens[:, 1:].reshape(K, ph, pw, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("resize_hw", "num_heads", "compute_dtype")
+)
+def _extract_patch_features(params, images_u8, pos_embed, resize_hw,
+                            num_heads, compute_dtype):
+    """uint8 (K, H, W, 3) -> (K, ph, pw, D) patch tokens, fully fused."""
+    pixels = images_u8.astype(jnp.float32) / 255.0
+    pixels = bilinear_resize(pixels, resize_hw)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    pixels = (pixels - mean) / std
+    tokens = forward_tokens(params, pixels, pos_embed, num_heads, compute_dtype)
+    K = images_u8.shape[0]
+    P = int(np.sqrt(params["patch_w"].shape[0] // 3))
+    ph, pw = resize_hw[0] // P, resize_hw[1] // P
+    return tokens[:, 1:].reshape(K, ph, pw, -1)
 
 
 # ---------------------------------------------------------------------------
