@@ -77,8 +77,15 @@ def main(argv=None):
 
     mesh = None
     if args.dp > 1:
-        from d3fields_tpu.parallel.mesh import make_mesh, replicate
+        from d3fields_tpu.parallel.mesh import (
+            initialize_distributed, make_mesh, replicate,
+        )
 
+        # multi-host: the reference's init_process_group (XMem/train.py:25);
+        # no-op single-process
+        if initialize_distributed():
+            print(f"[train_xmem] multi-host: process "
+                  f"{jax.process_index()}/{jax.process_count()}")
         mesh = make_mesh(dp=args.dp, tp=1)
         state = TR.TrainState(
             replicate(mesh, state.params),

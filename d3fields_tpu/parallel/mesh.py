@@ -48,6 +48,46 @@ def available_devices(min_devices: int = 1):
     return devices
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host runtime initialization.
+
+    The reference's ``torch.distributed.init_process_group(backend="nccl")``
+    + rank/world-size plumbing (``XMem/train.py:25,39-41``), rebuilt on
+    ``jax.distributed``: after this, ``jax.devices()`` spans every host's
+    chips and mesh axes laid over them communicate over ICI/DCN.
+
+    Explicit arguments win; otherwise cluster auto-detection (TPU metadata,
+    SLURM, ``JAX_COORDINATOR_ADDRESS``) is attempted. Returns True when a
+    multi-process runtime was initialized, False for the single-process
+    fallback (the common local case — callers need no branch).
+    """
+    explicit = coordinator_address is not None
+    auto = any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID",
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
+    if not explicit and not auto:
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
               axis_names: Tuple[str, str] = ("dp", "tp")):
     """(dp x tp) mesh; dp defaults to all devices / tp."""

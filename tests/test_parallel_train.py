@@ -198,3 +198,15 @@ def test_video_clip_loader_feeds_trainer():
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
     state, out = TR.train_step(state, jbatch, cfg, opt)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """Without coordinator args or cluster env the init is a no-op False
+    (the local single-process path needs no branch in callers)."""
+    from d3fields_tpu.parallel.mesh import initialize_distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    assert initialize_distributed() is False
