@@ -99,3 +99,44 @@ def test_batch_eval_pallas_path_matches(scene, qpts):
     np.testing.assert_allclose(np.asarray(fused["dist"]), np.asarray(base["dist"]), rtol=1e-5, atol=1e-6)
     for k in names:
         np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(base[k]), rtol=1e-4, atol=1e-5)
+
+
+def test_packed_taps_adversarial_coords(rng):
+    """Packed 2x2-corner readout vs the oracle samplers on adversarial
+    image-space points: exact pixel centers, half-pixel boundaries, the
+    image border, just-outside, and far-outside points."""
+    H, W = 48, 64
+    V = 1
+    C = 3
+    img = rng.standard_normal((H, W, C)).astype(np.float32)
+    depth = rng.uniform(0.5, 1.0, (H, W)).astype(np.float32) + 1.0
+
+    xs = np.array([0.0, 1.0, 0.5, 31.5, 62.999, 63.0, -0.4, -0.6, 63.4,
+                   63.6, -50.0, 200.0, 17.25, 17.75], np.float32)
+    ys = np.array([0.0, 2.0, 0.5, 23.5, 46.999, 47.0, -0.4, -0.6, 47.4,
+                   47.6, -9.0, 100.0, 31.25, 0.0], np.float32)
+    xy = jnp.asarray(np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2))
+
+    # oracle: the grid_sample-parity samplers (torch-verified elsewhere)
+    ref_bil = np.asarray(geometry.sample_map_bilinear(jnp.asarray(img), xy, (H, W)))
+    ref_nn = np.asarray(
+        geometry.sample_map_nearest(jnp.asarray(depth[..., None]), xy, (H, W))
+    )[:, 0]
+
+    # packed path
+    from d3fields_tpu.fields.state import FieldState
+
+    st = FieldState(
+        depth=jnp.asarray(depth[None]),
+        pose=jnp.asarray(np.eye(3, 4, dtype=np.float32)[None]),
+        K=jnp.asarray(np.eye(3, dtype=np.float32)[None]),
+        mask=jnp.asarray(img[None]),
+    )
+    packed = kernels.pack_corner_table(st, ("mask",))
+    base, bw, sel, ninb = kernels._fullres_taps_packed(xy, (H, W))
+    rows = jnp.take(packed[0], base, axis=0).reshape(xy.shape[0], 4, 1 + C)
+    got_nn = np.asarray((rows[..., 0] * sel).sum(-1) * ninb)
+    got_bil = np.asarray((rows[..., 1:] * bw[..., None]).sum(axis=1))
+
+    np.testing.assert_allclose(got_nn, ref_nn, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_bil, ref_bil, rtol=1e-5, atol=1e-6)
