@@ -128,12 +128,18 @@ def main(argv=None):
             tp.start()
             onehot = tracker.process(rgb[None])
             tp.stop(units=1, result_tree=None)
-            prob = onehot[0][:, ::-1] if args.flip else onehot[0]  # (H, W, O+1)
-            pred = prob.argmax(-1).astype(np.uint8)
+            oh = onehot[0][:, ::-1] if args.flip else onehot[0]  # (H, W, O+1)
+            pred = oh.argmax(-1).astype(np.uint8)
             import cv2
 
             cv2.imwrite(os.path.join(vdir, f"{t:05d}.png"), pred)
             if args.save_scores:
+                # SOFT per-object probabilities (reference --save_scores
+                # semantics), not the argmaxed one-hot — merging runs
+                # averages real confidences
+                prob = np.asarray(tracker.last_prob)[0].transpose(1, 2, 0)
+                if args.flip:
+                    prob = prob[:, ::-1]
                 np.save(os.path.join(vdir, f"{t:05d}.npy"),
                         prob.astype(np.float16))
             if gt is not None and gt.max() > 0:

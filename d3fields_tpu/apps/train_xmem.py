@@ -42,6 +42,17 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Multi-host runtime init (the reference's init_process_group,
+    # XMem/train.py:25) MUST precede the first JAX computation —
+    # jax.distributed.initialize refuses once any backend is live.
+    if args.dp > 1:
+        from d3fields_tpu.parallel.mesh import initialize_distributed
+
+        if initialize_distributed():
+            import jax as _jax
+
+            print(f"[train_xmem] multi-host: process "
+                  f"{_jax.process_index()}/{_jax.process_count()}")
     import jax
     import jax.numpy as jnp
 
@@ -77,15 +88,8 @@ def main(argv=None):
 
     mesh = None
     if args.dp > 1:
-        from d3fields_tpu.parallel.mesh import (
-            initialize_distributed, make_mesh, replicate,
-        )
+        from d3fields_tpu.parallel.mesh import make_mesh, replicate
 
-        # multi-host: the reference's init_process_group (XMem/train.py:25);
-        # no-op single-process
-        if initialize_distributed():
-            print(f"[train_xmem] multi-host: process "
-                  f"{jax.process_index()}/{jax.process_count()}")
         mesh = make_mesh(dp=args.dp, tp=1)
         state = TR.TrainState(
             replicate(mesh, state.params),

@@ -180,6 +180,31 @@ def bilinear_taps(
     Pallas fused-fusion kernel consumes (interpolation-matrix matmul on the
     MXU instead of a vector gather).
     """
+    h, w = map_hw
+    x0i, y0i, wgts = bilinear_corner_weights(xy, image_hw, map_hw,
+                                             align_corners=align_corners)
+    idxs = []
+    for tap, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xc = jnp.clip(x0i + dx, 0, w - 1)
+        yc = jnp.clip(y0i + dy, 0, h - 1)
+        idxs.append(yc * w + xc)
+    return jnp.stack(idxs, axis=-1), wgts
+
+
+def bilinear_corner_weights(
+    xy: Array,
+    image_hw: Tuple[int, int],
+    map_hw: Tuple[int, int],
+    *,
+    align_corners: bool = True,
+) -> Tuple[Array, Array, Array]:
+    """The shared zeros-padding grid_sample corner decomposition.
+
+    Returns (x0i (N,), y0i (N,) int32 floor corner, w (N, 4) bilinear
+    weights in tap order (0,0),(0,1),(1,0),(1,1) with out-of-bounds taps
+    zeroed). Single source of the parity-critical weight/boundary rules for
+    both :func:`bilinear_taps` and the kernels' packed corner tables.
+    """
     H, W = image_hw
     h, w = map_hw
     ix = _unnormalize(xy[:, 0], W, w, align_corners)
@@ -190,8 +215,6 @@ def bilinear_taps(
     ty = iy - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-
-    idxs = []
     wgts = []
     for dy, dx, wgt in (
         (0, 0, (1 - tx) * (1 - ty)),
@@ -199,14 +222,12 @@ def bilinear_taps(
         (1, 0, (1 - tx) * ty),
         (1, 1, tx * ty),
     ):
-        xi = x0i + dx
-        yi = y0i + dy
-        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        yc = jnp.clip(yi, 0, h - 1)
-        idxs.append(yc * w + xc)
+        inb = (
+            (x0i + dx >= 0) & (x0i + dx <= w - 1)
+            & (y0i + dy >= 0) & (y0i + dy <= h - 1)
+        )
         wgts.append(wgt * inb.astype(wgt.dtype))
-    return jnp.stack(idxs, axis=-1), jnp.stack(wgts, axis=-1)
+    return x0i, y0i, jnp.stack(wgts, axis=-1)
 
 
 def interpolate_maps(

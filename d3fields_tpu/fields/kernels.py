@@ -201,32 +201,16 @@ def _fullres_taps_packed(xy: Array, hw: Tuple[int, int]):
     parity for both modes.
     """
     H, W = hw
-    ix = geometry._unnormalize(xy[:, 0], W, W, True)
-    iy = geometry._unnormalize(xy[:, 1], H, H, True)
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    tx = ix - x0
-    ty = iy - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    wgts = []
-    for dy, dx, wgt in (
-        (0, 0, (1 - tx) * (1 - ty)),
-        (0, 1, tx * (1 - ty)),
-        (1, 0, (1 - tx) * ty),
-        (1, 1, tx * ty),
-    ):
-        inb = (
-            (x0i + dx >= 0) & (x0i + dx <= W - 1)
-            & (y0i + dy >= 0) & (y0i + dy <= H - 1)
-        )
-        wgts.append(wgt * inb.astype(xy.dtype))
-    bw = jnp.stack(wgts, axis=-1)
+    # shared parity-critical corner/weight rules (zeros padding,
+    # align_corners unnormalize) live in geometry.bilinear_corner_weights
+    x0i, y0i, bw = geometry.bilinear_corner_weights(xy, (H, W), (H, W))
     # Packed rows are indexed by top-left corner over the 1-px-padded grid
     # (y0 in [-1, H-1], x0 in [-1, W-1]); points farther out clamp onto a
     # valid row whose contribution is killed by the zero weights above.
     base = (jnp.clip(y0i, -1, H - 1) + 1) * (W + 1) + (jnp.clip(x0i, -1, W - 1) + 1)
     # nearest corner: round-half-even relative to the bilinear base corner
+    ix = geometry._unnormalize(xy[:, 0], W, W, True)
+    iy = geometry._unnormalize(xy[:, 1], H, H, True)
     rx = jnp.round(ix).astype(jnp.int32)
     ry = jnp.round(iy).astype(jnp.int32)
     nearest_inb = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)

@@ -61,9 +61,11 @@ def initialize_distributed(
     chips and mesh axes laid over them communicate over ICI/DCN.
 
     Explicit arguments win; otherwise cluster auto-detection (TPU metadata,
-    SLURM, ``JAX_COORDINATOR_ADDRESS``) is attempted. Returns True when a
-    multi-process runtime was initialized, False for the single-process
-    fallback (the common local case — callers need no branch).
+    ``JAX_COORDINATOR_ADDRESS``, an srun step with >1 task) is attempted.
+    Returns True when a multi-process runtime was initialized, False for
+    the single-process fallback (the common local case — callers need no
+    branch). Must be called BEFORE the first JAX computation: jax refuses
+    to initialize the distributed runtime once a backend is live.
     """
     explicit = coordinator_address is not None
     auto = any(
@@ -71,12 +73,18 @@ def initialize_distributed(
         for k in (
             "JAX_COORDINATOR_ADDRESS",
             "COORDINATOR_ADDRESS",
-            "SLURM_JOB_ID",
             "TPU_WORKER_HOSTNAMES",
             "MEGASCALE_COORDINATOR_ADDRESS",
         )
     )
-    if not explicit and not auto:
+    # SLURM: a bare SLURM_JOB_ID (any sbatch/salloc shell) is NOT a
+    # multi-process launch; require an srun step with >1 task before
+    # handing off to jax's SlurmCluster auto-detection.
+    slurm = (
+        os.environ.get("SLURM_STEP_NODELIST")
+        and int(os.environ.get("SLURM_NTASKS", "1")) > 1
+    )
+    if not explicit and not auto and not slurm:
         return False
     import jax
 

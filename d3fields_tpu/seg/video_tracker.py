@@ -60,6 +60,7 @@ class VideoMaskTracker:
             image_hw=(ph, pw),
         )
         self.first_mask_loaded = False
+        self.last_prob = None  # (V, O+1, H, W) soft probs of the last step
 
     def clear_memory(self):
         self.core.clear_memory()
@@ -113,6 +114,10 @@ class VideoMaskTracker:
         H, W = self.image_hw
         flat = prob.reshape(V * O1, *prob.shape[2:])[..., None]
         up = bilinear_resize(flat, (H, W))[..., 0].reshape(V, O1, H, W)
+        # soft per-object probabilities at full resolution, kept on-device
+        # (the reference InferenceCore.step return; consumed by
+        # eval_xmem --save_scores)
+        self.last_prob = up
         idx = np.asarray(jnp.argmax(up, axis=1).astype(jnp.uint8))
         onehot = np.stack([idx == i for i in range(O1)], axis=-1)
         return onehot.astype(np.float32)

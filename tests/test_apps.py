@@ -110,6 +110,10 @@ def test_eval_xmem_flip_scores_and_merge(tmp_path):
         assert os.path.exists(os.path.join(out, "synthetic_0", "00001.npy"))
     prob = np.load(os.path.join(out_a, "synthetic_0", "00001.npy"))
     assert prob.ndim == 3 and prob.shape[:2] == (120, 160)
+    # scores must be SOFT probabilities (the reference --save_scores
+    # semantics), not the argmaxed one-hot
+    assert ((prob > 0.01) & (prob < 0.99)).any()
+    np.testing.assert_allclose(prob.sum(-1), 1.0, atol=2e-2)
 
     merged = str(tmp_path / "merged")
     assert merge_main(["--inputs", out_a, out_b, "--out", merged]) == 0

@@ -206,7 +206,13 @@ def test_initialize_distributed_single_process_noop(monkeypatch):
     from d3fields_tpu.parallel.mesh import initialize_distributed
 
     for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-              "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",
-              "MEGASCALE_COORDINATOR_ADDRESS"):
+              "SLURM_JOB_ID", "SLURM_STEP_NODELIST", "SLURM_NTASKS",
+              "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
         monkeypatch.delenv(k, raising=False)
+    assert initialize_distributed() is False
+    # a bare sbatch/salloc shell (SLURM_JOB_ID, single task) must also no-op
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    assert initialize_distributed() is False
+    monkeypatch.setenv("SLURM_STEP_NODELIST", "node01")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
     assert initialize_distributed() is False
