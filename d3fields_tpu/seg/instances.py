@@ -9,10 +9,15 @@ This layer is branchy, data-dependent, and tiny relative to the field core,
 so it deliberately runs on the host in numpy (SURVEY §7 architecture stance);
 the voxel hashing itself reuses :class:`d3fields_tpu.fields.geometry.VoxelHash`.
 
-Deviation from the reference (documented bugfix): duplicate indices in the
-deletion list are collapsed to a set before deletion — the reference's
-``sorted(to_delete, reverse=True)`` deletes a shifted neighbor when an index
-appears twice (``fusion.py:1040-1041``).
+Deviations from the reference (documented bugfixes):
+- duplicate indices in the deletion list are collapsed to a set before
+  deletion — the reference's ``sorted(to_delete, reverse=True)`` deletes a
+  shifted neighbor when an index appears twice (``fusion.py:1040-1041``);
+- a non-first-view background mask with ZERO overlap against every existing
+  background instance is dropped — the reference merges it into
+  ``instances_info[-1]`` (``max_iou_idx`` still -1, ``fusion.py:836-849``),
+  polluting whatever instance was appended last. Sub-threshold but nonzero
+  overlaps merge into the best background match exactly like the reference.
 """
 
 from __future__ import annotations
@@ -136,14 +141,17 @@ def merge_view(
             if iou > best_iou:
                 best_iou, best_k = iou, k
 
-        if best_iou > cfg.vox_merge_iou:
-            inst = instances[best_k]
+        def merge_into(k):
+            inst = instances[k]
             already_contributed = view_idx in inst.view_mask_idx
             inst.vox_idx = np.unique(np.concatenate([inst.vox_idx, idx_j]))
             if not already_contributed:
                 for v in set(idx_j.tolist()):
                     inst.conf_per_vox.setdefault(v, []).append(conf)
             inst.view_mask_idx[view_idx] = j
+
+        if best_iou > cfg.vox_merge_iou:
+            merge_into(best_k)
         elif label != "background" or view_idx == 0:
             uniq = np.unique(idx_j)
             instances.append(
@@ -154,6 +162,16 @@ def merge_view(
                     view_mask_idx={view_idx: j},
                 )
             )
+        elif best_k >= 0:
+            # reference fusion.py:828-849: a non-first-view background mask
+            # is never a new instance — it merges into the best background
+            # match even below the IoU threshold (its voxels and view vote
+            # still count in the filter stage's arbitration)
+            merge_into(best_k)
+        # else: no background instance overlaps at all. The reference
+        # indexes instances_info[max_iou_idx] with max_iou_idx == -1 here,
+        # silently polluting whatever instance was appended LAST with
+        # background voxels — deliberate deviation: drop the mask instead.
     return instances
 
 

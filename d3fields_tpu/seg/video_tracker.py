@@ -22,17 +22,21 @@ import numpy as np
 
 from d3fields_tpu.config import XMemConfig
 from d3fields_tpu.models.dinov2 import IMAGENET_MEAN, IMAGENET_STD
-from d3fields_tpu.models.resize import bilinear_resize
+from d3fields_tpu.models.resize import bilinear_resize, bilinear_resize_exact
 from d3fields_tpu.models.xmem.blocks import pad_divide_by, unpad
 from d3fields_tpu.models.xmem.core import XMemCore
 
 
 def _resize_min_side(hw: Tuple[int, int], size: int) -> Tuple[int, int]:
+    """torchvision min-side Resize shape rule (reference ``fusion.py:276``):
+    short side = size, long side = int(size * long / short) — truncation,
+    not rounding."""
     H, W = hw
     if size < 0:
         return H, W
-    scale = size / min(H, W)
-    return round(H * scale), round(W * scale)
+    if H <= W:
+        return size, int(size * W / H)
+    return int(size * H / W), size
 
 
 class VideoMaskTracker:
@@ -65,11 +69,15 @@ class VideoMaskTracker:
     def clear_memory(self):
         self.core.clear_memory()
         self.first_mask_loaded = False
+        self.last_prob = None
 
     def _prep_images(self, rgb: np.ndarray) -> jnp.ndarray:
         imgs = jnp.asarray(rgb, jnp.float32) / 255.0
         imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        imgs = bilinear_resize(imgs, self.resized_hw)
+        # torchvision 0.16 tensor Resize is NON-antialiased bilinear
+        # (F.interpolate antialias=False); jax.image.resize would antialias
+        # downscales and blur the encoder inputs relative to the reference
+        imgs = bilinear_resize_exact(imgs, self.resized_hw)
         imgs, _ = pad_divide_by(imgs, 16)
         return imgs
 

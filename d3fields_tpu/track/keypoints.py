@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from d3fields_tpu.fields import fusion as ffusion
 from d3fields_tpu.fields.geometry import create_grid
 from d3fields_tpu.fields.state import FieldState
-from d3fields_tpu.ops.fps import fps_np
+from d3fields_tpu.ops.pointcloud_native import fps_native
 
 DIST_THRESHOLD = 0.005
 PROB_THRESHOLD = 0.6
@@ -67,8 +67,6 @@ def select_keypoints(
         pts = cand[sel]
         if pts.shape[0] == 0:
             continue
-        from d3fields_tpu.ops.pointcloud_native import fps_native
-
         sample_pts, _ = fps_native(pts, num_per_instance, init_idx=init_idx)
         feats = ffusion.eval_field_jit(
             state, jnp.asarray(sample_pts, jnp.float32), ("dino_feats",)
@@ -110,8 +108,6 @@ def select_keypoints_from_depth(
     """
     import cv2
 
-    from d3fields_tpu.ops.pointcloud_native import fps_native
-
     depth = np.asarray(state.depth)
     Ks = np.asarray(state.K)
     poses = np.asarray(state.pose)
@@ -136,9 +132,13 @@ def select_keypoints_from_depth(
             pix = np.argwhere(m).astype(np.float32)  # (n, 2) = (y, x)
             if pix.shape[0] == 0:
                 continue
+            # always request num_per_cam: fps_native pads small sets by
+            # duplication (like the reference fps_np while-loop), so every
+            # contributing view yields a FIXED-size point set and the
+            # per-instance arrays stack in rigid_tracking
             sel, _ = fps_native(
                 np.concatenate([pix, np.zeros_like(pix[:, :1])], 1),
-                min(num_per_cam, pix.shape[0]), init_idx=init_idx,
+                num_per_cam, init_idx=init_idx,
             )
             ys, xs = sel[:, 0].astype(int), sel[:, 1].astype(int)
             z = depth[v][ys, xs]
@@ -152,6 +152,15 @@ def select_keypoints_from_depth(
         if not pts_all:
             continue
         sample_pts = np.concatenate(pts_all, axis=0).astype(np.float32)
+        # views with an empty eroded mask contribute nothing (the reference
+        # asserts/crashes there); pad by duplication so every instance has
+        # exactly V * num_per_cam points and the sets stack downstream
+        want = V * num_per_cam
+        if sample_pts.shape[0] < want:
+            reps = np.resize(
+                np.arange(sample_pts.shape[0]), want - sample_pts.shape[0]
+            )
+            sample_pts = np.concatenate([sample_pts, sample_pts[reps]], axis=0)
         feats = ffusion.eval_field_jit(
             state, jnp.asarray(sample_pts), ("dino_feats",)
         )["dino_feats"]

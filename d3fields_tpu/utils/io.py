@@ -35,7 +35,10 @@ def load_frame(data_path: str, t: int, num_cam: int) -> dict:
             raise FileNotFoundError(os.path.join(cam, "color", f"{t}.png"))
         depth = cv2.imread(
             os.path.join(cam, "depth", f"{t}.png"), cv2.IMREAD_ANYDEPTH
-        ).astype(np.float32) / 1000.0
+        )
+        if depth is None:
+            raise FileNotFoundError(os.path.join(cam, "depth", f"{t}.png"))
+        depth = depth.astype(np.float32) / 1000.0
         ext = np.load(os.path.join(cam, "camera_extrinsics.npy"))
         fx, fy, cx, cy = np.load(os.path.join(cam, "camera_params.npy"))[:4]
         K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)

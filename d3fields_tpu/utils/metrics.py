@@ -2,8 +2,7 @@
 
 Rebuilds the reference's observability helpers: ``AverageMeter``
 (``utils/my_utils.py:394-411``), XMem's metric ``Integrator``
-(``XMem/util/log_integrator.py``) with a cross-device mean over a mesh
-axis replacing its ``all_reduce``, and the ``Tee`` stdout capture
+(``XMem/util/log_integrator.py``), and the ``Tee`` stdout capture
 (``utils/my_utils.py:373-391``). TensorBoard logging
 (``XMem/util/logger.py:22-46``) writes JSONL instead — greppable, no
 TensorFlow dependency.
@@ -40,9 +39,14 @@ class AverageMeter:
 
 
 class Integrator:
-    """Accumulate scalar dicts; ``finalize`` averages (optionally a global
-    mean over a mesh axis — the DDP ``all_reduce`` of
-    ``log_integrator.py``)."""
+    """Accumulate scalar dicts; ``finalize`` averages what was added.
+
+    The reference Integrator all_reduces across DDP ranks
+    (``log_integrator.py``); here no cross-process reduction is needed —
+    the trainer's metrics come out of a mesh-sharded jitted step, so each
+    value is already the GLOBAL mean over the whole (dp-sharded) batch and
+    every process logs identical numbers. Feed it per-host values only if
+    they were reduced inside the step."""
 
     def __init__(self, logger: Optional["JsonlLogger"] = None):
         self.logger = logger

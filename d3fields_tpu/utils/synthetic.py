@@ -35,9 +35,12 @@ def render_sphere_scene(
         spheres = [([0.0, 0.0, 0.06], 0.12), ([0.18, 0.05, 0.05], 0.07)]
     centers = np.array([c for c, _ in spheres], np.float64)
     radii = np.array([r for _, r in spheres], np.float64)
+    # camera rig aims at the BASE sphere layout: offsets animate the
+    # objects, not the cameras, so multi-frame videos keep a static rig
+    # (the recorded-scene layout tracking demos emulate)
+    look_at = centers.mean(axis=0)
     if sphere_offsets is not None:
         centers = centers + np.asarray(sphere_offsets, np.float64)
-    look_at = centers.mean(axis=0)
 
     cx, cy = W / 2.0, H / 2.0
     K = np.array([[focal, 0, cx], [0, focal, cy], [0, 0, 1]], np.float32)

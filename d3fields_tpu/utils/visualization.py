@@ -80,12 +80,15 @@ def aggregate_colored_pcd(
     """Backproject all views -> (points (N, 3), colors (N, 3) float [0,1]).
 
     Mirrors ``aggr_point_cloud_from_data`` (``utils/draw_utils.py:325-413``)
-    without the Open3D dependency: the reference's (depth>0)&(depth<1.5)
-    cutoff applies (``draw_utils.py:346``) and voxel downsampling runs PER
-    VIEW before concatenation, like its per-view o3d clouds.
+    without the Open3D dependency. Reference order per view: backproject ->
+    boundary filter -> o3d ``voxel_down_sample`` (per-voxel CENTROID of
+    points and colors) -> concatenate across views.
     """
     pts_all, col_all = [], []
     V, H, W = depths.shape
+    b = None
+    if boundaries is not None:
+        b = boundaries.as_dict() if hasattr(boundaries, "as_dict") else boundaries
     for v in range(V):
         d = depths[v]
         sel = (d > 0) & (d < max_depth)
@@ -100,28 +103,37 @@ def aggregate_colored_pcd(
         c2w = np.linalg.inv(poses44[v])
         world = cam @ c2w[:3, :3].T + c2w[:3, 3]
         cols_v = colors_rgb[v][ys, xs].astype(np.float32) / 255.0
+        if b is not None:
+            keep = (
+                (world[:, 0] > b["x_lower"]) & (world[:, 0] < b["x_upper"])
+                & (world[:, 1] > b["y_lower"]) & (world[:, 1] < b["y_upper"])
+                & (world[:, 2] > b["z_lower"]) & (world[:, 2] < b["z_upper"])
+            )
+            world, cols_v = world[keep], cols_v[keep]
         if downsample_voxel > 0 and world.shape[0]:
-            idx = _voxel_downsample_indices(world, downsample_voxel)
-            world, cols_v = world[idx], cols_v[idx]
+            world, cols_v = _voxel_mean(world, cols_v, downsample_voxel)
         pts_all.append(world)
         col_all.append(cols_v)
-    pts = np.concatenate(pts_all, 0)
-    cols = np.concatenate(col_all, 0)
-    if boundaries is not None:
-        b = boundaries.as_dict() if hasattr(boundaries, "as_dict") else boundaries
-        keep = (
-            (pts[:, 0] > b["x_lower"]) & (pts[:, 0] < b["x_upper"])
-            & (pts[:, 1] > b["y_lower"]) & (pts[:, 1] < b["y_upper"])
-            & (pts[:, 2] > b["z_lower"]) & (pts[:, 2] < b["z_upper"])
-        )
-        pts, cols = pts[keep], cols[keep]
-    return pts, cols
+    return np.concatenate(pts_all, 0), np.concatenate(col_all, 0)
 
 
-def _voxel_downsample_indices(pts: np.ndarray, voxel: float) -> np.ndarray:
-    from d3fields_tpu.ops.pointcloud_native import voxel_downsample_indices
-
-    return voxel_downsample_indices(pts, voxel)
+def _voxel_mean(pts: np.ndarray, cols: np.ndarray, voxel: float):
+    """Per-voxel centroid of points AND colors — o3d ``voxel_down_sample``
+    semantics (the first-point-per-voxel form keeps raw scan-order points,
+    which differ from the reference's averaged output)."""
+    vox = np.floor(pts / voxel).astype(np.int64)
+    key = vox - vox.min(axis=0)
+    dims = key.max(axis=0) + 1
+    flat = (key[:, 0] * dims[1] + key[:, 1]) * dims[2] + key[:, 2]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    counts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.float64)
+    out_p = np.zeros((uniq.shape[0], 3))
+    out_c = np.zeros((uniq.shape[0], cols.shape[1]))
+    np.add.at(out_p, inv, pts)
+    np.add.at(out_c, inv, cols)
+    return (out_p / counts[:, None]).astype(pts.dtype), (
+        out_c / counts[:, None]
+    ).astype(cols.dtype)
 
 
 def remove_statistical_outliers(pts: np.ndarray, nb_neighbors: int = 5,

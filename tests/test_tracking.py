@@ -136,3 +136,27 @@ def test_project_to_view(frames):
     uv = kp.project_to_view(pts, f0["pose"][0], f0["K"][0])
     H, W = f0["depth"].shape[1:]
     assert 0 <= uv[0, 0] < W and 0 <= uv[0, 1] < H
+
+
+def test_select_keypoints_from_depth_fixed_size(frames):
+    """Every instance must yield exactly V * num_per_cam points even when a
+    view's eroded mask is tiny or empty (the per-instance sets are stacked
+    by rigid_tracking)."""
+    f0, _, _ = frames
+    st = _state(f0)
+    V, H, W = f0["depth"].shape
+    onehot = np.zeros((V, H, W, 3), np.float32)
+    onehot[..., 1] = f0["sphere_masks"][:, 0]
+    # instance 2: visible in view 0 only, and only a few pixels (forces both
+    # the duplication-padding and the empty-view padding paths)
+    onehot[0, 2:6, 2:40, 2] = 1.0
+    onehot[..., 0] = 1.0 - onehot[..., 1:].sum(-1).clip(0, 1)
+    st = st.replace(mask=jnp.asarray(onehot))
+
+    feats, pts, ids = kp.select_keypoints_from_depth(
+        st, ["background", "ball", "cube"], 8, erode_px=1,
+    )
+    assert ids == [1, 2]
+    for p, f in zip(pts, feats):
+        assert p.shape == (V * 8, 3)
+        assert f.shape == (V * 8, FDIM)
