@@ -8,51 +8,33 @@ policy.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "isosurface.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libd3iso.so")
-_LOCK = threading.Lock()
-_lib = None
+from d3fields_tpu.native_build import load_native
 
 
-def _build() -> None:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.iso_marching_tetrahedra.restype = ctypes.c_int
+    lib.iso_marching_tetrahedra.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.iso_free.restype = None
+    lib.iso_free.argtypes = [ctypes.c_void_p]
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
-    with _LOCK:
-        if _lib is not None:
-            return _lib
-        if (not os.path.exists(_LIB)) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            _build()
-        lib = ctypes.CDLL(_LIB)
-        lib.iso_marching_tetrahedra.restype = ctypes.c_int
-        lib.iso_marching_tetrahedra.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.iso_free.restype = None
-        lib.iso_free.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return lib
+    # mesh extraction has no numpy fallback -> required
+    return load_native("isosurface.cpp", "libd3iso.so", _declare, required=True)
 
 
 def marching_tetrahedra(

@@ -31,8 +31,7 @@ from d3fields_tpu.models.resize import bilinear_resize, cubic_resize_np
 
 Array = jax.Array
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
+from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD  # noqa: F401 (re-export)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,8 +28,7 @@ from d3fields_tpu.models.groundingdino.model import (
 )
 from d3fields_tpu.models.resize import bilinear_resize
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
+from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
 CLS_ID, SEP_ID, DOT_ID = 101, 102, 1012
 
 
@@ -139,7 +138,8 @@ def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
     tokens above it, ``utils/grounded_sam.py:414``), convert to absolute
     xyxy, drop near-duplicates."""
     H, W = hw
-    scores = np.nanmax(np.where(np.isfinite(probs), probs, np.nan), axis=1)
+    # probs = sigmoid(logits) is always finite (-inf padding -> 0.0)
+    scores = probs.max(axis=1)
     keep = scores > box_threshold
     if not keep.any():
         return Detections(
@@ -149,10 +149,18 @@ def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
         )
     kp, kb = probs[keep], boxes[keep]
     kp_thr = np.where(kp > text_threshold, kp, 0.0)
-    span_scores = np.stack([kp_thr[:, s:e].max(axis=1) for s, e in spans], 1)
+
+    def span_max(arr, s, e):
+        # a class whose tokenization is empty (span width 0) can never be
+        # assigned: score 0 instead of a zero-size reduction crash
+        if e <= s:
+            return np.zeros(arr.shape[0], arr.dtype)
+        return arr[:, s:e].max(axis=1)
+
+    span_scores = np.stack([span_max(kp_thr, s, e) for s, e in spans], 1)
     # boxes whose every span token fell below text_threshold fall back to
     # the unthresholded response (reference would emit an empty phrase)
-    fallback = np.stack([kp[:, s:e].max(axis=1) for s, e in spans], 1)
+    fallback = np.stack([span_max(kp, s, e) for s, e in spans], 1)
     span_scores = np.where(
         span_scores.max(axis=1, keepdims=True) > 0, span_scores, fallback
     )

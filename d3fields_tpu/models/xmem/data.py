@@ -16,8 +16,8 @@ with the reference's sampling semantics:
 - up to ``max_num_obj`` objects sampled per clip, selector masking unused
   slots (``vos_dataset.py:186-200``).
 
-Sources are pluggable: a directory layout (``<root>/<video>/frame_*.png`` +
-``<root>/<video>/mask_*.png`` index masks) or the synthetic sphere renderer
+Sources are pluggable: a directory layout (``<root>/<video>/frames/*.png``
++ ``<root>/<video>/masks/*.png`` index masks) or the synthetic sphere renderer
 for data-free runs. Augmentation keeps the reference's crop-and-resize core
 (the TPS warping is a CPU-side aug the curriculum can add later).
 """
@@ -29,13 +29,17 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
 
 
 def sample_frame_indices(length: int, num_frames: int, max_jump: int,
                          rs: np.random.RandomState) -> List[int]:
     """Temporal-skip sampling (``vos_dataset.py:112-126``)."""
+    if length < num_frames:
+        raise ValueError(
+            f"video has {length} frames, need >= {num_frames} "
+            "(the loader filters these out like the reference VOSDataset)"
+        )
     jump = min(length, max_jump)
     idxs = [int(rs.randint(length))]
     acceptable = set(
@@ -192,10 +196,20 @@ class VideoClipLoader:
         self.max_num_obj = max_num_obj
         self.out_hw = out_hw
         self.rs = np.random.RandomState(seed)
+        # the reference VOSDataset skips videos shorter than the clip
+        # length; filter once here (source lengths are static)
+        self.eligible = [
+            v for v in source.videos if source.length(v) >= num_frames
+        ]
+        if not self.eligible:
+            raise ValueError(
+                f"no video has >= {num_frames} frames "
+                f"({len(source.videos)} videos in the source)"
+            )
 
     def sample(self) -> Dict[str, np.ndarray]:
         while True:
-            video = self.source.videos[self.rs.randint(len(self.source.videos))]
+            video = self.eligible[self.rs.randint(len(self.eligible))]
             idxs = sample_frame_indices(
                 self.source.length(video), self.num_frames, self.max_jump,
                 self.rs,

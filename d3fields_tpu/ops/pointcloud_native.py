@@ -10,68 +10,35 @@ implementations when g++ is unavailable.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "pointcloud.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libd3pc.so")
-_LOCK = threading.Lock()
-_lib = None
-_build_failed = False
+from d3fields_tpu.native_build import load_native
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pc_voxel_downsample.restype = ctypes.c_int64
+    lib.pc_voxel_downsample.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_float, i64p,
+    ]
+    lib.pc_statistical_outliers.restype = ctypes.c_int64
+    lib.pc_statistical_outliers.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_float, u8p,
+    ]
+    lib.pc_fps.restype = None
+    lib.pc_fps.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, f32p,
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _LOCK:
-        if _lib is not None or _build_failed:
-            return _lib
-        try:
-            if (not os.path.exists(_LIB)) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-            ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     _SRC, "-o", _LIB],
-                    check=True, capture_output=True,
-                )
-            lib = ctypes.CDLL(_LIB)
-            i64p = ctypes.POINTER(ctypes.c_int64)
-            f32p = ctypes.POINTER(ctypes.c_float)
-            u8p = ctypes.POINTER(ctypes.c_uint8)
-            lib.pc_voxel_downsample.restype = ctypes.c_int64
-            lib.pc_voxel_downsample.argtypes = [
-                f32p, ctypes.c_int64, ctypes.c_float, i64p,
-            ]
-            lib.pc_statistical_outliers.restype = ctypes.c_int64
-            lib.pc_statistical_outliers.argtypes = [
-                f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_float, u8p,
-            ]
-            lib.pc_fps.restype = None
-            lib.pc_fps.argtypes = [
-                f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                i64p, f32p,
-            ]
-            _lib = lib
-        except Exception as e:
-            import warnings
-
-            detail = ""
-            if isinstance(e, subprocess.CalledProcessError):
-                detail = (e.stderr or b"").decode(errors="replace")[:500]
-            warnings.warn(
-                "native pointcloud library unavailable; falling back to "
-                f"slower numpy paths ({type(e).__name__}: {detail})"
-            )
-            _build_failed = True
-        return _lib
+    # every op here has a numpy fallback -> not required
+    return load_native("pointcloud.cpp", "libd3pc.so", _declare, required=False)
 
 
 def _f32c(pts: np.ndarray) -> np.ndarray:

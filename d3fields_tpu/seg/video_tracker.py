@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3fields_tpu.config import XMemConfig
-from d3fields_tpu.models.dinov2 import IMAGENET_MEAN, IMAGENET_STD
+from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
 from d3fields_tpu.models.resize import bilinear_resize, bilinear_resize_exact
 from d3fields_tpu.models.xmem.blocks import pad_divide_by, unpad
 from d3fields_tpu.models.xmem.core import XMemCore

@@ -254,3 +254,19 @@ def test_batched_views_match_per_view(oracle):
         assert b.labels == s.labels
         np.testing.assert_array_equal(b.masks, s.masks)
         np.testing.assert_allclose(b.confidences, s.confidences, rtol=1e-4)
+
+
+def test_postprocess_empty_class_span():
+    """A class whose tokenization is empty (zero-width span) gets score 0
+    instead of crashing the zero-size reduction."""
+    import numpy as np
+    from d3fields_tpu.models.groundingdino.detector import _postprocess_view
+
+    probs = np.zeros((4, 8), np.float32)
+    probs[0, 2] = 0.9   # box 0 -> class 0 tokens [2, 4)
+    probs[1, 5] = 0.8   # box 1 -> class 2 tokens [5, 6)
+    boxes = np.array([[0.2, 0.2, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2],
+                      [0.2, 0.7, 0.2, 0.2], [0.7, 0.2, 0.2, 0.2]], np.float32)
+    spans = [(2, 4), (4, 4), (5, 6)]  # middle class tokenizes to nothing
+    det = _postprocess_view(probs, boxes, spans, 0.3, 0.25, (100, 100))
+    assert set(det.class_id.tolist()) == {0, 2}

@@ -216,3 +216,42 @@ def test_initialize_distributed_single_process_noop(monkeypatch):
     monkeypatch.setenv("SLURM_STEP_NODELIST", "node01")
     monkeypatch.setenv("SLURM_NTASKS", "1")
     assert initialize_distributed() is False
+
+
+def test_video_clip_loader_filters_short_videos():
+    """Videos shorter than the clip length are skipped like the reference
+    VOSDataset, not crashed on."""
+    import numpy as np
+    from d3fields_tpu.models.xmem.data import VideoClipLoader
+
+    class FakeSource:
+        videos = ["short", "long"]
+
+        def length(self, v):
+            return 2 if v == "short" else 6
+
+        def load(self, v, idxs):
+            T = len(idxs)
+            rs = np.random.RandomState(0)
+            frames = (rs.rand(T, 32, 32, 3) * 255).astype(np.uint8)
+            masks = np.zeros((T, 32, 32), np.uint8)
+            masks[:, 8:20, 8:20] = 1
+            return frames, masks
+
+    loader = VideoClipLoader(FakeSource(), num_frames=3, out_hw=(32, 32))
+    assert loader.eligible == ["long"]
+    s = loader.sample()
+    assert s["frames"].shape[0] == 3
+
+    class AllShort:
+        videos = ["a"]
+
+        def length(self, v):
+            return 1
+
+        def load(self, v, idxs):
+            raise AssertionError("should not load")
+
+    import pytest
+    with pytest.raises(ValueError, match="no video has"):
+        VideoClipLoader(AllShort(), num_frames=3)
