@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 ``value`` is the TPU-native throughput of ``d3fields_tpu`` batch_eval
-(dino_feats 1024-d + full-res mask fusion, 4 views) over 2M query points.
+(dino_feats 1024-d + full-res mask fusion, 4 views) over 1M query points.
 ``vs_baseline`` is the speedup over the reference algorithm (torch
 grid_sample + 60k-point host chunking, ``fusion.py:305-545``) re-implemented
 faithfully in torch and run on the host CPU of this machine — the only

@@ -7,7 +7,10 @@ default. Checkpoint sources:
 - DINOv2: a torch-hub ``dinov2_vitl14`` state dict (``D3F_DINOV2_CKPT``);
 - SAM: a huggingface ``SamModel`` state dict (``D3F_SAM_CKPT``);
 - GroundingDINO: a huggingface ``GroundingDinoForObjectDetection`` state
-  dict (``D3F_GDINO_CKPT``) + a BERT vocab file (``D3F_BERT_VOCAB``).
+  dict (``D3F_GDINO_CKPT``) + a BERT vocab file (``D3F_BERT_VOCAB``);
+- XMem: the reference XMem.pth (``D3F_XMEM_CKPT``) for video mask
+  propagation (without it, tracking apps fall back to per-frame
+  re-detection with overlap relabeling).
 """
 
 from __future__ import annotations
@@ -103,6 +106,30 @@ def _wordpiece_tokenizer(vocab_path: str):
         return ids
 
     return tokenize
+
+
+def build_video_tracker_factory(ckpt: str | None = None):
+    """Factory for ``Fusion(video_tracker_factory=...)``: called lazily on
+    the first tracked frame with (num_views, num_objects, image_hw) once
+    the consensus object count is known. Returns None when no XMem
+    checkpoint is configured (callers then use per-frame re-detection)."""
+    ckpt = ckpt or os.environ.get("D3F_XMEM_CKPT")
+    if not ckpt or not os.path.exists(ckpt):
+        return None
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models.xmem import network as N
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+
+    cfg = XMemConfig()
+    params = N.convert_torch_state_dict(_load_torch_sd(ckpt), cfg)
+
+    def factory(num_views, num_objects, image_hw):
+        return VideoMaskTracker(
+            params, cfg, num_views=num_views, num_objects=num_objects,
+            image_hw=image_hw, size=cfg.size,
+        )
+
+    return factory
 
 
 def build_real_backends():

@@ -23,7 +23,9 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_root", default=None)
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--frames", type=int, default=8,
+                   help="frame cap per video; <=0 = all frames (directory "
+                        "sources; synthetic always uses the cap)")
     p.add_argument("--size", type=int, default=480)
     p.add_argument("--ckpt", default=None,
                    help="trainer checkpoint or torch XMem state dict")
@@ -48,12 +50,20 @@ def _load_params(args, cfg):
     from d3fields_tpu.models.xmem import network as N
 
     if args.ckpt:
-        import pickle
+        try:  # trainer checkpoint (plain pickle with a "params" tree)
+            import pickle
 
-        with open(args.ckpt, "rb") as f:
-            blob = pickle.load(f)
-        if isinstance(blob, dict) and "params" in blob:
-            return jax.tree.map(np.asarray, blob["params"])
+            with open(args.ckpt, "rb") as f:
+                blob = pickle.load(f)
+            if isinstance(blob, dict) and "params" in blob:
+                return jax.tree.map(np.asarray, blob["params"])
+        except Exception:
+            blob = None
+        if not isinstance(blob, dict):
+            # real torch XMem .pth (zip-format torch.save): torch.load it
+            from d3fields_tpu.apps._backends import _load_torch_sd
+
+            blob = _load_torch_sd(args.ckpt)
         return N.convert_torch_state_dict(blob, cfg)
     return N.init_params(jax.random.PRNGKey(0), cfg)
 
@@ -84,7 +94,7 @@ def main(argv=None):
                 for si in range(sc["sphere_masks"].shape[1]):
                     m[sc["sphere_masks"][0, si]] = si + 1
                 return sc["color"][0], m
-            yield "synthetic_0", frames
+            yield "synthetic_0", frames, args.frames
     else:
         import cv2
 
@@ -104,11 +114,14 @@ def main(argv=None):
                     m = (cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
                          if os.path.exists(mpath) else None)
                     return rgb, m
-                yield vid, frames
+                # the whole video, like the reference XMem/eval.py (--frames
+                # caps it for smoke runs)
+                n = len(names) if args.frames <= 0 else min(len(names), args.frames)
+                yield vid, frames, n
 
     tp = Throughput()
     ious = []
-    for vid, get in videos():
+    for vid, get, n_frames in videos():
         rgb0, m0 = get(0)
         num_obj = int(m0.max())
         tracker = VideoMaskTracker(
@@ -121,7 +134,7 @@ def main(argv=None):
             rgb0, m0 = rgb0[:, ::-1], m0[:, ::-1]
         onehot = tracker.process(np.ascontiguousarray(rgb0[None]),
                                  np.ascontiguousarray(m0[None]))
-        for t in range(1, args.frames):
+        for t in range(1, n_frames):
             rgb, gt = get(t)
             if args.flip:
                 rgb = np.ascontiguousarray(rgb[:, ::-1])
@@ -146,7 +159,7 @@ def main(argv=None):
                 inter = ((pred > 0) & (gt > 0)).sum()
                 union = ((pred > 0) | (gt > 0)).sum()
                 ious.append(inter / max(union, 1))
-        print(f"[eval_xmem] {vid}: {args.frames - 1} frames propagated")
+        print(f"[eval_xmem] {vid}: {n_frames - 1} frames propagated")
     print(f"[eval_xmem] FPS: {tp.per_second:.2f}"
           + (f", fg-IoU vs GT: {np.mean(ious):.3f}" if ious else ""))
     return 0

@@ -1,7 +1,8 @@
 """Fit the descriptor-coloring PCA from clean object images.
 
 Reference ``scripts/precompute_pca.py``: DINOv2 patch tokens of 4 object
-images -> PCA(3) -> foreground split at component-0 > threshold -> refit
+images -> PCA(3) -> foreground = tokens with component-0 <= threshold
+(background is component-0 > threshold, ``precompute_pca.py:76``) -> refit
 PCA(3) on foreground tokens -> pickle. The saved artifact is a
 :class:`d3fields_tpu.ops.pca.PCAParams` (which also loads the reference's
 sklearn pickles).

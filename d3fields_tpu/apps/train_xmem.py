@@ -78,6 +78,15 @@ def main(argv=None):
         max_num_obj=args.max_num_obj, out_hw=tuple(args.size),
     )
 
+    # Build the mesh BEFORE the first JAX computation: available_devices
+    # sets --xla_force_host_platform_device_count, which only takes effect
+    # if the cpu client has not been created yet (virtual-mesh dry runs).
+    mesh = None
+    if args.dp > 1:
+        from d3fields_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh(dp=args.dp, tp=1)
+
     opt = TR.make_optimizer(lr=args.lr)
     if args.resume:
         state = TR.load_checkpoint(args.resume, opt)
@@ -86,11 +95,7 @@ def main(argv=None):
         params = N.init_params(jax.random.PRNGKey(0), cfg)
         state = TR.init_train_state(params, opt)
 
-    mesh = None
-    if args.dp > 1:
-        from d3fields_tpu.parallel.mesh import make_mesh, replicate
-
-        mesh = make_mesh(dp=args.dp, tp=1)
+    if mesh is not None:
         state = TR.TrainState(
             replicate(mesh, state.params),
             replicate(mesh, state.opt_state), state.it,

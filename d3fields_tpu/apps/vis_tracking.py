@@ -97,13 +97,18 @@ def main(argv=None):
 
         feature_of = lambda sc: sc["dino_feats"]
     else:
-        from d3fields_tpu.apps._backends import build_real_backends
+        from d3fields_tpu.apps._backends import (
+            build_real_backends, build_video_tracker_factory,
+        )
         from d3fields_tpu.utils.io import load_frame, num_frames
 
         frames = args.frames or num_frames(args.data_path)
         feature_backend, mask_backend = build_real_backends()
+        # XMem propagation when D3F_XMEM_CKPT is set (reference behavior);
+        # otherwise per-frame re-detection with overlap relabeling
         fusion = Fusion(num_cam=args.num_cam, feature_backend=feature_backend,
-                        mask_backend=mask_backend)
+                        mask_backend=mask_backend,
+                        video_tracker_factory=build_video_tracker_factory())
         get_frame = lambda t: load_frame(args.data_path, t, args.num_cam)
         feature_of = lambda obs: None
         refresh_masks = lambda obs: None

@@ -50,8 +50,6 @@ class FusionConfig:
 
     mu: float = 0.02                 # truncation band in meters (fusion.py:208)
     query_tile: int = 32768          # points per eval tile (replaces 60k chunk, fusion.py:527)
-    feat_dim: int = 1024             # DINOv2 ViT-L/14 descriptor width
-    dtype: str = "float32"           # compute dtype for the field core
     use_pallas: bool = True          # fused Pallas kernel on TPU; pure-XLA fallback otherwise
 
 
@@ -121,7 +119,8 @@ class D3FieldsConfig:
     tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     boundaries: Boundaries = dataclasses.field(default_factory=Boundaries)
-    feat_backbone: str = "dinov2"
+    # seeds python/numpy RNGs at Fusion construction (FPS random starts,
+    # reference set_seed my_utils.py:222); None = leave global RNG alone
     seed: Optional[int] = 0
 
 

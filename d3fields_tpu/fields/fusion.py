@@ -218,12 +218,21 @@ class Fusion:
         feature_backend=None,
         mask_backend=None,
         video_tracker=None,
+        video_tracker_factory=None,
     ):
+        """``video_tracker_factory(num_views, num_objects, image_hw)`` is
+        called lazily on the first tracked frame (object count is only known
+        after consensus) — the ergonomic way to attach XMem propagation."""
         self.config = config or D3FieldsConfig()
+        if self.config.seed is not None:
+            from d3fields_tpu.utils.seeding import set_seed
+
+            set_seed(self.config.seed)
         self.num_cam = num_cam
         self.feature_backend = feature_backend
         self.mask_backend = mask_backend
         self.video_tracker = video_tracker
+        self.video_tracker_factory = video_tracker_factory
         self.state: Optional[FieldState] = None
         self.curr_obs: dict = {}
         self.consensus_mask_label: list = []
@@ -376,16 +385,26 @@ class Fusion:
         ``fusion.py:1173-1256``).
 
         Propagation uses the configured ``video_tracker``
-        (:class:`d3fields_tpu.seg.video_tracker.VideoMaskTracker`); without
-        one, the mask backend re-runs per frame with the first frame's
-        consensus label order enforced (a per-frame re-detection fallback
-        the reference does not offer — its use_sam branch raises).
+        (:class:`d3fields_tpu.seg.video_tracker.VideoMaskTracker`, built
+        lazily from ``video_tracker_factory`` once the object count is
+        known); without one, the mask backend re-runs per frame and the new
+        channels are relabeled by max pixel overlap with the previous
+        frame's masks (the reference's ``align_with_prev_mask``,
+        ``fusion.py:1100-1110``) so instance identities stay stable — a
+        per-frame re-detection fallback the reference does not offer (its
+        use_sam branch raises).
         """
         first = not self.consensus_mask_label
         if first:
             index_masks, labels = self.text_queries_for_inst_mask_no_track(
                 queries, thresholds, boundaries, expected_labels, robot_pcd
             )
+            if self.video_tracker is None and self.video_tracker_factory is not None:
+                self.video_tracker = self.video_tracker_factory(
+                    num_views=self.num_cam,
+                    num_objects=max(len(labels) - 1, 1),
+                    image_hw=self.curr_obs["color"].shape[1:3],
+                )
             if self.video_tracker is not None:
                 rgb = self.curr_obs["color"][..., ::-1]  # BGR -> RGB
                 onehot = self.video_tracker.process(
@@ -400,10 +419,26 @@ class Fusion:
             from d3fields_tpu.fields.geometry import onehot_to_instance
 
             return onehot_to_instance(onehot), self.consensus_mask_label
-        return self.text_queries_for_inst_mask_no_track(
+        # re-detection fallback: keep the previous frame's instance
+        # numbering by overlap relabeling (align_with_prev_mask semantics)
+        from d3fields_tpu.fields.geometry import onehot_to_instance
+        from d3fields_tpu.seg.instances import align_with_prev_mask
+
+        prev_labels = list(self.consensus_mask_label)
+        prev_mask = np.asarray(self.state.mask) if self.state.mask is not None else None
+        index_masks, labels = self.text_queries_for_inst_mask_no_track(
             queries, thresholds, boundaries,
-            expected_labels or self.consensus_mask_label, robot_pcd
+            expected_labels or prev_labels, robot_pcd
         )
+        if prev_mask is not None and len(labels) == len(prev_labels):
+            new_mask = np.asarray(self.state.mask)
+            if new_mask.shape == prev_mask.shape:
+                aligned = align_with_prev_mask(new_mask, prev_mask)
+                self.set_mask(aligned)
+                self.consensus_mask_label = prev_labels
+                index_masks = np.asarray(onehot_to_instance(aligned))
+                return index_masks, prev_labels
+        return index_masks, labels
 
     def clear_xmem_memory(self):
         """Reset video tracking (``Fusion.clear_xmem_memory``,
@@ -447,7 +482,10 @@ class Fusion:
         (``Fusion.extract_mesh``, ``fusion.py:1313-1330``)."""
         from d3fields_tpu.mesh.extract import extract_mesh as _extract
 
-        return _extract(np.asarray(init_grid), np.asarray(out["dist"]), grid_shape)
+        return _extract(
+            np.asarray(init_grid), np.asarray(out["dist"]), grid_shape,
+            smooth=self.config.mesh.smooth, iso=self.config.mesh.iso,
+        )
 
     def create_instance_mask_mesh(self, vertices, triangles, out):
         from d3fields_tpu.mesh.extract import create_instance_mask_mesh

@@ -14,19 +14,18 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from d3fields_tpu.fields import fusion as F
 from d3fields_tpu.fields.state import FieldState
 
 
-@functools.partial(jax.jit, static_argnames=("names", "t"))
-def _run_sharded(st, p, names, t):
+@functools.partial(jax.jit, static_argnames=("names", "t", "use_pallas"))
+def _run_sharded(st, p, names, t, use_pallas):
     # module-level jit: defining this inside sharded_batch_eval would make
     # every call a fresh function object and recompile the whole sharded
     # evaluation each time
-    return F._batch_eval_padded(st, p, names, t, False)
+    return F._batch_eval_padded(st, p, names, t, use_pallas)
 
 
 def sharded_batch_eval(
@@ -37,6 +36,7 @@ def sharded_batch_eval(
     *,
     tile: int = 32768,
     axis: str = "dp",
+    use_pallas: bool = False,
 ):
     """batch_eval with points sharded over ``axis``; outputs come back with
     the same sharding (device-local until fetched)."""
@@ -53,5 +53,5 @@ def sharded_batch_eval(
         state, jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
     )
     pts = jax.device_put(pts, NamedSharding(mesh, P(axis, None)))
-    out = _run_sharded(state_r, pts, tuple(return_names), tile)
+    out = _run_sharded(state_r, pts, tuple(return_names), tile, use_pallas)
     return {k: v[:n] for k, v in out.items()}

@@ -305,3 +305,21 @@ def align_instance_masks(
     if expected_labels is not None and labels != list(expected_labels):
         print(f"consensus mask label {labels} != expected {list(expected_labels)}")
     return index_masks, labels, instances
+
+
+def align_with_prev_mask(new_onehot: np.ndarray,
+                         prev_onehot: np.ndarray) -> np.ndarray:
+    """Relabel a new one-hot mask by max pixel intersection with the
+    previous frame's mask, per view (``align_with_prev_mask``,
+    ``fusion.py:1100-1110``): output channel j of view v is the new channel
+    with the largest overlap against previous channel j.
+    """
+    out = np.zeros_like(new_onehot)
+    V = new_onehot.shape[0]
+    for v in range(V):
+        prev = (prev_onehot[v] > 0.5).astype(np.int64)   # (H, W, NI)
+        new = (new_onehot[v] > 0.5).astype(np.int64)
+        inter = np.einsum("hwj,hwk->jk", prev, new)      # (NI_prev, NI_new)
+        best = inter.argmax(axis=1)
+        out[v] = new_onehot[v][..., best]
+    return out

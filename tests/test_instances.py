@@ -164,3 +164,25 @@ def test_robot_pcd_filter(two_ball_scene):
         assert vm.masks[2].sum() < 0.2 * orig
     else:
         assert len(vm.labels) == len(views[0].labels) - 1
+
+
+def test_align_with_prev_mask_restores_channel_order():
+    """Per-view overlap relabeling (reference align_with_prev_mask,
+    fusion.py:1100-1110): a channel permutation in the new frame is undone."""
+    from d3fields_tpu.seg.instances import align_with_prev_mask
+
+    rs = np.random.RandomState(0)
+    V, H, W, NI = 2, 16, 16, 3
+    prev = np.zeros((V, H, W, NI), np.float32)
+    prev[:, :, :5, 0] = 1       # background left strip
+    prev[:, 2:8, 6:10, 1] = 1   # object A
+    prev[:, 9:14, 6:10, 2] = 1  # object B
+    # new frame: same masks slightly shifted, channels 1 and 2 SWAPPED
+    new = np.zeros_like(prev)
+    new[:, :, :5, 0] = 1
+    new[:, 3:9, 6:10, 2] = 1
+    new[:, 10:15, 6:10, 1] = 1
+    out = align_with_prev_mask(new, prev)
+    np.testing.assert_array_equal(out[..., 1], new[..., 2])
+    np.testing.assert_array_equal(out[..., 2], new[..., 1])
+    np.testing.assert_array_equal(out[..., 0], new[..., 0])

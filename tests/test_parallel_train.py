@@ -255,3 +255,24 @@ def test_video_clip_loader_filters_short_videos():
     import pytest
     with pytest.raises(ValueError, match="no video has"):
         VideoClipLoader(AllShort(), num_frames=3)
+
+
+def test_sharded_batch_eval_pallas_path(scene):
+    """The fused-kernel path must also work under the dp-sharded eval."""
+    import numpy as np
+    from d3fields_tpu.fields.fusion import batch_eval
+    from d3fields_tpu.fields.state import state_from_obs
+    from d3fields_tpu.parallel.mesh import make_mesh
+    from d3fields_tpu.parallel.sharded import sharded_batch_eval
+
+    st = state_from_obs(scene, dino_feats=scene["dino_feats"],
+                        mask=scene["mask"], mu=0.02)
+    mesh = make_mesh(dp=8, tp=1)
+    pts = np.random.RandomState(0).uniform(-0.5, 0.5, (1000, 3)).astype(np.float32)
+    ref = batch_eval(st, pts, ("dino_feats", "mask"), tile=128)
+    out = sharded_batch_eval(mesh, st, pts, ("dino_feats", "mask"),
+                             tile=128, use_pallas=True)
+    for k in ("dist", "dino_feats", "mask"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-5
+        )
