@@ -119,8 +119,11 @@ def main(argv=None):
                 n = len(names) if args.frames <= 0 else min(len(names), args.frames)
                 yield vid, frames, n
 
+    from d3fields_tpu.utils.metrics import davis_jf
+
     tp = Throughput()
     ious = []
+    jfs = []
     for vid, get, n_frames in videos():
         rgb0, m0 = get(0)
         num_obj = int(m0.max())
@@ -159,9 +162,16 @@ def main(argv=None):
                 inter = ((pred > 0) & (gt > 0)).sum()
                 union = ((pred > 0) | (gt > 0)).sum()
                 ious.append(inter / max(union, 1))
+                jfs.append(davis_jf(pred, gt, num_obj))
         print(f"[eval_xmem] {vid}: {n_frames - 1} frames propagated")
-    print(f"[eval_xmem] FPS: {tp.per_second:.2f}"
-          + (f", fg-IoU vs GT: {np.mean(ious):.3f}" if ious else ""))
+    line = f"[eval_xmem] FPS: {tp.per_second:.2f}"
+    if ious:
+        line += f", fg-IoU vs GT: {np.mean(ious):.3f}"
+    if jfs:
+        J = np.mean([m["J"] for m in jfs])
+        F = np.mean([m["F"] for m in jfs])
+        line += f", J: {J:.3f}, F: {F:.3f}, J&F: {(J + F) / 2:.3f}"
+    print(line)
     return 0
 
 

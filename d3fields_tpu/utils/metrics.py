@@ -126,3 +126,59 @@ class Tee:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# ---------------------------------------------------------------------------
+# DAVIS J&F video-segmentation scoring
+# ---------------------------------------------------------------------------
+
+def _boundary(mask: np.ndarray) -> np.ndarray:
+    """Binary boundary: mask minus its 1-px erosion."""
+    import cv2
+
+    m = mask.astype(np.uint8)
+    er = cv2.erode(m, np.ones((3, 3), np.uint8), iterations=1)
+    return (m - er) > 0
+
+
+def davis_jf(pred_idx: np.ndarray, gt_idx: np.ndarray,
+             num_objects: Optional[int] = None,
+             bound_ratio: float = 0.008) -> Dict[str, float]:
+    """Per-frame DAVIS metrics for index masks (0 = background).
+
+    The reference writes masks for EXTERNAL davis2017-evaluation scoring
+    (``XMem/eval.py``); here the standard measures are computed directly:
+    J = per-object region IoU, F = boundary F-measure with boundary-match
+    tolerance ``bound_ratio * image diagonal`` (the davis2017 default).
+    Returns {'J': mean over objects, 'F': mean, 'JF': (J+F)/2}.
+    """
+    import cv2
+
+    H, W = gt_idx.shape
+    if num_objects is None:
+        num_objects = int(max(pred_idx.max(), gt_idx.max()))
+    if num_objects == 0:
+        return {"J": 1.0, "F": 1.0, "JF": 1.0}
+    rad = max(1, int(round(bound_ratio * np.sqrt(H * H + W * W))))
+    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (2 * rad + 1, 2 * rad + 1))
+    js, fs = [], []
+    for o in range(1, num_objects + 1):
+        p = pred_idx == o
+        g = gt_idx == o
+        union = (p | g).sum()
+        js.append(1.0 if union == 0 else (p & g).sum() / union)
+        pb, gb = _boundary(p), _boundary(g)
+        if pb.sum() == 0 and gb.sum() == 0:
+            fs.append(1.0)
+            continue
+        if pb.sum() == 0 or gb.sum() == 0:
+            fs.append(0.0)
+            continue
+        gb_d = cv2.dilate(gb.astype(np.uint8), kernel) > 0
+        pb_d = cv2.dilate(pb.astype(np.uint8), kernel) > 0
+        precision = (pb & gb_d).sum() / pb.sum()
+        recall = (gb & pb_d).sum() / gb.sum()
+        fs.append(0.0 if precision + recall == 0
+                  else 2 * precision * recall / (precision + recall))
+    j, f = float(np.mean(js)), float(np.mean(fs))
+    return {"J": j, "F": f, "JF": (j + f) / 2}

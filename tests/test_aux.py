@@ -208,3 +208,28 @@ def test_fusion_resume_supports_reference_api(tmp_path, scene):
     assert g.num_cam == scene["color"].shape[0]
     overlay = g.vis_curr_mask()
     assert overlay.shape == scene["color"].shape
+
+
+def test_davis_jf_metric():
+    from d3fields_tpu.utils.metrics import davis_jf
+
+    gt = np.zeros((64, 64), np.uint8)
+    gt[10:30, 10:30] = 1
+    gt[40:55, 40:60] = 2
+    # perfect prediction
+    m = davis_jf(gt, gt)
+    assert m["J"] == 1.0 and m["F"] == 1.0 and m["JF"] == 1.0
+    # object 1 shifted by 1px: J < 1 but F stays ~1 (the boundary-match
+    # tolerance is ~1px at this 64x64 resolution: 0.008 * diagonal)
+    pred = np.zeros_like(gt)
+    pred[11:31, 10:30] = 1
+    pred[40:55, 40:60] = 2
+    m = davis_jf(pred, gt)
+    assert 0.8 < m["J"] < 1.0
+    assert m["F"] > 0.95
+    # missing object 2 entirely: J and F drop hard
+    pred2 = np.zeros_like(gt)
+    pred2[10:30, 10:30] = 1
+    m2 = davis_jf(pred2, gt)
+    assert m2["J"] == pytest.approx(0.5, abs=0.01)
+    assert m2["F"] == pytest.approx(0.5, abs=0.01)
