@@ -221,3 +221,61 @@ def test_select_features_rand_v2_and_close(scene):
         assert v["src_feats"].shape[0] == v["src_pts"].shape[0]
     f.close()
     assert f.state is None and f.mask_backend is None
+
+
+def test_video_tracker_factory_and_fallback_relabel(scene):
+    """The lazy tracker factory builds on the first tracked frame; without
+    a tracker, per-frame re-detection keeps instance identities by overlap
+    relabeling against the previous frame's masks."""
+    from d3fields_tpu.config import Boundaries, XMemConfig
+    from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.models.xmem import network as xnet
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.utils.synthetic import render_sphere_scene, sphere_mask_backend
+
+    sc = render_sphere_scene(num_views=2, H=48, W=64, feat_dim=8)
+    labels = ["ball", "cube"]
+    b = Boundaries(-0.4, 0.5, -0.4, 0.4, 0.001, 0.4)
+
+    # --- factory path: tracker constructed lazily with consensus counts
+    built = {}
+    xcfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=5,
+                      mem_every=2, max_mid_term_frames=3,
+                      min_mid_term_frames=1, num_prototypes=4,
+                      max_long_term_elements=64, size=-1)
+    xparams = xnet.init_params(jax.random.PRNGKey(0), xcfg)
+
+    def factory(num_views, num_objects, image_hw):
+        built["args"] = (num_views, num_objects, image_hw)
+        return VideoMaskTracker(xparams, xcfg, num_views=num_views,
+                                num_objects=num_objects, image_hw=image_hw,
+                                size=-1)
+
+    fus = Fusion(mask_backend=sphere_mask_backend(sc, labels),
+                 video_tracker_factory=factory)
+    fus.update({k: sc[k] for k in ("color", "depth", "pose", "K")}
+               | {"dino_feats": sc["dino_feats"]})
+    idx0, lab0 = fus.text_queries_for_inst_mask(labels, [0.5, 0.5], b)
+    assert fus.video_tracker is not None
+    assert built["args"][0] == 2 and built["args"][2] == (48, 64)
+    # subsequent frame: propagation branch runs (no re-detection needed)
+    fus.update({k: sc[k] for k in ("color", "depth", "pose", "K")}
+               | {"dino_feats": sc["dino_feats"]})
+    idx1, lab1 = fus.text_queries_for_inst_mask(labels, [0.5, 0.5], b)
+    assert lab1 == lab0 and idx1.shape == idx0.shape
+
+    # --- fallback path: no tracker; second frame re-detects with channels
+    # permuted, and the overlap relabeling restores frame-0 numbering
+    backend = sphere_mask_backend(sc, labels)
+    fus2 = Fusion(mask_backend=backend)
+    fus2.update({k: sc[k] for k in ("color", "depth", "pose", "K")}
+                | {"dino_feats": sc["dino_feats"]})
+    _, labs = fus2.text_queries_for_inst_mask(labels, [0.5, 0.5], b)
+    mask_before = np.asarray(fus2.state.mask)
+    fus2.update({k: sc[k] for k in ("color", "depth", "pose", "K")}
+                | {"dino_feats": sc["dino_feats"]})
+    idx2, labs2 = fus2.text_queries_for_inst_mask(labels, [0.5, 0.5], b)
+    assert labs2 == labs
+    mask_after = np.asarray(fus2.state.mask)
+    # identical observations -> identical (relabeled) masks
+    np.testing.assert_array_equal(mask_after.argmax(-1), mask_before.argmax(-1))
