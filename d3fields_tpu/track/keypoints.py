@@ -169,3 +169,30 @@ def select_keypoints_from_depth(
         instance_ids.append(i)
         last_label = consensus_labels[i]
     return src_feats_list, src_pts_list, instance_ids
+
+
+def select_src_feats_at_pixels(
+    feat_map: np.ndarray, pixels: np.ndarray, image_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Descriptors at image pixels — the reference's interactive DINOv2
+    keypoint picker, headless (``select_src_feats_from_online``,
+    ``utils/my_utils.py:781-860``): there the (ph, pw) patch map is
+    bilinearly upsampled to image resolution (``F.interpolate``,
+    align_corners=False) and read at clicked integer pixels. Here the same
+    two-tap interpolation is evaluated only at the given (x, y) pixels —
+    exact parity at O(N) instead of materializing the (H, W, 1024) map.
+    """
+    from d3fields_tpu.models.resize import _linear_weights_1d
+
+    ph, pw = feat_map.shape[:2]
+    H, W = image_hw
+    ty, wy = _linear_weights_1d(ph, H)   # (H, 2) taps/weights
+    tx, wx = _linear_weights_1d(pw, W)
+    px = np.asarray(pixels, np.int64)
+    xs, ys = px[:, 0], px[:, 1]
+    out = 0.0
+    for a in range(2):
+        for b_ in range(2):
+            w = (wy[ys, a] * wx[xs, b_])[:, None]
+            out = out + w * feat_map[ty[ys, a], tx[xs, b_]]
+    return np.asarray(out, feat_map.dtype)

@@ -160,3 +160,24 @@ def test_select_keypoints_from_depth_fixed_size(frames):
     for p, f in zip(pts, feats):
         assert p.shape == (V * 8, 3)
         assert f.shape == (V * 8, FDIM)
+
+
+def test_select_src_feats_at_pixels_matches_torch_interpolate():
+    """Headless keypoint-picker parity: two-tap sampling at pixels equals
+    F.interpolate(align_corners=False) upsample + integer indexing (the
+    reference picker's feature readout, my_utils.py:824-856)."""
+    import torch
+    import torch.nn.functional as F
+
+    rs = np.random.RandomState(0)
+    ph, pw, D = 6, 8, 5
+    H, W = 60, 80
+    fm = rs.randn(ph, pw, D).astype(np.float32)
+    up = F.interpolate(
+        torch.from_numpy(fm).permute(2, 0, 1)[None], size=(H, W),
+        mode="bilinear", align_corners=False,
+    )[0].permute(1, 2, 0).numpy()
+    pixels = np.stack([rs.randint(0, W, 40), rs.randint(0, H, 40)], axis=1)
+    got = kp.select_src_feats_at_pixels(fm, pixels, (H, W))
+    ref = up[pixels[:, 1], pixels[:, 0]]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
