@@ -149,10 +149,73 @@ def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072, chunk=60000
     return n_pts / dt
 
 
-def main():
+def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6):
+    """4-camera XMem propagate step latency (the README row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models.xmem import core as C
+    from d3fields_tpu.models.xmem import network as N
+
+    cfg = XMemConfig()
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.rand(num_views, H, W, 3).astype(np.float32))
+    mask = jnp.asarray((rs.rand(num_views, num_obj, H, W) > 0.7).astype(np.float32))
+    core = C.XMemCore(params, cfg, num_views, num_obj, (H, W))
+    p = core.step(imgs, mask)
+    float(jnp.asarray(p).reshape(-1)[0])
+    ts = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        p = core.step(imgs)
+        float(p.reshape(-1)[0])
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    print(f"[bench] xmem propagate {num_views} cams @ {H}x{W}: {dt*1e3:.1f} ms "
+          f"({num_views/dt:.1f} camera-FPS)", file=sys.stderr)
+
+
+def bench_dinov2(num_views=4, H=240, W=320):
+    """Fused DINOv2 extraction latency (the README row)."""
+    import jax
+
+    from d3fields_tpu.models import dinov2 as dv2
+
+    cfg = dv2.Dinov2Config.vit_large()
+    params = dv2.init_params(jax.random.PRNGKey(0), cfg)
+    bb = dv2.Dinov2Backbone(params, cfg, compute_dtype="bfloat16")
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(num_views, H, W, 3) * 255).astype(np.uint8)
+    import jax.numpy as jnp
+
+    o = bb(imgs)
+    float(jnp.asarray(o).reshape(-1)[0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = bb(imgs)
+        float(jnp.asarray(o).reshape(-1)[0])
+        ts.append(time.perf_counter() - t0)
+    print(f"[bench] dinov2 extract {num_views} views @ {H}x{W} bf16: "
+          f"{min(ts)*1e3:.1f} ms", file=sys.stderr)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--all", action="store_true",
+                   help="also bench the XMem step and DINOv2 extraction "
+                        "(stderr lines; the JSON contract is unchanged)")
+    args = p.parse_args(argv)
     depth, pose, K, feats, mask = _scene()
     tpu_pps = bench_tpu(depth, pose, K, feats, mask)
     ref_pps = bench_torch_reference(depth, pose, K, feats, mask)
+    if args.all:
+        bench_xmem()
+        bench_dinov2()
     print(json.dumps({
         "metric": "batch_eval_pts_per_sec",
         "value": round(tpu_pps, 1),
