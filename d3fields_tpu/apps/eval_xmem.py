@@ -55,10 +55,10 @@ def _load_params(args, cfg):
 
             with open(args.ckpt, "rb") as f:
                 blob = pickle.load(f)
-            if isinstance(blob, dict) and "params" in blob:
-                return jax.tree.map(np.asarray, blob["params"])
         except Exception:
             blob = None
+        if isinstance(blob, dict) and "params" in blob:
+            return jax.tree.map(np.asarray, blob["params"])
         if not isinstance(blob, dict):
             # real torch XMem .pth (zip-format torch.save): torch.load it
             from d3fields_tpu.apps._backends import _load_torch_sd
@@ -94,7 +94,7 @@ def main(argv=None):
                 for si in range(sc["sphere_masks"].shape[1]):
                     m[sc["sphere_masks"][0, si]] = si + 1
                 return sc["color"][0], m
-            yield "synthetic_0", frames, args.frames
+            yield "synthetic_0", frames, max(args.frames, 2)
     else:
         import cv2
 
@@ -111,8 +111,16 @@ def main(argv=None):
                     mpath = os.path.join(
                         mdir, os.path.splitext(names[t])[0] + ".png"
                     )
-                    m = (cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
-                         if os.path.exists(mpath) else None)
+                    m = None
+                    if os.path.exists(mpath):
+                        # PIL keeps palette INDICES for paletted DAVIS-style
+                        # annotations (cv2 grayscale would decode them to
+                        # palette-color luminance, garbling object ids)
+                        from PIL import Image
+
+                        m = np.array(Image.open(mpath))
+                        if m.ndim == 3:  # plain RGB/gray mask
+                            m = m[..., 0]
                     return rgb, m
                 # the whole video, like the reference XMem/eval.py (--frames
                 # caps it for smoke runs)

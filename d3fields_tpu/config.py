@@ -119,9 +119,11 @@ class D3FieldsConfig:
     tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     boundaries: Boundaries = dataclasses.field(default_factory=Boundaries)
-    # seeds python/numpy RNGs at Fusion construction (FPS random starts,
-    # reference set_seed my_utils.py:222); None = leave global RNG alone
-    seed: Optional[int] = 0
+    # OPT-IN determinism: when set, Fusion construction seeds the host
+    # python/numpy RNGs (FPS random starts, reference set_seed
+    # my_utils.py:222). None (default) leaves the process-global RNGs
+    # alone — reseeding them implicitly would hijack callers' randomness.
+    seed: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------

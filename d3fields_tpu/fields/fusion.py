@@ -399,10 +399,12 @@ class Fusion:
             index_masks, labels = self.text_queries_for_inst_mask_no_track(
                 queries, thresholds, boundaries, expected_labels, robot_pcd
             )
-            if self.video_tracker is None and self.video_tracker_factory is not None:
+            if (self.video_tracker is None
+                    and self.video_tracker_factory is not None
+                    and len(labels) > 1):  # nothing to track on bg-only
                 self.video_tracker = self.video_tracker_factory(
                     num_views=self.num_cam,
-                    num_objects=max(len(labels) - 1, 1),
+                    num_objects=len(labels) - 1,
                     image_hw=self.curr_obs["color"].shape[1:3],
                 )
             if self.video_tracker is not None:

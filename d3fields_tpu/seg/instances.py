@@ -315,11 +315,16 @@ def align_with_prev_mask(new_onehot: np.ndarray,
     with the largest overlap against previous channel j.
     """
     out = np.zeros_like(new_onehot)
-    V = new_onehot.shape[0]
+    V, _, _, NI = new_onehot.shape
     for v in range(V):
         prev = (prev_onehot[v] > 0.5).astype(np.int64)   # (H, W, NI)
         new = (new_onehot[v] > 0.5).astype(np.int64)
         inter = np.einsum("hwj,hwk->jk", prev, new)      # (NI_prev, NI_new)
         best = inter.argmax(axis=1)
+        # a vanished object (all-zero row) argmaxes to channel 0 and would
+        # copy the whole BACKGROUND into the object slot (the reference has
+        # this bug in its unused path, fusion.py:1106-1109); keep the
+        # object's own new channel instead
+        best = np.where(inter.max(axis=1) > 0, best, np.arange(NI))
         out[v] = new_onehot[v][..., best]
     return out

@@ -10,7 +10,11 @@ from __future__ import annotations
 import random
 
 
-def set_seed(seed: int):
+def set_seed(seed: int, make_jax_key: bool = False):
+    """Seed host RNGs. ``make_jax_key=True`` additionally returns a root
+    jax PRNG key — this touches the JAX backend (first client creation),
+    so callers that must control backend init order (virtual CPU meshes)
+    leave it False."""
     import numpy as np
 
     random.seed(seed)
@@ -21,6 +25,8 @@ def set_seed(seed: int):
         torch.manual_seed(seed)
     except ImportError:
         pass
+    if not make_jax_key:
+        return None
     import jax
 
     return jax.random.PRNGKey(seed)

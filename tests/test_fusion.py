@@ -279,3 +279,22 @@ def test_video_tracker_factory_and_fallback_relabel(scene):
     mask_after = np.asarray(fus2.state.mask)
     # identical observations -> identical (relabeled) masks
     np.testing.assert_array_equal(mask_after.argmax(-1), mask_before.argmax(-1))
+
+
+def test_fusion_default_does_not_touch_global_rng():
+    """Default Fusion() must not reseed process-global RNGs (seed is
+    opt-in) nor eagerly initialize a JAX backend through set_seed."""
+    before = np.random.rand()
+    ffusion.Fusion()
+    a = np.random.rand()
+    ffusion.Fusion()
+    b = np.random.rand()
+    assert a != b  # a seeding Fusion would make these equal
+
+    from d3fields_tpu.config import D3FieldsConfig
+
+    ffusion.Fusion(config=D3FieldsConfig(seed=123))
+    x = np.random.rand()
+    ffusion.Fusion(config=D3FieldsConfig(seed=123))
+    y = np.random.rand()
+    assert x == y  # opt-in seed pins the stream

@@ -186,3 +186,11 @@ def test_align_with_prev_mask_restores_channel_order():
     np.testing.assert_array_equal(out[..., 1], new[..., 2])
     np.testing.assert_array_equal(out[..., 2], new[..., 1])
     np.testing.assert_array_equal(out[..., 0], new[..., 0])
+
+    # vanished object: channel 2 absent in the new frame must NOT become a
+    # copy of the background channel (all-zero intersection row)
+    gone = np.zeros_like(prev)
+    gone[:, :, :5, 0] = 1
+    gone[:, 3:9, 6:10, 1] = 1
+    out2 = align_with_prev_mask(gone, prev)
+    np.testing.assert_array_equal(out2[..., 2], gone[..., 2])  # stays empty
