@@ -136,3 +136,40 @@ def test_train_xmem_synthetic(tmp_path):
     ])
     assert rc == 0
     assert any(f.startswith("ckpt") or f.endswith(".pkl") for f in os.listdir(out))
+
+
+def test_eval_xmem_directory_palette_masks(tmp_path):
+    """Directory videos: paletted (P-mode) DAVIS-style annotation PNGs must
+    decode to object INDICES, and --frames 0 runs the whole video."""
+    import cv2
+    from PIL import Image
+
+    from d3fields_tpu.apps.eval_xmem import main as eval_main
+
+    rs = np.random.RandomState(0)
+    vdir = tmp_path / "data" / "vid0"
+    (vdir / "frames").mkdir(parents=True)
+    (vdir / "masks").mkdir()
+    H, W, T = 48, 64, 4
+    for t in range(T):
+        img = (rs.rand(H, W, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(vdir / "frames" / f"{t:05d}.png"), img)
+    m = np.zeros((H, W), np.uint8)
+    m[10:30, 20:44] = 1
+    pal_img = Image.fromarray(m, mode="P")
+    pal_img.putpalette([0, 0, 0, 128, 0, 0] + [0] * (254 * 3))
+    pal_img.save(str(vdir / "masks" / "00000.png"))
+
+    out = str(tmp_path / "out")
+    rc = eval_main([
+        "--data_root", str(tmp_path / "data"), "--frames", "0",
+        "--size", "48", "--key_dim", "8", "--value_dim", "16",
+        "--hidden_dim", "8", "--out", out,
+    ])
+    assert rc == 0
+    # whole video propagated (T-1 outputs), labels are indices (max obj = 1)
+    outs = sorted(os.listdir(os.path.join(out, "vid0")))
+    assert outs == ["00001.png", "00002.png", "00003.png"]
+    pred = cv2.imread(os.path.join(out, "vid0", "00001.png"),
+                      cv2.IMREAD_GRAYSCALE)
+    assert pred.max() <= 1
