@@ -21,6 +21,9 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_root", default=None,
                    help="<root>/<video>/{frames,masks}/*.png")
+    p.add_argument("--static_root", default=None,
+                   help="static X.jpg + X.png pairs -> pseudo-video clips "
+                        "(the reference's s0 pretraining stage)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=2)
@@ -60,7 +63,8 @@ def main(argv=None):
     from d3fields_tpu.models.xmem import network as N
     from d3fields_tpu.models.xmem import trainer as TR
     from d3fields_tpu.models.xmem.data import (
-        DirectoryVideoSource, SyntheticVideoSource, VideoClipLoader,
+        DirectoryVideoSource, StaticImageSource, SyntheticVideoSource,
+        VideoClipLoader,
     )
     from d3fields_tpu.utils.metrics import Integrator, JsonlLogger
 
@@ -69,10 +73,12 @@ def main(argv=None):
                      hidden_dim=args.hidden_dim)
     if args.synthetic:
         source = SyntheticVideoSource(hw=tuple(args.size))
+    elif args.static_root:
+        source = StaticImageSource(root=args.static_root)
     elif args.data_root:
         source = DirectoryVideoSource(args.data_root)
     else:
-        raise SystemExit("need --data_root or --synthetic")
+        raise SystemExit("need --data_root, --static_root or --synthetic")
     loader = VideoClipLoader(
         source, num_frames=args.num_frames, max_jump=args.max_jump,
         max_num_obj=args.max_num_obj, out_hw=tuple(args.size),

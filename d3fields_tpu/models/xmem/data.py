@@ -227,3 +227,133 @@ class VideoClipLoader:
         return {
             k: np.stack([s[k] for s in samples]) for k in samples[0]
         }
+
+
+# ---------------------------------------------------------------------------
+# Static-image pseudo-video pretraining (reference static_dataset.py + tps.py)
+# ---------------------------------------------------------------------------
+
+def _tps_backward_map(c_dst: np.ndarray, c_src: np.ndarray,
+                      hw: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Thin-plate-spline backward map: remap coordinates (mapx, mapy) such
+    that output(y, x) = input(f(y, x)), with f interpolating
+    c_dst -> c_src (normalized [0,1] (y, x) control points).
+
+    Self-contained port of the reference's ``thinplate`` usage
+    (``XMem/dataset/tps.py:14-19``): U(r) = r^2 log r^2 kernel, affine +
+    warp coefficients from the standard TPS linear system.
+    """
+    H, W = hw
+    n = c_dst.shape[0]
+
+    def U(r2):
+        return np.where(r2 > 1e-12, r2 * np.log(np.maximum(r2, 1e-12)), 0.0)
+
+    d2 = ((c_dst[:, None] - c_dst[None]) ** 2).sum(-1)     # (n, n)
+    K = U(d2)
+    P = np.concatenate([np.ones((n, 1)), c_dst], axis=1)   # (n, 3)
+    A = np.zeros((n + 3, n + 3))
+    A[:n, :n] = K
+    A[:n, n:] = P
+    A[n:, :n] = P.T
+    rhs = np.concatenate([c_src, np.zeros((3, 2))], axis=0)
+    coef = np.linalg.solve(A + 1e-9 * np.eye(n + 3), rhs)  # (n+3, 2)
+
+    ys, xs = np.meshgrid(np.arange(H) / H, np.arange(W) / W, indexing="ij")
+    grid = np.stack([ys.ravel(), xs.ravel()], 1)           # (HW, 2) (y, x)
+    g2 = ((grid[:, None] - c_dst[None]) ** 2).sum(-1)      # (HW, n)
+    basis = np.concatenate(
+        [U(g2), np.ones((grid.shape[0], 1)), grid], axis=1
+    )                                                      # (HW, n+3)
+    out = basis @ coef                                     # (HW, 2) src (y, x)
+    mapy = (out[:, 0] * H).reshape(H, W).astype(np.float32)
+    mapx = (out[:, 1] * W).reshape(H, W).astype(np.float32)
+    return mapx, mapy
+
+
+def random_tps_warp(img: np.ndarray, mask: np.ndarray, scale: float,
+                    rs: np.random.RandomState, n_ctrl_pts: int = 12):
+    """Random TPS warp of an image + mask (``tps.py:22-37``): ``n_ctrl_pts``
+    control points jittered by N(0, scale); bilinear image / nearest mask
+    resampling."""
+    import cv2
+
+    h, w = mask.shape[:2]
+    c_src = np.stack(
+        [rs.choice(h, n_ctrl_pts, replace=False) / h,
+         rs.choice(w, n_ctrl_pts, replace=False) / w], axis=1)
+    c_dst = c_src + rs.normal(scale=scale, size=c_src.shape)
+    mapx, mapy = _tps_backward_map(c_dst, c_src, (h, w))
+    wi = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+    wm = cv2.remap(mask, mapx, mapy, cv2.INTER_NEAREST)
+    return wi, wm
+
+
+class StaticImageSource:
+    """Pseudo-video clips from STATIC image+mask pairs — the reference's
+    s0 pretraining stage (``StaticTransformDataset``,
+    ``static_dataset.py:16-137``): every "frame" is an independent random
+    affine jitter of the same image (rotation/scale/shear around a shared
+    sequence-level scale), plus a 33%-probability TPS warp of scale 0.02.
+
+    ``pairs``: list of (image (H, W, 3) uint8, mask (H, W) uint8 index)
+    or a directory of ``X.jpg`` + ``X.png`` pairs (the reference's
+    method-1 layout). Color jitter is brightness/contrast (cv2) instead
+    of torchvision ColorJitter.
+    """
+
+    def __init__(self, pairs=None, root: Optional[str] = None,
+                 length: int = 1000, seed: int = 0):
+        import cv2
+
+        if pairs is None:
+            pairs = []
+            for name in sorted(os.listdir(root)):
+                if not name.lower().endswith(".jpg"):
+                    continue
+                img = cv2.imread(os.path.join(root, name))[..., ::-1]
+                m = cv2.imread(os.path.join(root, name[:-4] + ".png"),
+                               cv2.IMREAD_GRAYSCALE)
+                if m is not None:
+                    pairs.append((img, (m > 127).astype(np.uint8)))
+            if not pairs:
+                raise FileNotFoundError(f"no jpg/png pairs under {root}")
+        self.pairs = pairs
+        self.videos = [f"static_{i}" for i in range(len(pairs))]
+        self._length = length  # virtual frames; every index is a new warp
+        self.rs = np.random.RandomState(seed)
+
+    def length(self, video: str) -> int:
+        return self._length
+
+    def _one_frame(self, img, mask, seq_scale, rs):
+        import cv2
+
+        h, w = mask.shape
+        ang = rs.uniform(-20, 20)
+        sc = seq_scale * rs.uniform(0.9, 1.1)
+        shear = np.deg2rad(rs.uniform(-10, 10))
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), ang, sc)
+        M[0, 1] += np.tan(shear)
+        fill = (124, 116, 104)  # im_mean fill (range_transform.py)
+        fi = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR,
+                            borderValue=fill)
+        fm = cv2.warpAffine(mask, M, (w, h), flags=cv2.INTER_NEAREST,
+                            borderValue=0)
+        if rs.rand() < 0.33:
+            fi, fm = random_tps_warp(fi, fm, scale=0.02, rs=rs)
+        # brightness/contrast jitter (ColorJitter(0.1, 0.05) stand-in)
+        alpha = rs.uniform(0.95, 1.05)
+        beta = rs.uniform(-0.1, 0.1) * 255
+        fi = np.clip(fi.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+        return fi, fm
+
+    def load(self, video: str, indices: Sequence[int]):
+        img, mask = self.pairs[int(video.split("_")[-1])]
+        seq_scale = self.rs.uniform(0.8, 1.5)
+        frames, masks = [], []
+        for _ in indices:
+            fi, fm = self._one_frame(img, mask, seq_scale, self.rs)
+            frames.append(fi)
+            masks.append(fm)
+        return np.stack(frames), np.stack(masks)

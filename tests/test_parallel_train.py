@@ -276,3 +276,31 @@ def test_sharded_batch_eval_pallas_path(scene):
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-5
         )
+
+
+def test_static_image_source_pseudo_video():
+    """Static-image pretraining (reference StaticTransformDataset + TPS):
+    one image+mask yields warped pseudo-video clips the trainer consumes."""
+    import numpy as np
+    from d3fields_tpu.models.xmem.data import (
+        StaticImageSource, VideoClipLoader, random_tps_warp,
+    )
+
+    rs = np.random.RandomState(0)
+    img = (rs.rand(64, 80, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 80), np.uint8)
+    mask[20:45, 25:60] = 1
+
+    # TPS warp: mask stays binary, object roughly in place at small scale
+    wi, wm = random_tps_warp(img, mask, scale=0.01, rs=rs)
+    assert wi.shape == img.shape and set(np.unique(wm)) <= {0, 1}
+    inter = ((wm > 0) & (mask > 0)).sum()
+    assert inter / max((mask > 0).sum(), 1) > 0.7
+
+    src = StaticImageSource(pairs=[(img, mask)], seed=1)
+    loader = VideoClipLoader(src, num_frames=3, out_hw=(64, 80), seed=1)
+    batch = loader.batch(2)
+    assert batch["frames"].shape == (2, 3, 64, 80, 3)
+    assert batch["cls_gt"].shape == (2, 3, 64, 80)
+    # frames are genuinely different warps of the same image
+    assert np.abs(batch["frames"][0, 0] - batch["frames"][0, 1]).max() > 0.01
