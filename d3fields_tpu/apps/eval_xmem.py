@@ -154,9 +154,11 @@ def main(argv=None):
             tp.stop(units=1, result_tree=None)
             oh = onehot[0][:, ::-1] if args.flip else onehot[0]  # (H, W, O+1)
             pred = oh.argmax(-1).astype(np.uint8)
-            import cv2
+            from d3fields_tpu.utils.visualization import save_index_mask_png
 
-            cv2.imwrite(os.path.join(vdir, f"{t:05d}.png"), pred)
+            # paletted PNG with the DAVIS palette (what the reference eval
+            # writes for davis2017-evaluation; indices survive round-trip)
+            save_index_mask_png(os.path.join(vdir, f"{t:05d}.png"), pred)
             if args.save_scores:
                 # SOFT per-object probabilities (reference --save_scores
                 # semantics), not the argmaxed one-hot — merging runs

@@ -43,7 +43,7 @@ def merge_video(in_dirs, out_dir) -> int:
     names = sorted(
         n for n in os.listdir(in_dirs[0]) if n.endswith(".npy")
     )
-    import cv2
+    from d3fields_tpu.utils.visualization import save_index_mask_png
 
     for name in names:
         acc = None
@@ -54,7 +54,9 @@ def merge_video(in_dirs, out_dir) -> int:
             else:
                 acc = acc + _resize_prob(prob, acc.shape[:2])
         pred = acc.argmax(-1).astype(np.uint8)
-        cv2.imwrite(os.path.join(out_dir, name.replace(".npy", ".png")), pred)
+        save_index_mask_png(
+            os.path.join(out_dir, name.replace(".npy", ".png")), pred
+        )
     return len(names)
 
 

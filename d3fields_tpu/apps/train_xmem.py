@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--resume", default=None)
     p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--dump_images_every", type=int, default=0,
+                   help="save frame|gt|pred training grids every N steps "
+                        "(the reference image_saver; 0 = off)")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--out", default="out/xmem_train")
     return p
@@ -126,6 +129,8 @@ def main(argv=None):
             t0 = time.perf_counter()
             print(f"[train_xmem] it={int(state.it)} loss={stats['loss']:.4f} "
                   f"{dt:.2f}s/step")
+        if args.dump_images_every and (step + 1) % args.dump_images_every == 0:
+            _dump_train_images(args.out, state, batch, cfg, TR, int(state.it))
         if (step + 1) % args.save_every == 0:
             TR.save_checkpoint(os.path.join(args.out, f"ckpt_{int(state.it)}.pkl"),
                                state)
@@ -133,6 +138,31 @@ def main(argv=None):
     logger.close()
     print(f"[train_xmem] done; final checkpoint in {args.out}")
     return 0
+
+
+def _dump_train_images(out_dir, state, batch, cfg, TR, it):
+    """frame | GT | prediction grid for batch sample 0 (the reference's
+    periodic image dumps, ``XMem/util/image_saver.py``)."""
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
+    from d3fields_tpu.utils.visualization import davis_palette
+
+    one = {k: jnp.asarray(np.asarray(v)[0]) for k, v in batch.items()}
+    _, aux = TR.sequence_loss(
+        state.params, one, state.it, cfg, None, return_probs=True
+    )
+    pal = davis_palette()
+    frame = np.asarray(one["frames"][-1])
+    frame = np.clip((frame * IMAGENET_STD + IMAGENET_MEAN) * 255, 0, 255)
+    gt = pal[np.asarray(one["cls_gt"][-1], np.int64)]
+    pred = pal[np.asarray(jnp.argmax(aux["last_prob"], axis=0), np.int64)]
+    grid = np.concatenate([frame, gt, pred], axis=1).astype(np.uint8)
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    cv2.imwrite(os.path.join(out_dir, "images", f"{it:07d}.png"),
+                grid[..., ::-1])
 
 
 if __name__ == "__main__":

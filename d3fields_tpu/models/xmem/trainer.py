@@ -82,7 +82,8 @@ def bootstrapped_ce(logits: Array, cls_gt: Array, it: Array,
 def sequence_loss(params, batch: Dict[str, Array], it: Array,
                   cfg: XMemConfig, rng: Optional[Array] = None, *,
                   start_warm: int = 20000, end_warm: int = 70000,
-                  deep_update_prob: float = 0.2) -> Tuple[Array, Dict[str, Array]]:
+                  deep_update_prob: float = 0.2,
+                  return_probs: bool = False) -> Tuple[Array, Dict[str, Array]]:
     """One sample's T-frame rollout loss (vmapped over batch by the step).
 
     batch: frames (T, H, W, 3), first_gt (O, H, W) one-hot,
@@ -161,6 +162,10 @@ def sequence_loss(params, batch: Dict[str, Array], it: Array,
                 hidden = deep_hidden
             values.append(v16)
     aux["num_frames"] = jnp.asarray(T)
+    if return_probs:
+        # last frame's aggregated probabilities, for training image dumps
+        # (the reference's image_saver pipeline, XMem/util/image_saver.py)
+        aux["last_prob"] = prob_with_bg
     # the reference sums per-frame ce+dice without dividing by frame count
     # (losses.py:60-66); normalizing would shrink gradients as T grows
     return total, aux

@@ -221,3 +221,33 @@ class TrackVis:
         if self.vid is not None:
             self.vid.release()
             self.vid = None
+
+
+def davis_palette(n: int = 256) -> np.ndarray:
+    """The DAVIS/PASCAL-VOC label colormap ((n, 3) uint8 RGB).
+
+    Generated by the standard VOC bit-shuffle (labels' bits distributed
+    over color MSBs) — byte-identical to the reference's hardcoded table
+    (``XMem/util/palette.py``). Used to save index masks as paletted PNGs.
+    """
+    cmap = np.zeros((n, 3), np.uint8)
+    for i in range(n):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap
+
+
+def save_index_mask_png(path: str, index_mask: np.ndarray) -> None:
+    """Save an index mask as a paletted PNG with the DAVIS palette (what
+    the reference eval writes for davis2017-evaluation)."""
+    from PIL import Image
+
+    img = Image.fromarray(index_mask.astype(np.uint8), mode="P")
+    img.putpalette(davis_palette().reshape(-1).tolist())
+    img.save(path)

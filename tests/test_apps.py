@@ -117,11 +117,10 @@ def test_eval_xmem_flip_scores_and_merge(tmp_path):
 
     merged = str(tmp_path / "merged")
     assert merge_main(["--inputs", out_a, out_b, "--out", merged]) == 0
-    import cv2
+    from PIL import Image
 
-    m = cv2.imread(os.path.join(merged, "synthetic_0", "00001.png"),
-                   cv2.IMREAD_GRAYSCALE)
-    assert m is not None and m.shape == (120, 160)
+    m = np.array(Image.open(os.path.join(merged, "synthetic_0", "00001.png")))
+    assert m.shape == (120, 160)
 
 
 def test_train_xmem_synthetic(tmp_path):
@@ -132,10 +131,12 @@ def test_train_xmem_synthetic(tmp_path):
         "--synthetic", "--steps", "2", "--batch", "1", "--num_frames", "3",
         "--size", "48", "64", "--key_dim", "8", "--value_dim", "16",
         "--hidden_dim", "8", "--save_every", "2", "--log_every", "1",
-        "--out", out,
+        "--dump_images_every", "2", "--out", out,
     ])
     assert rc == 0
     assert any(f.startswith("ckpt") or f.endswith(".pkl") for f in os.listdir(out))
+    dumps = os.listdir(os.path.join(out, "images"))
+    assert dumps and dumps[0].endswith(".png")
 
 
 def test_eval_xmem_directory_palette_masks(tmp_path):
@@ -170,6 +171,5 @@ def test_eval_xmem_directory_palette_masks(tmp_path):
     # whole video propagated (T-1 outputs), labels are indices (max obj = 1)
     outs = sorted(os.listdir(os.path.join(out, "vid0")))
     assert outs == ["00001.png", "00002.png", "00003.png"]
-    pred = cv2.imread(os.path.join(out, "vid0", "00001.png"),
-                      cv2.IMREAD_GRAYSCALE)
-    assert pred.max() <= 1
+    pred = np.array(Image.open(os.path.join(out, "vid0", "00001.png")))
+    assert pred.max() <= 1  # paletted PNG round-trips INDICES

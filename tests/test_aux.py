@@ -233,3 +233,31 @@ def test_davis_jf_metric():
     m2 = davis_jf(pred2, gt)
     assert m2["J"] == pytest.approx(0.5, abs=0.01)
     assert m2["F"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_davis_palette_matches_reference_table():
+    """The generated VOC colormap must equal the reference's hardcoded
+    palette bytes (spot values from XMem/util/palette.py)."""
+    from d3fields_tpu.utils.visualization import davis_palette
+
+    p = davis_palette()
+    np.testing.assert_array_equal(p[0], [0, 0, 0])
+    np.testing.assert_array_equal(p[1], [128, 0, 0])
+    np.testing.assert_array_equal(p[2], [0, 128, 0])
+    np.testing.assert_array_equal(p[3], [128, 128, 0])
+    np.testing.assert_array_equal(p[4], [0, 0, 128])
+    np.testing.assert_array_equal(p[8], [64, 0, 0])
+    np.testing.assert_array_equal(p[16], [0, 64, 0])
+
+
+def test_save_index_mask_png_roundtrip(tmp_path):
+    from PIL import Image
+
+    from d3fields_tpu.utils.visualization import save_index_mask_png
+
+    m = np.zeros((20, 30), np.uint8)
+    m[5:15, 10:20] = 2
+    p = str(tmp_path / "m.png")
+    save_index_mask_png(p, m)
+    back = np.array(Image.open(p))
+    np.testing.assert_array_equal(back, m)  # indices survive the palette
