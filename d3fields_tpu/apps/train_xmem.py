@@ -140,10 +140,14 @@ def main(argv=None):
     return 0
 
 
+_DUMP_FWD = {}
+
+
 def _dump_train_images(out_dir, state, batch, cfg, TR, it):
     """frame | GT | prediction grid for batch sample 0 (the reference's
     periodic image dumps, ``XMem/util/image_saver.py``)."""
     import cv2
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -151,14 +155,20 @@ def _dump_train_images(out_dir, state, batch, cfg, TR, it):
     from d3fields_tpu.utils.visualization import davis_palette
 
     one = {k: jnp.asarray(np.asarray(v)[0]) for k, v in batch.items()}
-    _, aux = TR.sequence_loss(
-        state.params, one, state.it, cfg, None, return_probs=True
-    )
+    if cfg not in _DUMP_FWD:
+        # jit once: eager sequence_loss would dispatch the whole rollout
+        # op-by-op on every dump
+        _DUMP_FWD[cfg] = jax.jit(
+            lambda p, b, i: TR.sequence_loss(
+                p, b, i, cfg, None, return_probs=True
+            )[1]["last_prob"]
+        )
+    last_prob = _DUMP_FWD[cfg](state.params, one, state.it)
     pal = davis_palette()
     frame = np.asarray(one["frames"][-1])
     frame = np.clip((frame * IMAGENET_STD + IMAGENET_MEAN) * 255, 0, 255)
     gt = pal[np.asarray(one["cls_gt"][-1], np.int64)]
-    pred = pal[np.asarray(jnp.argmax(aux["last_prob"], axis=0), np.int64)]
+    pred = pal[np.asarray(jnp.argmax(last_prob, axis=0), np.int64)]
     grid = np.concatenate([frame, gt, pred], axis=1).astype(np.uint8)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     cv2.imwrite(os.path.join(out_dir, "images", f"{it:07d}.png"),

@@ -208,7 +208,7 @@ class VideoClipLoader:
             )
 
     def sample(self) -> Dict[str, np.ndarray]:
-        while True:
+        for _ in range(200 * len(self.eligible)):
             video = self.eligible[self.rs.randint(len(self.eligible))]
             idxs = sample_frame_indices(
                 self.source.length(video), self.num_frames, self.max_jump,
@@ -221,6 +221,10 @@ class VideoClipLoader:
             )
             if out is not None:
                 return out
+        raise RuntimeError(
+            "no sampleable clip: every attempt produced a frame-0 without "
+            "labeled objects (empty/invalid masks in the source?)"
+        )
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         samples = [self.sample() for _ in range(batch_size)]
@@ -311,11 +315,16 @@ class StaticImageSource:
             for name in sorted(os.listdir(root)):
                 if not name.lower().endswith(".jpg"):
                     continue
-                img = cv2.imread(os.path.join(root, name))[..., ::-1]
+                img = cv2.imread(os.path.join(root, name))
                 m = cv2.imread(os.path.join(root, name[:-4] + ".png"),
                                cv2.IMREAD_GRAYSCALE)
-                if m is not None:
-                    pairs.append((img, (m > 127).astype(np.uint8)))
+                if img is None or m is None:
+                    continue
+                # 0/255 binary masks (the reference FSS layout) binarize;
+                # small-valued masks are already object INDICES — keep them
+                if m.max() > 10:
+                    m = (m > 127).astype(np.uint8)
+                pairs.append((img[..., ::-1], m.astype(np.uint8)))
             if not pairs:
                 raise FileNotFoundError(f"no jpg/png pairs under {root}")
         self.pairs = pairs
@@ -333,8 +342,13 @@ class StaticImageSource:
         ang = rs.uniform(-20, 20)
         sc = seq_scale * rs.uniform(0.9, 1.1)
         shear = np.deg2rad(rs.uniform(-10, 10))
-        M = cv2.getRotationMatrix2D((w / 2, h / 2), ang, sc)
-        M[0, 1] += np.tan(shear)
+        # center-anchored rotate+scale+shear (torchvision RandomAffine
+        # anchors every component at the image center): T(c) S R T(-c)
+        c = np.array([w / 2, h / 2])
+        R = cv2.getRotationMatrix2D(tuple(c), ang, sc)[:, :2]  # 2x2
+        Sh = np.array([[1.0, np.tan(shear)], [0.0, 1.0]])
+        A = R @ Sh
+        M = np.concatenate([A, (c - A @ c)[:, None]], axis=1)
         fill = (124, 116, 104)  # im_mean fill (range_transform.py)
         fi = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR,
                             borderValue=fill)

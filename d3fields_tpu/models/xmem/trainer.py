@@ -163,6 +163,9 @@ def sequence_loss(params, batch: Dict[str, Array], it: Array,
             values.append(v16)
     aux["num_frames"] = jnp.asarray(T)
     if return_probs:
+        if T < 2:
+            raise ValueError("return_probs needs a clip of >= 2 frames "
+                             "(frame 0 only seeds the memory)")
         # last frame's aggregated probabilities, for training image dumps
         # (the reference's image_saver pipeline, XMem/util/image_saver.py)
         aux["last_prob"] = prob_with_bg
