@@ -17,11 +17,13 @@ semantic descriptors, and instance-mask probabilities), designed TPU-first:
 
 __version__ = "0.1.0"
 
-from d3fields_tpu.config import FusionConfig
+from d3fields_tpu.config import Boundaries, D3FieldsConfig, FusionConfig
 from d3fields_tpu.fields.state import FieldState
 from d3fields_tpu.fields.fusion import Fusion, eval_field, eval_dist, batch_eval
 
 __all__ = [
+    "Boundaries",
+    "D3FieldsConfig",
     "FusionConfig",
     "FieldState",
     "Fusion",
