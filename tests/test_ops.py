@@ -80,3 +80,23 @@ def test_pca_save_load(tmp_path, rng):
     p.save(path)
     q = pca_mod.PCAParams.load(path)
     np.testing.assert_array_equal(p.components, q.components)
+
+
+def test_fps_rad_np_coverage_property():
+    """Radius-terminated FPS (reference fps_rad, my_utils.py:465-476):
+    every input point ends within `radius` of some sample, and samples are
+    mutually farther apart than radius (except possibly the first pair)."""
+    from d3fields_tpu.ops.fps import fps_rad_np
+
+    rs = np.random.RandomState(0)
+    np.random.seed(1)
+    pcd = rs.rand(400, 3).astype(np.float32)
+    r = 0.25
+    out = fps_rad_np(pcd, r)
+    d = np.linalg.norm(pcd[:, None] - out[None], axis=-1)
+    assert d.min(axis=1).max() <= r + 1e-6          # coverage
+    if out.shape[0] > 2:
+        dd = np.linalg.norm(out[:, None] - out[None], axis=-1)
+        dd[np.eye(out.shape[0], dtype=bool)] = np.inf
+        # all but the final (radius-terminating) sample are > r apart
+        assert np.sort(dd.min(axis=1))[1:-1].min() > r - 1e-6
