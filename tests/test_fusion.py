@@ -298,3 +298,42 @@ def test_fusion_default_does_not_touch_global_rng():
     ffusion.Fusion(config=D3FieldsConfig(seed=123))
     y = np.random.rand()
     assert x == y  # opt-in seed pins the stream
+
+
+def test_batch_eval_edge_shapes(scene):
+    """Degenerate query sizes: empty, single point, and sub-tile counts all
+    return correctly sized outputs through the padded tile machinery."""
+    from d3fields_tpu.fields.state import state_from_obs
+
+    st = state_from_obs(scene, dino_feats=scene["dino_feats"],
+                        mask=scene["mask"], mu=0.02)
+    for n in (0, 1, 7):
+        pts = np.zeros((n, 3), np.float32)
+        out = ffusion.batch_eval(st, pts, ("dino_feats",), tile=128)
+        assert out["dist"].shape == (n,)
+        assert out["dino_feats"].shape == (n, scene["dino_feats"].shape[-1])
+        out_p = ffusion.batch_eval(st, pts, ("dino_feats", "mask"),
+                                   tile=128, use_pallas=True)
+        assert out_p["mask"].shape == (n, scene["mask"].shape[-1])
+
+
+def test_eval_field_single_view(scene):
+    """A 1-camera state works through the same fused machinery."""
+    from d3fields_tpu.fields.state import FieldState
+
+    st = FieldState(
+        depth=jnp.asarray(scene["depth"][:1]),
+        pose=jnp.asarray(scene["pose"][:1]),
+        K=jnp.asarray(scene["K"][:1]),
+        dino_feats=jnp.asarray(scene["dino_feats"][:1]),
+        mask=jnp.asarray(scene["mask"][:1]),
+    )
+    pts = np.random.RandomState(0).uniform(-0.3, 0.3, (50, 3)).astype(np.float32)
+    a = ffusion.eval_field(st, jnp.asarray(pts), ("dino_feats", "mask"))
+    from d3fields_tpu.fields import kernels
+
+    b = kernels.eval_field_fused(st, jnp.asarray(pts), ("dino_feats", "mask"))
+    np.testing.assert_allclose(np.asarray(a["dist"]), np.asarray(b["dist"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a["mask"]), np.asarray(b["mask"]),
+                               rtol=1e-4, atol=1e-5)
