@@ -27,19 +27,31 @@ def _load_torch_sd(path: str):
     return {k: v.numpy() for k, v in sd.items()}
 
 
+def _load_family_params(path: str, family: str, cfg=None):
+    """Load model params from either a pre-converted ``.npz`` pytree
+    (``tools/convert_ckpts.py``) or a raw torch checkpoint (converted here
+    under the key-coverage audit)."""
+    from d3fields_tpu.utils.convert import convert_family, load_params
+
+    if path.endswith(".npz"):
+        params, _meta = load_params(path)
+        return params
+    params, _cfg = convert_family(family, _load_torch_sd(path), cfg)
+    return params
+
+
 def build_feature_backend(ckpt: str | None = None):
-    from d3fields_tpu.models.dinov2 import (
-        Dinov2Backbone, Dinov2Config, convert_hub_state_dict,
-    )
+    from d3fields_tpu.models.dinov2 import Dinov2Backbone, Dinov2Config
 
     ckpt = ckpt or os.environ.get("D3F_DINOV2_CKPT")
     if not ckpt or not os.path.exists(ckpt):
         raise FileNotFoundError(
             "DINOv2 checkpoint not found; set D3F_DINOV2_CKPT to a torch-hub "
-            "dinov2_vitl14 state dict, or run with --synthetic"
+            "dinov2_vitl14 state dict (or a converted .npz), or run with "
+            "--synthetic"
         )
     cfg = Dinov2Config.vit_large()
-    params = convert_hub_state_dict(_load_torch_sd(ckpt), cfg)
+    params = _load_family_params(ckpt, "dinov2_hub", cfg)
     return Dinov2Backbone(params, cfg, compute_dtype="bfloat16")
 
 
@@ -47,12 +59,8 @@ def build_mask_backend(sam_ckpt: str | None = None,
                        gdino_ckpt: str | None = None,
                        vocab: str | None = None):
     from d3fields_tpu.models.groundingdino.detector import GroundingDinoDetector
-    from d3fields_tpu.models.groundingdino.model import (
-        GroundingDinoConfig, convert_hf_state_dict as convert_gdino,
-    )
-    from d3fields_tpu.models.sam.model import (
-        SamConfig, convert_hf_state_dict as convert_sam,
-    )
+    from d3fields_tpu.models.groundingdino.model import GroundingDinoConfig
+    from d3fields_tpu.models.sam.model import SamConfig
     from d3fields_tpu.models.sam.predictor import SamPredictor
     from d3fields_tpu.seg.grounded_sam import GroundedSAMBackend
 
@@ -65,9 +73,9 @@ def build_mask_backend(sam_ckpt: str | None = None,
             "SAM/GroundingDINO checkpoints not found; set D3F_SAM_CKPT and "
             "D3F_GDINO_CKPT (+ D3F_BERT_VOCAB), or run with --synthetic"
         )
-    sam_params = convert_sam(_load_torch_sd(sam_ckpt), SamConfig.vit_huge())
-    gdino_params = convert_gdino(
-        _load_torch_sd(gdino_ckpt), GroundingDinoConfig()
+    sam_params = _load_family_params(sam_ckpt, "sam", SamConfig.vit_huge())
+    gdino_params = _load_family_params(
+        gdino_ckpt, "gdino", GroundingDinoConfig()
     )
     tokenize = _wordpiece_tokenizer(vocab) if vocab else None
     return GroundedSAMBackend(
@@ -117,11 +125,10 @@ def build_video_tracker_factory(ckpt: str | None = None):
     if not ckpt or not os.path.exists(ckpt):
         return None
     from d3fields_tpu.config import XMemConfig
-    from d3fields_tpu.models.xmem import network as N
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker
 
     cfg = XMemConfig()
-    params = N.convert_torch_state_dict(_load_torch_sd(ckpt), cfg)
+    params = _load_family_params(ckpt, "xmem", cfg)
 
     def factory(num_views, num_objects, image_hw):
         return VideoMaskTracker(

@@ -33,6 +33,8 @@ Array = jax.Array
 
 from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD  # noqa: F401 (re-export)
 
+from d3fields_tpu.utils.convert import np_view
+
 
 @dataclasses.dataclass(frozen=True)
 class Dinov2Config:
@@ -265,7 +267,7 @@ def _lin(sd, name):
 
 def convert_hf_state_dict(sd, cfg: Dinov2Config) -> Dict[str, Array]:
     """Convert a huggingface ``Dinov2Model`` state dict."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = np_view(sd)
     L, D = cfg.num_layers, cfg.hidden_size
     P = cfg.patch_size
 
@@ -311,10 +313,54 @@ def convert_hf_state_dict(sd, cfg: Dinov2Config) -> Dict[str, Array]:
     }
 
 
+def hub_sd_to_hf_sd(sd, cfg: Dinov2Config) -> Dict[str, np.ndarray]:
+    """Re-key a torch-hub DINOv2 state dict to huggingface ``Dinov2Model``
+    layout (the two public distributions of the same weights).
+
+    Used by the real-checkpoint test tier: a hub checkpoint mapped through
+    this loads into ``transformers.Dinov2Model``, giving a torch oracle for
+    the hub-format conversion path without torch-hub network access
+    (the reference's download at ``fusion.py:223``).
+    """
+    sd = np_view(sd)
+    L, D = cfg.num_layers, cfg.hidden_size
+    out = {
+        "embeddings.cls_token": sd["cls_token"],
+        "embeddings.mask_token": sd["mask_token"].reshape(1, D),
+        "embeddings.position_embeddings": sd["pos_embed"],
+        "embeddings.patch_embeddings.projection.weight": sd["patch_embed.proj.weight"],
+        "embeddings.patch_embeddings.projection.bias": sd["patch_embed.proj.bias"],
+        "layernorm.weight": sd["norm.weight"],
+        "layernorm.bias": sd["norm.bias"],
+    }
+    for i in range(L):
+        qkv_w = sd[f"blocks.{i}.attn.qkv.weight"]  # (3D, D)
+        qkv_b = sd[f"blocks.{i}.attn.qkv.bias"]
+        pre = f"encoder.layer.{i}"
+        for j, n in enumerate(("query", "key", "value")):
+            out[f"{pre}.attention.attention.{n}.weight"] = qkv_w[j * D:(j + 1) * D]
+            out[f"{pre}.attention.attention.{n}.bias"] = qkv_b[j * D:(j + 1) * D]
+        out.update({
+            f"{pre}.norm1.weight": sd[f"blocks.{i}.norm1.weight"],
+            f"{pre}.norm1.bias": sd[f"blocks.{i}.norm1.bias"],
+            f"{pre}.attention.output.dense.weight": sd[f"blocks.{i}.attn.proj.weight"],
+            f"{pre}.attention.output.dense.bias": sd[f"blocks.{i}.attn.proj.bias"],
+            f"{pre}.layer_scale1.lambda1": sd[f"blocks.{i}.ls1.gamma"],
+            f"{pre}.norm2.weight": sd[f"blocks.{i}.norm2.weight"],
+            f"{pre}.norm2.bias": sd[f"blocks.{i}.norm2.bias"],
+            f"{pre}.mlp.fc1.weight": sd[f"blocks.{i}.mlp.fc1.weight"],
+            f"{pre}.mlp.fc1.bias": sd[f"blocks.{i}.mlp.fc1.bias"],
+            f"{pre}.mlp.fc2.weight": sd[f"blocks.{i}.mlp.fc2.weight"],
+            f"{pre}.mlp.fc2.bias": sd[f"blocks.{i}.mlp.fc2.bias"],
+            f"{pre}.layer_scale2.lambda1": sd[f"blocks.{i}.ls2.gamma"],
+        })
+    return out
+
+
 def convert_hub_state_dict(sd, cfg: Dinov2Config) -> Dict[str, Array]:
     """Convert a facebookresearch/dinov2 torch-hub state dict (the
     checkpoints the reference downloads, ``fusion.py:223``)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = np_view(sd)
     L, D, P = cfg.num_layers, cfg.hidden_size, cfg.patch_size
 
     def stack(fn):

@@ -30,6 +30,8 @@ import numpy as np
 from d3fields_tpu.models.groundingdino import bert as B
 from d3fields_tpu.models.groundingdino import swin as SW
 
+from d3fields_tpu.utils.convert import np_view
+
 Array = jax.Array
 
 # BERT ids treated as caption separators: [CLS], [SEP], '.', '?'
@@ -602,7 +604,7 @@ def _mlp_head_t(sd, pre, n_layers):
 
 def convert_hf_state_dict(sd, cfg: GroundingDinoConfig) -> Dict:
     """Convert a huggingface ``GroundingDinoForObjectDetection`` state dict."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = np_view(sd)
     g = lambda n: jnp.asarray(sd[n])
 
     swin_p = SW.convert_hf_swin(sd, cfg.swin,

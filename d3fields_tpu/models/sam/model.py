@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from d3fields_tpu.utils.convert import np_view
+
 Array = jax.Array
 Params = Dict
 
@@ -426,7 +428,7 @@ def _lin_t(sd, pre):
 
 def convert_hf_state_dict(sd, cfg: SamConfig) -> Params:
     """Convert a huggingface ``SamModel`` state dict."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = np_view(sd)
     g = lambda n: jnp.asarray(sd[n])
 
     P = cfg.patch_size

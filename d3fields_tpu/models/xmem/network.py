@@ -18,6 +18,8 @@ import numpy as np
 from d3fields_tpu.config import XMemConfig
 from d3fields_tpu.models.xmem import blocks as B
 
+from d3fields_tpu.utils.convert import np_view
+
 Array = jax.Array
 Params = Dict
 
@@ -323,7 +325,7 @@ def convert_torch_state_dict(sd, cfg: XMemConfig) -> Params:
     """Convert the reference XMem checkpoint state dict (key names from
     ``XMem/model/network.py`` + ``modules.py``; single->multi-object conv1
     padding as in ``network.py:181-198``)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = np_view(sd)
 
     ve_conv1 = sd["value_encoder.conv1.weight"]
     if ve_conv1.shape[1] == 4:  # single-object checkpoint: pad 'others' chan

@@ -1,0 +1,223 @@
+"""Real-checkpoint validation tier (skips loudly unless ``D3F_*_CKPT`` set).
+
+The zero-egress CI environment has no pretrained weights, so the standard
+suite proves parity at random weights. On a machine WITH the reference's
+checkpoints (``fusion.py:223,235-262``; ``XMem.pth``), this tier asserts:
+
+- conversion consumes every real-checkpoint tensor (coverage audit);
+- DINOv2 descriptors match a torch oracle end-to-end within the <1e-3
+  cosine budget (BASELINE.json) on a fixture image;
+- XMem with real weights tracks a clip frame-for-frame against the
+  reference ``InferenceCore``;
+- the offline conversion tool's ``.npz`` roundtrips exactly.
+
+Set ``D3F_DINOV2_CKPT`` (torch-hub dinov2_vitl14 state dict),
+``D3F_SAM_CKPT`` (HF SamModel), ``D3F_GDINO_CKPT`` (HF
+GroundingDinoForObjectDetection), ``D3F_XMEM_CKPT`` (reference XMem.pth).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from d3fields_tpu.utils.convert import convert_family, load_params
+
+REF = "/root/reference"
+
+
+def _ckpt(env):
+    path = os.environ.get(env)
+    if not path or not os.path.exists(path):
+        pytest.skip(f"real-checkpoint tier: set {env} to run this test")
+    return path
+
+
+def _load_sd(path):
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# conversion coverage on the real state dicts
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("family,env", [
+    ("dinov2_hub", "D3F_DINOV2_CKPT"),
+    ("sam", "D3F_SAM_CKPT"),
+    ("gdino", "D3F_GDINO_CKPT"),
+    ("xmem", "D3F_XMEM_CKPT"),
+])
+def test_real_conversion_consumes_every_tensor(family, env):
+    sd = _load_sd(_ckpt(env))
+    params, _cfg = convert_family(family, sd)  # raises on any dropped key
+    assert params
+
+
+def test_convert_tool_npz_roundtrip(tmp_path):
+    path = _ckpt("D3F_DINOV2_CKPT")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_ckpts import convert_one
+
+    out = convert_one("dinov2", path, str(tmp_path))
+    loaded, meta = load_params(out)
+    assert meta["family"] == "dinov2_hub"
+    direct, _ = convert_family("dinov2_hub", _load_sd(path))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        direct, loaded,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DINOv2: real-weight descriptor parity vs a torch oracle
+# ---------------------------------------------------------------------------
+
+def test_dinov2_real_descriptor_cosine():
+    """End-to-end budget: uint8 fixture image -> preprocess -> ViT-L ->
+    patch descriptors; cosine vs torch must clear the <1e-3 deviation
+    budget the reference's use of hub DINOv2 implies (``fusion.py:593-629``,
+    BASELINE.json)."""
+    from transformers import Dinov2Config as HFConfig, Dinov2Model
+
+    from d3fields_tpu.models import dinov2 as d2
+
+    hub_sd = _load_sd(_ckpt("D3F_DINOV2_CKPT"))
+    cfg = d2.Dinov2Config.vit_large()
+    params, _ = convert_family("dinov2_hub", hub_sd, cfg)
+
+    hf_sd = d2.hub_sd_to_hf_sd(hub_sd, cfg)
+    model = Dinov2Model(HFConfig(
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+        intermediate_size=4096, patch_size=14, image_size=518,
+        layerscale_value=1.0)).eval()
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in hf_sd.items()},
+        strict=False,
+    )
+    assert not unexpected, f"oracle rejected re-keyed tensors: {unexpected}"
+    assert all("pooler" in k for k in missing), missing
+
+    # deterministic structured fixture image (gradients + shapes, not noise)
+    H = W = 224
+    ys, xs = np.mgrid[0:H, 0:W]
+    img = np.stack([
+        (xs * 255 / W), (ys * 255 / H),
+        ((np.sin(xs / 9.0) * np.cos(ys / 7.0)) * 120 + 127),
+    ], axis=-1).astype(np.uint8)
+
+    from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
+
+    pix = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    with torch.no_grad():
+        ref = model(torch.from_numpy(pix[None]).permute(0, 3, 1, 2)
+                    ).last_hidden_state.numpy()[0, 1:]
+
+    backbone = d2.Dinov2Backbone(params, cfg, pos_interpolate="hf")
+    pos = backbone.interpolated_pos_embed(H // 14, W // 14)
+    ours = np.asarray(d2.forward_tokens(
+        params, jnp.asarray(pix[None]), pos, cfg.num_heads))[0, 1:]
+
+    cos = np.sum(ours * ref, -1) / (
+        np.linalg.norm(ours, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-12)
+    assert cos.min() > 1 - 1e-3, f"worst descriptor cosine {cos.min()}"
+
+    # same forward in the production bf16 path still inside the budget
+    ours_bf16 = np.asarray(d2.forward_tokens(
+        params, jnp.asarray(pix[None]), pos, cfg.num_heads,
+        compute_dtype="bfloat16"))[0, 1:]
+    cos16 = np.sum(ours_bf16 * ref, -1) / (
+        np.linalg.norm(ours_bf16, axis=-1) * np.linalg.norm(ref, axis=-1)
+        + 1e-12)
+    assert cos16.min() > 1 - 1e-3, f"bf16 descriptor cosine {cos16.min()}"
+
+
+# ---------------------------------------------------------------------------
+# XMem: real-weight video parity vs the reference InferenceCore
+# ---------------------------------------------------------------------------
+
+def test_xmem_real_video_parity():
+    path = _ckpt("D3F_XMEM_CKPT")
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree unavailable")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from XMem.model import resnet as ref_resnet
+
+    orig18, orig50 = ref_resnet.resnet18, ref_resnet.resnet50
+    ref_resnet.resnet18 = lambda pretrained=True, extra_dim=0: ref_resnet.ResNet(
+        ref_resnet.BasicBlock, [2, 2, 2, 2], extra_dim)
+    ref_resnet.resnet50 = lambda pretrained=True, extra_dim=0: ref_resnet.ResNet(
+        ref_resnet.Bottleneck, [3, 4, 6, 3], extra_dim)
+    try:
+        from XMem.model.network import XMem as RefXMem
+
+        net = RefXMem({"key_dim": 64, "value_dim": 512, "hidden_dim": 64}).eval()
+    finally:
+        ref_resnet.resnet18, ref_resnet.resnet50 = orig18, orig50
+    net.load_weights(torch.load(path, map_location="cpu", weights_only=False),
+                     init_as_zero_if_needed=True)
+
+    from XMem.inference.inference_core import InferenceCore
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models.xmem import core as C
+
+    refcfg = {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64, "top_k": 30,
+        "mem_every": 2, "deep_update_every": -1, "enable_long_term": True,
+        "enable_long_term_count_usage": True, "max_mid_term_frames": 3,
+        "min_mid_term_frames": 2, "num_prototypes": 16,
+        "max_long_term_elements": 256,
+    }
+    core_t = InferenceCore(net, refcfg)
+    core_t.set_all_labels([1, 2])
+
+    cfg = XMemConfig(top_k=30, mem_every=2, max_mid_term_frames=3,
+                     min_mid_term_frames=2, num_prototypes=16,
+                     max_long_term_elements=256)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, _ = convert_family("xmem", sd, cfg)
+    core_j = C.XMemCore(params, cfg, num_views=1, num_objects=2,
+                        image_hw=(96, 128))
+
+    # moving-blobs clip: two discs translating across the frame
+    T, H, W = 6, 96, 128
+    ys, xs = np.mgrid[0:H, 0:W]
+    video = np.zeros((T, H, W, 3), np.float32)
+    masks0 = np.zeros((2, H, W), np.float32)
+    for t in range(T):
+        c1 = (24 + 6 * t, 30 + 8 * t)
+        c2 = (70 - 5 * t, 90 - 7 * t)
+        d1 = ((ys - c1[0]) ** 2 + (xs - c1[1]) ** 2) < 14 ** 2
+        d2 = ((ys - c2[0]) ** 2 + (xs - c2[1]) ** 2) < 18 ** 2
+        video[t, d1] = (0.9, 0.2, 0.1)
+        video[t, d2] = (0.1, 0.4, 0.9)
+        video[t, ~(d1 | d2)] = (0.5, 0.5, 0.45)
+        if t == 0:
+            masks0[0], masks0[1] = d1, d2
+
+    with torch.no_grad():
+        pt = core_t.step(torch.from_numpy(video[0]).permute(2, 0, 1),
+                         torch.from_numpy(masks0))
+    pj = core_j.step(jnp.asarray(video[0])[None], jnp.asarray(masks0)[None])
+    np.testing.assert_allclose(np.asarray(pj)[0], pt.numpy(), atol=1e-4)
+    for t in range(1, T):
+        with torch.no_grad():
+            pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1))
+        pj = core_j.step(jnp.asarray(video[t])[None])
+        ours_lbl = np.asarray(pj)[0].argmax(0)
+        ref_lbl = pt.numpy().argmax(0)
+        agree = (ours_lbl == ref_lbl).mean()
+        assert agree > 0.995, f"frame {t}: label agreement {agree}"
+        np.testing.assert_allclose(
+            np.asarray(pj)[0], pt.numpy(), atol=1e-3,
+            err_msg=f"prob mismatch at frame {t}",
+        )

@@ -1,0 +1,106 @@
+"""Convert the reference's torch/HF checkpoints to framework pytrees.
+
+The reference downloads torch checkpoints and loads them at runtime
+(``fusion.py:223,235-262`` for DINOv2/SAM/GroundingDINO,
+``XMem/model/network.py:134-198`` for XMem.pth). Here conversion is a
+one-time offline step: each family's state dict is converted under a
+key-coverage audit (fails on silently-dropped tensors) and stored as a
+``.npz`` pytree that the apps load without importing torch.
+
+Usage:
+    python tools/convert_ckpts.py dinov2 /path/dinov2_vitl14.pth out/
+    python tools/convert_ckpts.py --hf dinov2 /path/hf_state.pth out/
+    python tools/convert_ckpts.py sam /path/sam_hf.pth out/
+    python tools/convert_ckpts.py gdino /path/gdino_hf.pth out/
+    python tools/convert_ckpts.py xmem /path/XMem.pth out/
+    python tools/convert_ckpts.py all out/        # paths from D3F_* env vars
+
+Outputs ``<family>.npz``; point ``D3F_<FAMILY>_CKPT`` at either the
+original torch file or the converted ``.npz`` — the app backends accept
+both.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from d3fields_tpu.utils.convert import convert_family, save_params
+
+
+def _load_torch_sd(path: str):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+
+ENV_VARS = {
+    "dinov2": "D3F_DINOV2_CKPT",
+    "sam": "D3F_SAM_CKPT",
+    "gdino": "D3F_GDINO_CKPT",
+    "xmem": "D3F_XMEM_CKPT",
+}
+
+
+def convert_one(family: str, ckpt_path: str, out_dir: str, hf: bool = False) -> str:
+    fam_key = (
+        ("dinov2_hf" if hf else "dinov2_hub") if family == "dinov2" else family
+    )
+    sd = _load_torch_sd(ckpt_path)
+    params, _cfg = convert_family(fam_key, sd)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{family}.npz")
+    save_params(out, params, meta={"family": fam_key, "source": ckpt_path})
+    n = sum(1 for _ in _iter_leaves(params))
+    print(f"[convert] {family}: {len(sd)} torch tensors -> {n} pytree leaves "
+          f"-> {out}")
+    return out
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            yield from _iter_leaves(v)
+    else:
+        yield tree
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("family", choices=[*ENV_VARS, "all"])
+    ap.add_argument("args", nargs="*",
+                    help="<ckpt_path> <out_dir> (family mode) | <out_dir> (all)")
+    ap.add_argument("--hf", action="store_true",
+                    help="dinov2 checkpoint is a huggingface Dinov2Model "
+                         "state dict rather than torch-hub format")
+    ns = ap.parse_args(argv)
+
+    if ns.family == "all":
+        out_dir = ns.args[0] if ns.args else "converted_ckpts"
+        done = 0
+        for fam, env in ENV_VARS.items():
+            path = os.environ.get(env)
+            if not path or not os.path.exists(path):
+                print(f"[convert] skip {fam}: ${env} unset or missing")
+                continue
+            convert_one(fam, path, out_dir, hf=ns.hf and fam == "dinov2")
+            done += 1
+        if not done:
+            sys.exit("no checkpoints found via D3F_* env vars")
+    else:
+        if len(ns.args) != 2:
+            ap.error("family mode needs <ckpt_path> <out_dir>")
+        convert_one(ns.family, ns.args[0], ns.args[1], hf=ns.hf)
+
+
+if __name__ == "__main__":
+    main()
