@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from d3fields_tpu.models.resize import bilinear_resize, cubic_resize_np
+from d3fields_tpu.models.resize import (
+    bilinear_resize, cubic_resize_np, pil_bilinear_resize_u8,
+)
 
 Array = jax.Array
 
@@ -187,15 +189,25 @@ class Dinov2Backbone:
     """
 
     def __init__(self, params, cfg: Dinov2Config, compute_dtype: str = "float32",
-                 pos_interpolate: str = "hub"):
+                 pos_interpolate: str = "hub", resize_mode: str = "pil"):
         """``pos_interpolate``: 'hub' reproduces torch-hub DINOv2's
         scale-factor interpolation with interpolate_offset=0.1 (what the
         reference loads, ``fusion.py:223``); 'hf' is huggingface
-        Dinov2Model's exact-size grid."""
+        Dinov2Model's exact-size grid.
+
+        ``resize_mode``: 'pil' (default) resizes on the host with the
+        bit-exact Pillow 8bpc bilinear resampler the reference's
+        ``T.Resize`` on a PIL image uses (``fusion.py:603-607``) — also
+        shrinking the host->device upload to the target resolution;
+        'device' resizes inside the fused jit with ``jax.image.resize``
+        (float triangle filter — close but not bit-identical to PIL).
+        """
+        assert resize_mode in ("pil", "device")
         self.params = params
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         self.pos_interpolate = pos_interpolate
+        self.resize_mode = resize_mode
         self._pos_cache: Dict[Tuple[int, int], Array] = {}
 
     def interpolated_pos_embed(self, gh: int, gw: int) -> Array:
@@ -230,6 +242,8 @@ class Dinov2Backbone:
             patch_hw = (H // 10, W // 10)
         ph, pw = patch_hw
         pos = self.interpolated_pos_embed(ph, pw)
+        if self.resize_mode == "pil" and np.asarray(images).dtype == np.uint8:
+            images = pil_bilinear_resize_u8(np.asarray(images), (ph * P, pw * P))
         # ONE dispatch for upload + preprocess + forward: separate
         # resize/normalize ops each pay a host->device round trip (~20 ms
         # apiece through a remote-tunnel backend).
@@ -246,7 +260,8 @@ def _extract_patch_features(params, images_u8, pos_embed, resize_hw,
                             num_heads, compute_dtype):
     """uint8 (K, H, W, 3) -> (K, ph, pw, D) patch tokens, fully fused."""
     pixels = images_u8.astype(jnp.float32) / 255.0
-    pixels = bilinear_resize(pixels, resize_hw)
+    if pixels.shape[1:3] != resize_hw:  # pre-resized (pil mode): skip
+        pixels = bilinear_resize(pixels, resize_hw)
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
     pixels = (pixels - mean) / std

@@ -148,3 +148,69 @@ def test_hub_state_dict_conversion(hf_pair, rng):
         np.testing.assert_allclose(
             np.asarray(params[k]), np.asarray(params_hub[k]), atol=1e-6, err_msg=k
         )
+
+
+def test_pil_resize_bit_exact_vs_pillow(rng):
+    """Our host resampler is BIT-identical to Pillow's 8bpc bilinear — the
+    resampler behind the reference's ``T.Resize`` on a PIL image
+    (``fusion.py:603-607``): down, up, identity, odd ratios."""
+    from PIL import Image
+
+    from d3fields_tpu.models.resize import _pil_bilinear_resize_u8_np
+
+    for (H, W), (h, w) in [((480, 640), (112, 140)), ((48, 64), (112, 140)),
+                           ((100, 100), (100, 100)), ((37, 53), (14, 28)),
+                           ((240, 320), (238, 322))]:
+        img = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+        ours = _pil_bilinear_resize_u8_np(img, (h, w))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{(H, W)}->{(h, w)}")
+
+
+def test_preprocess_parity_vs_torchvision_composition(hf_pair, rng):
+    """End-to-end preprocessing parity: identical uint8 images through the
+    reference's exact composition (T.Resize(PIL) + CenterCrop + ToTensor +
+    Normalize + model, ``fusion.py:603-611``) and through our backbone in
+    the default 'pil' resize mode must agree within the descriptor budget;
+    the 'device' resize mode is also quantified against the same oracle."""
+    from PIL import Image
+
+    model, params, cfg = hf_pair
+    ph, pw = 4, 6
+    imgs = rng.integers(0, 256, size=(2, 120, 164, 3), dtype=np.uint8)
+
+    # the reference composition, spelled out (torchvision isn't in this
+    # image): T.Resize((h,w)) on PIL == Image.resize((w,h), BILINEAR);
+    # CenterCrop at the same size is the identity; ToTensor is /255 CHW;
+    # then ImageNet Normalize.
+    def transform(im):
+        r = np.asarray(Image.fromarray(im).resize((pw * 14, ph * 14),
+                                                  Image.BILINEAR))
+        t = torch.from_numpy(r.astype(np.float32) / 255.0).permute(2, 0, 1)
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+        return (t - mean) / std
+
+    batch = torch.stack([transform(im) for im in imgs])
+    with torch.no_grad():
+        ref = model(batch).last_hidden_state.numpy()[:, 1:]
+    ref = ref.reshape(2, ph, pw, -1)
+
+    def worst_cos(a, b):
+        a, b = a.reshape(-1, a.shape[-1]), b.reshape(-1, b.shape[-1])
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+        return (1 - cos).max()
+
+    pil_backbone = d2.Dinov2Backbone(params, cfg, pos_interpolate="hf",
+                                     resize_mode="pil")
+    ours_pil = np.asarray(pil_backbone(imgs, (ph, pw)))
+    # resize now bit-identical -> only model-parity noise remains
+    assert worst_cos(ours_pil, ref) < 1e-5
+
+    dev_backbone = d2.Dinov2Backbone(params, cfg, pos_interpolate="hf",
+                                     resize_mode="device")
+    ours_dev = np.asarray(dev_backbone(imgs, (ph, pw)))
+    # float triangle filter vs PIL fixed point: measured deviation must
+    # still clear the <1e-3 descriptor-cosine budget (BASELINE.json)
+    assert worst_cos(ours_dev, ref) < 1e-3
