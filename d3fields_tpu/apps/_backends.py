@@ -85,32 +85,97 @@ def build_mask_backend(sam_ckpt: str | None = None,
     )
 
 
+def _is_punctuation(ch: str) -> bool:
+    import unicodedata
+
+    cp = ord(ch)
+    # BERT treats all non-letter/number ASCII as punctuation
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _basic_tokenize(text: str):
+    """HF ``BasicTokenizer(do_lower_case=True)`` semantics: clean control
+    chars, space out CJK, whitespace-split, lowercase, strip accents (NFD,
+    drop Mn), split each punctuation char into its own token."""
+    import unicodedata
+
+    cleaned = []
+    for ch in text:
+        cp = ord(ch)
+        cat = unicodedata.category(ch)
+        if cp == 0 or cp == 0xFFFD or (cat in ("Cc", "Cf") and ch not in "\t\n\r"):
+            continue
+        if ch in "\t\n\r" or cat == "Zs":
+            cleaned.append(" ")
+        elif _is_cjk(cp):
+            cleaned.append(f" {ch} ")
+        else:
+            cleaned.append(ch)
+    out = []
+    for tok in "".join(cleaned).split():
+        tok = tok.lower()
+        tok = "".join(c for c in unicodedata.normalize("NFD", tok)
+                      if unicodedata.category(c) != "Mn")
+        cur = []
+        for ch in tok:
+            if _is_punctuation(ch):
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+                out.append(ch)
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+    return out
+
+
 def _wordpiece_tokenizer(vocab_path: str):
-    """Minimal BERT wordpiece tokenizer from a vocab.txt file."""
-    with open(vocab_path) as f:
-        vocab = {w.strip(): i for i, w in enumerate(f)}
+    """BERT tokenizer from a vocab.txt: full BasicTokenizer preprocessing
+    (punctuation splitting, accent stripping, CJK spacing — what the
+    reference gets via HF ``BertTokenizer`` inside GroundingDINO,
+    ``utils/grounded_sam.py:418-424``) + greedy-longest-match WordPiece.
+    Returns content ids only; the detector adds [CLS]/[SEP] itself.
+    Token-id equality vs HF is asserted in
+    ``tests/test_groundingdino.py::test_tokenizer_matches_hf_bert``."""
+    with open(vocab_path, encoding="utf-8") as f:
+        vocab = {w.rstrip("\n") : i for i, w in enumerate(f)}
+    unk = vocab.get("[UNK]", 100)
+
+    def wordpiece(word: str):
+        if len(word) > 100:  # HF max_input_chars_per_word
+            return [unk]
+        start, toks = 0, []
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = ("##" if start > 0 else "") + word[start:end]
+                if sub in vocab:
+                    cur = vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [unk]
+            toks.append(cur)
+            start = end
+        return toks
 
     def tokenize(text: str):
         ids = []
-        for word in text.lower().split():
-            start, toks = 0, []
-            while start < len(word):
-                end = len(word)
-                cur = None
-                while start < end:
-                    sub = word[start:end]
-                    if start > 0:
-                        sub = "##" + sub
-                    if sub in vocab:
-                        cur = vocab[sub]
-                        break
-                    end -= 1
-                if cur is None:
-                    toks = [vocab.get("[UNK]", 100)]
-                    break
-                toks.append(cur)
-                start = end
-            ids.extend(toks)
+        for word in _basic_tokenize(text):
+            ids.extend(wordpiece(word))
         return ids
 
     return tokenize

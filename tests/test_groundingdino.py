@@ -270,3 +270,46 @@ def test_postprocess_empty_class_span():
     spans = [(2, 4), (4, 4), (5, 6)]  # middle class tokenizes to nothing
     det = _postprocess_view(probs, boxes, spans, 0.3, 0.25, (100, 100))
     assert set(det.class_id.tolist()) == {0, 2}
+
+
+def test_tokenizer_matches_hf_bert(tmp_path):
+    """Token-id equality between our vocab-file tokenizer and HF
+    ``BertTokenizer`` on realistic detection captions — including the
+    punctuated/accented forms the old whitespace-only tokenizer sent to
+    [UNK] (reference behavior via HF inside GroundingDINO,
+    ``utils/grounded_sam.py:418-424``)."""
+    from transformers import BertTokenizer
+
+    from d3fields_tpu.apps._backends import _wordpiece_tokenizer
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "coffee", "mug", "blue", "green", "shoe", "a", "the", "toy",
+        "mickey", "'", "s", ".", ",", "/", "!", "-", "cafe", "table",
+        "spoon", "on", "red", "##s", "##ful", "cup", "##board", "手", "机",
+        "wooden", "block", "##e",
+    ]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+
+    hf = BertTokenizer(str(vf), do_lower_case=True)
+    ours = _wordpiece_tokenizer(str(vf))
+
+    captions = [
+        "coffee mug.",
+        "blue/green shoe",
+        "Mickey's toy!",
+        "café table",          # accent strip: café -> cafe
+        "spoons , cupboard",
+        "red cups on the table.",
+        "wooden  block\t!",         # messy whitespace
+        "手机",                      # CJK chars split to singles
+        "unknownword mug",          # [UNK] fallback
+        "a cupful of coffee",
+    ]
+    for cap in captions:
+        ref_ids = hf(cap, add_special_tokens=False)["input_ids"]
+        assert ours(cap) == ref_ids, (
+            f"caption {cap!r}: ours={ours(cap)} hf={ref_ids} "
+            f"(hf tokens: {hf.convert_ids_to_tokens(ref_ids)})"
+        )
