@@ -57,11 +57,13 @@ class FusionConfig:
 class InstanceConfig:
     """Cross-view instance-consistency knobs (reference ``fusion.py:1068-1098``)."""
 
+    association: str = "voxel"       # 'voxel' (what the reference invokes, fusion.py:1090) or 'pcd' (fusion.py:743-792)
     voxel_size: float = 0.03         # association voxel size (fusion.py:1078)
-    iou_threshold: float = 0.005     # pcd iou distance threshold (fusion.py:1069)
+    iou_threshold: float = 0.005     # pcd-variant point match distance in meters (fusion.py:724-741)
     vox_merge_iou: float = 0.20      # voxel-set merge threshold (fusion.py:824)
-    pcd_merge_iou: float = 0.25      # pcd merge threshold (fusion.py:765)
+    pcd_merge_iou: float = 0.25      # pcd-variant merge IoU cutoff (fusion.py:765)
     min_points: int = 1              # drop instances with fewer voxels (reference deletes only empty ones, fusion.py:1040-1044)
+    pcd_min_points: int = 10         # pcd-variant small-instance cutoff (fusion.py:929,965)
     background_labels: Tuple[str, ...] = ("table",)  # fusion.py:1030
 
 

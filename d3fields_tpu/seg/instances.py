@@ -55,7 +55,14 @@ class Instance:
 
 def pcd_iou(pcd_1: np.ndarray, pcd_2: np.ndarray, threshold: float):
     """Bi-directional coverage IoU between point clouds
-    (``Fusion.pcd_iou``, ``fusion.py:724-741``)."""
+    (``Fusion.pcd_iou``, ``fusion.py:724-741``). ``threshold`` is the point
+    MATCH DISTANCE in meters (the reference's ``self.iou_threshold``), not
+    an IoU cutoff. Empty inputs return zero IoU (the reference would
+    crash; callers drop empty instances downstream)."""
+    n1, n2 = pcd_1.shape[0], pcd_2.shape[0]
+    if n1 == 0 or n2 == 0:
+        e = np.zeros((0,), np.int64)
+        return 0.0, 0.0, 0.0, e, e, e, e
     dist = np.linalg.norm(pcd_1[:, None] - pcd_2[None], axis=-1)
     d12, i12 = dist.min(axis=1), dist.argmin(axis=1)
     d21, i21 = dist.min(axis=0), dist.argmin(axis=0)
@@ -249,6 +256,182 @@ def _remove_voxels(inst: Instance, voxels: Sequence[int]) -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# pcd-variant association (the reference's alternative to the voxel path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PcdInstance:
+    """Point-cloud-backed instance: per-view downsampled points and a
+    single confidence per contributing view (the reference's
+    ``instances_info`` dicts in ``merge_instances_from_new_view``,
+    ``fusion.py:743-792``)."""
+
+    label: str
+    pcd: Dict[int, np.ndarray]      # view index -> (N, 3) world points
+    conf: Dict[int, float]          # view index -> mask confidence
+    view_mask_idx: Dict[int, int]   # view index -> mask index in that view
+
+    def all_points(self, exclude_view: Optional[int] = None) -> np.ndarray:
+        parts = [p for v, p in self.pcd.items() if v != exclude_view]
+        if not parts:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(parts, axis=0)
+
+    def point_confs(self) -> np.ndarray:
+        parts = [
+            np.full(p.shape[0], self.conf[v], np.float32)
+            for v, p in self.pcd.items()
+        ]
+        if not parts:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(parts)
+
+
+def merge_view_pcd(
+    instances: List[PcdInstance],
+    view_idx: int,
+    view: ViewMasks,
+    depth: np.ndarray,
+    K: np.ndarray,
+    pose44: np.ndarray,
+    boundaries: Boundaries,
+    cfg: InstanceConfig,
+) -> List[PcdInstance]:
+    """Greedy label+pcd-IoU association of one view's masks
+    (``merge_instances_from_new_view``, ``fusion.py:743-792``). Masked
+    points are voxel-downsampled at 0.01 m like the reference's
+    ``extract_masked_pcd_in_views(downsample=True)``
+    (``draw_utils.py:398-403``)."""
+    from d3fields_tpu.fields.geometry import voxel_downsample_np
+
+    assert view.labels[0] == "background"
+    for j, label in enumerate(view.labels):
+        pts = masked_view_points(depth, K, pose44, view.masks[j], boundaries)
+        pts = voxel_downsample_np(pts.astype(np.float32), 0.01)
+        conf = float(view.confidences[j])
+
+        best_iou, best_k = 0.0, -1
+        for k, inst in enumerate(instances):
+            if inst.label != label:
+                continue
+            iou = pcd_iou(pts, inst.all_points(), cfg.iou_threshold)[0]
+            if iou > best_iou:
+                best_iou, best_k = iou, k
+
+        if best_iou <= cfg.pcd_merge_iou and (
+            label != "background" or view_idx == 0
+        ):
+            instances.append(PcdInstance(
+                label=label, pcd={view_idx: pts}, conf={view_idx: conf},
+                view_mask_idx={view_idx: j},
+            ))
+        elif best_k >= 0:
+            # Below-threshold background masks merge into the best
+            # background match like the voxel path (same deviation from the
+            # reference's max_iou_idx == -1 indexing bug, fusion.py:776).
+            inst = instances[best_k]
+            if view_idx in inst.pcd:
+                # this view already contributed a mask: keep whichever has
+                # the higher IoU against the OTHER views' points
+                # (fusion.py:777-787)
+                other = inst.all_points(exclude_view=view_idx)
+                if other.shape[0] > 0:
+                    curr_iou = pcd_iou(pts, other, cfg.iou_threshold)[0]
+                    prev_iou = pcd_iou(pts, inst.pcd[view_idx],
+                                       cfg.iou_threshold)[0]
+                    if curr_iou <= prev_iou:
+                        continue
+            inst.pcd[view_idx] = pts
+            inst.conf[view_idx] = conf
+            inst.view_mask_idx[view_idx] = j
+        # else: no same-label instance exists at all -> drop the mask
+    return instances
+
+
+def del_partial_pcd(inst: PcdInstance, pcd_idx: np.ndarray) -> PcdInstance:
+    """Delete points addressed by indices into the concatenated per-view
+    cloud (``Fusion.del_partial_pcd``, ``fusion.py:851-861``)."""
+    start = 0
+    for v in list(inst.pcd.keys()):
+        end = start + inst.pcd[v].shape[0]
+        in_view = pcd_idx[(pcd_idx >= start) & (pcd_idx < end)] - start
+        inst.pcd[v] = np.delete(inst.pcd[v], in_view, axis=0)
+        start = end
+    return inst
+
+
+def filter_instances_pcd(
+    instances: List[PcdInstance], num_cams: int, cfg: InstanceConfig
+) -> List[PcdInstance]:
+    """Overlap resolution + background/small filtering for the pcd variant
+    (``Fusion.filter_instances``, ``fusion.py:866-974``). Same
+    duplicate-deletion bugfix as the voxel path (set, not list)."""
+    to_delete: set = set()
+    for i, inst_i in enumerate(instances):
+        if i in to_delete:
+            continue
+        for j in range(i + 1, len(instances)):
+            if j in to_delete:
+                continue
+            inst_j = instances[j]
+            pcd_i, conf_i = inst_i.all_points(), inst_i.point_confs()
+            pcd_j, conf_j = inst_j.all_points(), inst_j.point_confs()
+            # the reference hard-codes the 5 mm match distance here
+            # (fusion.py:884), independent of self.iou_threshold
+            iou, iou_1, iou_2, ov1, ov2, m12, m21 = pcd_iou(
+                pcd_i, pcd_j, threshold=0.005
+            )
+            if iou > 0.25:
+                nv_i, nv_j = len(inst_i.view_mask_idx), len(inst_j.view_mask_idx)
+                if nv_i > nv_j:
+                    to_delete.add(j)
+                elif nv_j > nv_i:
+                    to_delete.add(i)
+                else:
+                    # per-point arbitration by confidence (fusion.py:916-926)
+                    del_i = ov1[conf_i[ov1] < conf_j[m12[ov1]]]
+                    del_j = ov2[conf_j[ov2] < conf_i[m21[ov2]]]
+                    del_partial_pcd(inst_i, del_i)
+                    del_partial_pcd(inst_j, del_j)
+            elif iou_1 > 0.5:  # instance_i mostly inside instance_j
+                nv_i, nv_j = len(inst_i.view_mask_idx), len(inst_j.view_mask_idx)
+                if (inst_j.label == "background" and nv_i < num_cams // 2) or (
+                    inst_j.label != "background" and nv_i < nv_j // 2
+                ):
+                    to_delete.add(i)
+                else:
+                    del_partial_pcd(inst_j, ov2)
+            elif iou_2 > 0.5:  # instance_j mostly inside instance_i
+                nv_i, nv_j = len(inst_i.view_mask_idx), len(inst_j.view_mask_idx)
+                if (inst_i.label == "background" and nv_j < num_cams // 2) or (
+                    inst_i.label != "background" and nv_j < nv_i // 2
+                ):
+                    to_delete.add(j)
+                else:
+                    del_partial_pcd(inst_i, ov1)
+            if inst_i.all_points().shape[0] < cfg.pcd_min_points:
+                to_delete.add(i)
+            if inst_j.all_points().shape[0] < cfg.pcd_min_points:
+                to_delete.add(j)
+
+    for i, inst in enumerate(instances):
+        if i in to_delete:
+            continue
+        if inst.label in cfg.background_labels:
+            to_delete.add(i)
+        elif inst.all_points().shape[0] < cfg.pcd_min_points:
+            to_delete.add(i)
+
+    # keep the channel-0 background anchor alive (same deviation as the
+    # voxel path; see filter_instances above)
+    for i, inst in enumerate(instances):
+        if inst.label == "background":
+            to_delete.discard(i)
+
+    return [inst for i, inst in enumerate(instances) if i not in to_delete]
+
+
 def reorder_instances(
     instances: List[Instance], query_texts: Sequence[str]
 ) -> List[Instance]:
@@ -289,9 +472,27 @@ def align_instance_masks(
 ) -> Tuple[np.ndarray, List[str], List[Instance]]:
     """Full consensus pipeline (``align_instance_mask_v3``, ``fusion.py:1068-1098``).
 
-    Returns (index_masks (V, H, W) uint8, consensus labels, instances).
+    ``cfg.association`` selects the voxel-set variant (the one the
+    reference invokes at ``fusion.py:1090``) or the pcd variant
+    (``fusion.py:743-792,866-974``). Returns (index_masks (V, H, W) uint8,
+    consensus labels, instances).
     """
     cfg = cfg or InstanceConfig()
+    if cfg.association == "pcd":
+        instances: List[PcdInstance] = []
+        for v, view in enumerate(views):
+            instances = merge_view_pcd(
+                instances, v, view, depths[v], Ks[v], poses44[v], boundaries,
+                cfg,
+            )
+        instances = filter_instances_pcd(instances, len(views), cfg)
+        instances = reorder_instances(instances, queries)
+        index_masks = rewrite_index_masks(instances, views, depths.shape[1:])
+        labels = [inst.label for inst in instances]
+        if expected_labels is not None and labels != list(expected_labels):
+            print(f"consensus mask label {labels} != expected "
+                  f"{list(expected_labels)}")
+        return index_masks, labels, instances
     vh = VoxelHash.from_boundaries(boundaries, cfg.voxel_size)
     instances: List[Instance] = []
     for v, view in enumerate(views):

@@ -194,3 +194,58 @@ def test_align_with_prev_mask_restores_channel_order():
     gone[:, 3:9, 6:10, 1] = 1
     out2 = align_with_prev_mask(gone, prev)
     np.testing.assert_array_equal(out2[..., 2], gone[..., 2])  # stays empty
+
+
+def test_pcd_association_matches_voxel_path(two_ball_scene):
+    """The pcd-variant association (``fusion.py:743-792,866-974``, ported
+    behind ``InstanceConfig(association='pcd')``) reaches the same
+    consensus as the voxel variant on the synthetic two-ball scene: same
+    labels, and per-view index masks in near-total pixel agreement.
+    (iou_threshold is raised to 2 cm here: after the reference's 1 cm
+    voxel downsample, its default 5 mm match distance under-connects the
+    coarse synthetic depth; the knob is per-scene in the reference too.)"""
+    scene = two_ball_scene
+    views = _views_from_scene(scene)
+    vox_masks, vox_labels, _ = segi.align_instance_masks(
+        views, scene["depth"], scene["K"], _poses44(scene), ["ball"], BOUNDS,
+        cfg=InstanceConfig(association="voxel"),
+    )
+    pcd_masks, pcd_labels, insts = segi.align_instance_masks(
+        views, scene["depth"], scene["K"], _poses44(scene), ["ball"], BOUNDS,
+        cfg=InstanceConfig(association="pcd", iou_threshold=0.02),
+    )
+    assert pcd_labels == vox_labels == ["background", "ball", "ball"]
+    assert all(isinstance(i, segi.PcdInstance) for i in insts)
+    agree = (pcd_masks == vox_masks).mean()
+    assert agree > 0.99, f"index-mask agreement {agree}"
+
+
+def test_pcd_association_merges_across_views(two_ball_scene):
+    """Each ball is ONE instance across all four views (per-view points
+    merged by pcd IoU), and every view contributes points to it."""
+    scene = two_ball_scene
+    views = _views_from_scene(scene)
+    _, labels, insts = segi.align_instance_masks(
+        views, scene["depth"], scene["K"], _poses44(scene), ["ball"], BOUNDS,
+        cfg=InstanceConfig(association="pcd", iou_threshold=0.02),
+    )
+    balls = [i for i in insts if i.label == "ball"]
+    assert len(balls) == 2
+    for b in balls:
+        assert len(b.pcd) == 4 and len(b.conf) == 4
+        assert b.all_points().shape[0] >= 10
+
+
+def test_del_partial_pcd_spans_views():
+    """Deletion indices address the concatenated per-view cloud
+    (``fusion.py:851-861``): indices crossing a view boundary delete from
+    the right views."""
+    inst = segi.PcdInstance(
+        label="x",
+        pcd={0: np.zeros((3, 3), np.float32), 2: np.ones((2, 3), np.float32)},
+        conf={0: 0.9, 2: 0.8},
+        view_mask_idx={0: 1, 2: 1},
+    )
+    segi.del_partial_pcd(inst, np.array([1, 2, 3]))  # last 2 of view 0, first of view 2
+    assert inst.pcd[0].shape[0] == 1
+    assert inst.pcd[2].shape[0] == 1
