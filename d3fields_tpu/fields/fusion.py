@@ -631,6 +631,13 @@ class Fusion:
                 "curr_ti": core.curr_ti,
                 "last_mem_ti": core.last_mem_ti,
                 "first_mask_loaded": self.video_tracker.first_mask_loaded,
+                # construction spec so load_state can rebuild the tracker
+                # through video_tracker_factory when none is attached yet
+                "spec": {
+                    "num_views": self.num_cam,
+                    "num_objects": self.video_tracker.num_objects,
+                    "image_hw": tuple(self.video_tracker.image_hw),
+                },
             }
         import os
 
@@ -660,13 +667,34 @@ class Fusion:
         )
         if blob.get("curr_obs_color") is not None:
             self.curr_obs["color"] = blob["curr_obs_color"]
-        if "tracker" in blob and self.video_tracker is not None:
-            core = self.video_tracker.core
+        if "tracker" in blob:
             t = blob["tracker"]
-            core.mem = jax.tree.map(jnp.asarray, t["mem"])
-            core.curr_ti = t["curr_ti"]
-            core.last_mem_ti = t["last_mem_ti"]
-            self.video_tracker.first_mask_loaded = t["first_mask_loaded"]
+            if self.video_tracker is None:
+                spec = t.get("spec")
+                if self.video_tracker_factory is not None and spec is not None:
+                    # rebuild the tracker from the saved spec so the session
+                    # truly resumes instead of silently re-seeding
+                    self.video_tracker = self.video_tracker_factory(
+                        spec["num_views"], spec["num_objects"],
+                        tuple(spec["image_hw"]),
+                    )
+                if self.video_tracker is None:
+                    import warnings
+
+                    warnings.warn(
+                        "load_state: checkpoint contains video-tracker memory "
+                        "but no tracker is attached and no "
+                        "video_tracker_factory is configured — tracking will "
+                        "re-seed instead of resuming. Construct the Fusion "
+                        "with video_tracker(_factory)= to resume tracking.",
+                        stacklevel=2,
+                    )
+            if self.video_tracker is not None:
+                core = self.video_tracker.core
+                core.mem = jax.tree.map(jnp.asarray, t["mem"])
+                core.curr_ti = t["curr_ti"]
+                core.last_mem_ti = t["last_mem_ti"]
+                self.video_tracker.first_mask_loaded = t["first_mask_loaded"]
 
 
 def _on_tpu() -> bool:

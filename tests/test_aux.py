@@ -261,3 +261,56 @@ def test_save_index_mask_png_roundtrip(tmp_path):
     save_index_mask_png(p, m)
     back = np.array(Image.open(p))
     np.testing.assert_array_equal(back, m)  # indices survive the palette
+
+
+def test_load_state_tracker_resume_and_warning(tmp_path):
+    """A checkpoint holding tracker memory must either rebuild the tracker
+    (factory configured: true resume) or warn loudly (no factory: the
+    session would silently re-seed otherwise)."""
+    import jax as _jax
+    import pytest as _pytest
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.models.xmem import network as xnet
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.utils.synthetic import render_sphere_scene
+
+    sc = render_sphere_scene(num_views=2, H=48, W=64, feat_dim=8)
+    xcfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=5,
+                      mem_every=2, max_mid_term_frames=3,
+                      min_mid_term_frames=1, num_prototypes=4,
+                      max_long_term_elements=64, size=-1)
+    xparams = xnet.init_params(_jax.random.PRNGKey(0), xcfg)
+
+    def factory(num_views, num_objects, image_hw):
+        return VideoMaskTracker(xparams, xcfg, num_views=num_views,
+                                num_objects=num_objects, image_hw=image_hw,
+                                size=-1)
+
+    f = Fusion(video_tracker=factory(2, 1, (48, 64)))
+    f.update({k: sc[k] for k in ("color", "depth", "pose", "K")}
+             | {"dino_feats": sc["dino_feats"]})
+    seed = (sc["color"][..., 0] > 100).astype(np.uint8)  # (V, H, W) index mask
+    f.video_tracker.process(sc["color"].astype(np.float32) / 255.0, seed)
+    path = str(tmp_path / "track.pkl")
+    f.save_state(path)
+
+    # no tracker, no factory -> loud warning, state otherwise restored
+    g = Fusion()
+    with _pytest.warns(UserWarning, match="video-tracker memory"):
+        g.load_state(path)
+    assert g.video_tracker is None
+
+    # factory configured -> tracker rebuilt from the saved spec, memory equal
+    h = Fusion(video_tracker_factory=factory)
+    h.load_state(path)
+    assert h.video_tracker is not None
+    assert h.video_tracker.first_mask_loaded
+    ref_mem = f.video_tracker.core.mem
+    got_mem = h.video_tracker.core.mem
+    _jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ref_mem, got_mem,
+    )
