@@ -37,6 +37,12 @@ def build_parser():
                    help="test-time augmentation: propagate the horizontally "
                         "flipped video, un-flip predictions (XMem/eval.py "
                         "--flip)")
+    p.add_argument("--disable_long_term", action="store_true",
+                   help="bounded working memory, no long-term consolidation "
+                        "(XMem/eval.py --disable_long_term); size "
+                        "--max_mid_term_frames to the video for exact "
+                        "reference semantics")
+    p.add_argument("--max_mid_term_frames", type=int, default=10)
     p.add_argument("--save_scores", action="store_true",
                    help="also save per-object probability maps as .npy for "
                         "multi-scale/flip merging (XMem/eval.py "
@@ -77,7 +83,9 @@ def main(argv=None):
     from d3fields_tpu.utils.profiling import Throughput
 
     cfg = XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
-                     hidden_dim=args.hidden_dim)
+                     hidden_dim=args.hidden_dim,
+                     enable_long_term=not args.disable_long_term,
+                     max_mid_term_frames=args.max_mid_term_frames)
     params = _load_params(args, cfg)
     os.makedirs(args.out, exist_ok=True)
 

@@ -76,6 +76,7 @@ class XMemMemory:
     top_k: int = flax.struct.field(pytree_node=False, default=30)
     min_elements: int = flax.struct.field(pytree_node=False, default=0)
     num_prototypes: int = flax.struct.field(pytree_node=False, default=128)
+    long_term: bool = flax.struct.field(pytree_node=False, default=True)
 
     @property
     def work_capacity(self) -> int:
@@ -93,18 +94,22 @@ def init_memory(
     *,
     dtype=jnp.float32,
 ) -> XMemMemory:
-    """Preallocate stores for a (h, w) key grid (1/16 of the padded input)."""
-    if not cfg.enable_long_term:
-        raise NotImplementedError(
-            "enable_long_term=False implies an unbounded working memory "
-            "(reference kv_memory_store.py grows without consolidation), "
-            "which has no static-shape equivalent; the d3fields pipeline "
-            "always runs with long-term memory on (fusion.py:265)"
-        )
+    """Preallocate stores for a (h, w) key grid (1/16 of the padded input).
+
+    ``cfg.enable_long_term=False`` mirrors the reference's
+    ``--disable_long_term`` eval mode (``XMem/eval.py:51,70``): frames
+    accumulate in working memory with no consolidation, usage accounting
+    inert, long-term buffers empty. The reference's working memory is then
+    unbounded (``memory_manager.py:175-189`` skips all cleanup); here the
+    static capacity is still ``max_mid_term_frames * hw`` — size it to the
+    video (``ceil(num_frames / mem_every) + 1`` memory frames) for exact
+    reference semantics; past capacity the oldest non-first frame is
+    FIFO-dropped (documented deviation, unreachable when sized right).
+    """
     h, w = key_hw
     hw = h * w
     wc = cfg.max_mid_term_frames * hw
-    lc = cfg.max_long_term_elements
+    lc = cfg.max_long_term_elements if cfg.enable_long_term else 1
     ck, cv, ch = cfg.key_dim, cfg.value_dim, cfg.hidden_dim
     z = functools.partial(jnp.zeros, dtype=dtype)
     return XMemMemory(
@@ -124,6 +129,7 @@ def init_memory(
         num_prototypes=min(
             cfg.num_prototypes, wc - cfg.min_mid_term_frames * hw
         ),
+        long_term=cfg.enable_long_term,
     )
 
 
@@ -383,6 +389,16 @@ def add_memory(
     """
     hw = mem.hw
 
+    if not mem.long_term:
+        # --disable_long_term mode: no consolidation ever; when the static
+        # capacity would overflow, FIFO-drop the oldest non-first frame
+        # BEFORE appending (the newest frame must always survive; see
+        # init_memory)
+        mem = jax.lax.cond(
+            mem.w_size >= mem.work_capacity, _fifo_drop_second_frame,
+            lambda m: m, mem,
+        )
+
     def put(buf, vals, axis):
         return jax.lax.dynamic_update_slice_in_dim(
             buf, vals.astype(buf.dtype), mem.w_size, axis=axis
@@ -398,6 +414,8 @@ def add_memory(
         w_size=mem.w_size + hw,
     )
 
+    if not mem.long_term:
+        return mem
     full = mem.w_size >= mem.work_capacity
     lt_full = mem.l_size >= (mem.long_capacity - mem.num_prototypes)
     mem = jax.lax.cond(
@@ -405,3 +423,22 @@ def add_memory(
     )
     mem = jax.lax.cond(full, _consolidate, lambda m: m, mem)
     return mem
+
+
+def _fifo_drop_second_frame(mem: XMemMemory) -> XMemMemory:
+    """Drop the oldest non-first frame: keep [0, hw) (the permanent first
+    frame, as the consolidation sieve also does) and shift [2hw, wc) left
+    by one frame."""
+    hw, wc = mem.hw, mem.work_capacity
+    tail = wc - 2 * hw
+
+    def shift(a, axis):
+        t = jax.lax.dynamic_slice_in_dim(a, 2 * hw, tail, axis=axis)
+        return jax.lax.dynamic_update_slice_in_dim(a, t, hw, axis=axis)
+
+    return mem.replace(
+        wk=shift(mem.wk, 1), ws=shift(mem.ws, 0), we=shift(mem.we, 1),
+        wv=shift(mem.wv, 2),
+        w_use=shift(mem.w_use, 0), w_life=shift(mem.w_life, 0),
+        w_size=mem.w_size - hw,
+    )

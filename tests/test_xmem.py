@@ -540,3 +540,77 @@ def test_full_video_parity_vs_reference_core(torch_xmem):
             np.asarray(pj)[0], pt.numpy(), atol=1e-4,
             err_msg=f"prob mismatch at frame {t}",
         )
+
+
+def test_full_video_parity_long_term_disabled(torch_xmem):
+    """--disable_long_term protocol (``XMem/eval.py:51,70``): frames
+    accumulate in working memory, no consolidation. Within the static
+    capacity the semantics are EXACTLY the reference's unbounded store, so
+    per-frame probabilities must match the reference InferenceCore running
+    with enable_long_term=False."""
+    import torch
+    from XMem.inference.inference_core import InferenceCore
+
+    refcfg = {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64, "top_k": 5,
+        "mem_every": 2, "deep_update_every": -1, "enable_long_term": False,
+        "enable_long_term_count_usage": False,
+    }
+    core_t = InferenceCore(torch_xmem, refcfg)
+    core_t.set_all_labels([1, 2])
+
+    # 7 frames @ mem_every=2 -> 4 memory frames; capacity 8 -> never drops
+    cfg = XMemConfig(top_k=5, mem_every=2, enable_long_term=False,
+                     max_mid_term_frames=8)
+    sd = {k: v.detach().numpy() for k, v in torch_xmem.state_dict().items()}
+    params = N.convert_torch_state_dict(sd, cfg)
+    core_j = C.XMemCore(params, cfg, num_views=1, num_objects=2,
+                        image_hw=(48, 64))
+
+    rs = np.random.RandomState(11)
+    video = rs.rand(7, 48, 64, 3).astype(np.float32)
+    m0 = (rs.rand(2, 48, 64) > 0.6).astype(np.float32)
+
+    with torch.no_grad():
+        pt = core_t.step(torch.from_numpy(video[0]).permute(2, 0, 1),
+                         torch.from_numpy(m0))
+    pj = core_j.step(jnp.asarray(video[0])[None], jnp.asarray(m0)[None])
+    np.testing.assert_allclose(np.asarray(pj)[0], pt.numpy(), atol=1e-5)
+    for t in range(1, 7):
+        with torch.no_grad():
+            pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1))
+        pj = core_j.step(jnp.asarray(video[t])[None])
+        np.testing.assert_allclose(
+            np.asarray(pj)[0], pt.numpy(), atol=1e-4,
+            err_msg=f"prob mismatch at frame {t} (long-term disabled)",
+        )
+
+
+def test_disabled_long_term_fifo_past_capacity():
+    """Past static capacity the oldest non-first frame is dropped: size
+    stays bounded, frame 0 (the permanent reference frame) survives."""
+    from d3fields_tpu.models.xmem import memory as M
+
+    cfg = XMemConfig(key_dim=4, value_dim=8, hidden_dim=4, top_k=2,
+                     enable_long_term=False, max_mid_term_frames=2)
+    mem = M.init_memory(cfg, num_objects=1, key_hw=(2, 3))
+    hw = 6
+    rs = np.random.RandomState(0)
+    frames = [
+        (rs.randn(4, hw).astype(np.float32),
+         rs.rand(hw).astype(np.float32),
+         rs.randn(1, 8, hw).astype(np.float32),
+         rs.randn(4, hw).astype(np.float32))
+        for _ in range(4)
+    ]
+    for t, (k, s, v, e) in enumerate(frames):
+        mem = M.add_memory(mem, jnp.asarray(k), jnp.asarray(s),
+                           jnp.asarray(v), jnp.asarray(e))
+        assert int(mem.w_size) <= mem.work_capacity
+        assert int(mem.l_size) == 0  # long-term never engaged
+        # frame 0 is permanent
+        np.testing.assert_array_equal(np.asarray(mem.wk[:, :hw]), frames[0][0])
+    # after 4 adds at capacity 2: frame 0 + the newest frame remain
+    assert int(mem.w_size) == 2 * hw
+    np.testing.assert_array_equal(np.asarray(mem.wk[:, hw:2 * hw]),
+                                  frames[3][0])
