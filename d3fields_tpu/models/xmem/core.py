@@ -2,15 +2,19 @@
 
 Rebuild of ``XMem/inference/inference_core.py:8-107`` for the d3fields usage
 pattern (``fusion.py:631-684``): every object is seeded with a mask on frame
-0 and propagated afterwards, with ``deep_update_every = -1`` (deep updates
-synchronized to memory frames). The reference keeps one InferenceCore per
+0 and propagated afterwards. The reference keeps one InferenceCore per
 camera and loops in python; here the whole multi-camera step is ONE jitted,
 vmapped call over stacked per-camera memory pytrees.
 
-Frame schedule (host-side counters, mirrors ``inference_core.py:50-56``):
+Frame schedule (host-side counters, mirrors ``inference_core.py:50-56``).
+Synchronized deep updates (``deep_update_every = -1``, the d3fields
+configuration, fusion.py:272):
   is_mem_frame = (ti - last_mem_ti >= mem_every) or mask_given
-  is_deep_update = is_mem_frame                  (deep_update_sync)
+  is_deep_update = is_mem_frame
   is_normal_update = not is_mem_frame            (decoder GRU hidden update)
+Unsynchronized (``deep_update_every > 0``): the decoder hidden updates
+every frame, and a memory frame also adopts the value-encoder's reinforced
+hidden once ti - last_deep_update_ti >= deep_update_every.
 """
 
 from __future__ import annotations
@@ -79,13 +83,22 @@ def seed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
     return prob_with_bg.astype(jnp.float32), mem
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"))
 def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
-               compute_dtype: str = "float32"):
+               compute_dtype: str = "float32", sync: bool = True,
+               is_deep_update: Optional[Array] = None):
     """One compiled step covers BOTH frame kinds: ``is_mem_frame`` is a
     traced bool selecting the memory-write branch with ``lax.cond`` (a
     static flag would compile two full executables, each a multi-minute
     remote compile on the tunnel).
+
+    ``sync`` is the compile-time deep-update schedule
+    (``inference_core.py:16-17,51-56``): True = ``deep_update_every=-1``
+    (deep updates ride memory frames, the d3fields configuration); False =
+    an explicit period — the decoder GRU hidden updates EVERY frame
+    (``is_normal_update`` is always true in no-sync mode) and the traced
+    ``is_deep_update`` selects whether a memory frame also adopts the
+    value-encoder's reinforced hidden.
 
     ``compute_dtype`` sets the CNN (encode_key / segment / encode_value)
     dtype; the memory attention always runs f32 (keys/values are cast on
@@ -112,6 +125,11 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
         readout.astype(dt), h_out=True,
     )
 
+    if not sync:
+        # no-sync: the decoder hidden is adopted every frame BEFORE the
+        # value encoder runs (inference_core.py:70-71,97-99)
+        mem = mem.replace(hidden=dec_hidden.astype(mem.hidden.dtype))
+
     def mem_branch(mem):
         value, hidden = N.encode_value(
             paramsc, image, f16[0], mem.hidden.astype(dt),
@@ -119,12 +137,22 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
         )
         k, s, e = _flatten_key(key[0], shrinkage[0], selection[0])
         v = value.reshape(O, h * w, cv).transpose(0, 2, 1)
+        if sync:
+            new_hidden = hidden.astype(mem.hidden.dtype)
+        else:
+            # deep updates only take effect on memory frames; the schedule
+            # bool decides whether the reinforced hidden replaces the GRU's
+            new_hidden = jnp.where(
+                is_deep_update, hidden.astype(mem.hidden.dtype), mem.hidden
+            )
         return M.add_memory(
-            mem.replace(hidden=hidden.astype(mem.hidden.dtype)), k, s, v, e
+            mem.replace(hidden=new_hidden), k, s, v, e
         )
 
     def normal_branch(mem):
-        return mem.replace(hidden=dec_hidden.astype(mem.hidden.dtype))
+        if sync:
+            return mem.replace(hidden=dec_hidden.astype(mem.hidden.dtype))
+        return mem  # hidden already updated above
 
     mem = jax.lax.cond(is_mem_frame, mem_branch, normal_branch, mem)
     return prob_with_bg.astype(jnp.float32), mem
@@ -142,11 +170,13 @@ def seed_step_views(params, mem, images, mask_prob,
     )(mem, images, mask_prob)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"))
 def propagate_step_views(params, mem, images, is_mem_frame: Array,
-                         compute_dtype: str = "float32"):
+                         compute_dtype: str = "float32", sync: bool = True,
+                         is_deep_update: Optional[Array] = None):
     return jax.vmap(
-        lambda m, im: _propagate(params, m, im, is_mem_frame, compute_dtype)
+        lambda m, im: _propagate(params, m, im, is_mem_frame, compute_dtype,
+                                 sync, is_deep_update)
     )(mem, images)
 
 
@@ -162,13 +192,10 @@ class XMemCore:
         H, W = image_hw
         if H % 16 or W % 16:
             raise ValueError("image must be pre-padded to multiples of 16")
-        if cfg.deep_update_every != -1:
-            raise NotImplementedError(
-                "only deep_update_every=-1 (deep updates synchronized to "
-                "memory frames) is implemented — the d3fields configuration "
-                "(fusion.py:272); unsynchronized schedules need a separate "
-                "counter and encode_value variant"
-            )
+        # deep_update_every < 0: deep updates ride memory frames (the
+        # d3fields configuration, fusion.py:272); >= 0: explicit schedule
+        # (inference_core.py:16-17)
+        self.deep_update_sync = cfg.deep_update_every < 0
         self.params = params
         self.cfg = cfg
         self.num_views = num_views
@@ -189,6 +216,8 @@ class XMemCore:
         )
         self.curr_ti = -1
         self.last_mem_ti = 0
+        if not self.deep_update_sync:
+            self.last_deep_update_ti = -self.cfg.deep_update_every
 
     def step(self, images: Array, mask_prob: Optional[Array] = None) -> Array:
         """images (V, H, W, 3) normalized; mask_prob (V, O, H, W) on the
@@ -201,14 +230,30 @@ class XMemCore:
                 self.cfg.compute_dtype,
             )
             self.last_mem_ti = self.curr_ti
+            if not self.deep_update_sync:
+                # seeding always deep-updates (the schedule has always
+                # elapsed at t=0: ti - (-deep_every) >= deep_every)
+                self.last_deep_update_ti = self.curr_ti
             return prob
         if self.curr_ti == 0:
             raise ValueError("first frame must provide masks")
         is_mem_frame = (self.curr_ti - self.last_mem_ti) >= self.cfg.mem_every
+        if self.deep_update_sync:
+            is_deep_update = None
+        else:
+            # a scheduled deep update only takes effect on a memory frame
+            # (inference_core.py:96-105 consumes it inside is_mem_frame)
+            is_deep_update = (
+                self.curr_ti - self.last_deep_update_ti
+                >= self.cfg.deep_update_every
+            )
         prob, self.mem = propagate_step_views(
             self.params, self.mem, images, jnp.asarray(is_mem_frame),
-            self.cfg.compute_dtype,
+            self.cfg.compute_dtype, self.deep_update_sync,
+            None if is_deep_update is None else jnp.asarray(is_deep_update),
         )
         if is_mem_frame:
             self.last_mem_ti = self.curr_ti
+            if not self.deep_update_sync and is_deep_update:
+                self.last_deep_update_ti = self.curr_ti
         return prob

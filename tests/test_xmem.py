@@ -614,3 +614,49 @@ def test_disabled_long_term_fifo_past_capacity():
     assert int(mem.w_size) == 2 * hw
     np.testing.assert_array_equal(np.asarray(mem.wk[:, hw:2 * hw]),
                                   frames[3][0])
+
+
+def test_full_video_parity_unsync_deep_update(torch_xmem):
+    """deep_update_every > 0 (unsynchronized schedule,
+    ``inference_core.py:16-17,51-56``): the decoder GRU hidden updates
+    every frame and the value-encoder's reinforced hidden is adopted on
+    the first memory frame past the schedule. Per-frame parity vs the
+    reference InferenceCore."""
+    import torch
+    from XMem.inference.inference_core import InferenceCore
+
+    refcfg = {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64, "top_k": 5,
+        "mem_every": 2, "deep_update_every": 3, "enable_long_term": True,
+        "enable_long_term_count_usage": True, "max_mid_term_frames": 3,
+        "min_mid_term_frames": 2, "num_prototypes": 4,
+        "max_long_term_elements": 64,
+    }
+    core_t = InferenceCore(torch_xmem, refcfg)
+    core_t.set_all_labels([1, 2])
+
+    cfg = XMemConfig(top_k=5, mem_every=2, deep_update_every=3,
+                     max_mid_term_frames=3, min_mid_term_frames=2,
+                     num_prototypes=4, max_long_term_elements=64)
+    sd = {k: v.detach().numpy() for k, v in torch_xmem.state_dict().items()}
+    params = N.convert_torch_state_dict(sd, cfg)
+    core_j = C.XMemCore(params, cfg, num_views=1, num_objects=2,
+                        image_hw=(48, 64))
+
+    rs = np.random.RandomState(13)
+    video = rs.rand(8, 48, 64, 3).astype(np.float32)
+    m0 = (rs.rand(2, 48, 64) > 0.6).astype(np.float32)
+
+    with torch.no_grad():
+        pt = core_t.step(torch.from_numpy(video[0]).permute(2, 0, 1),
+                         torch.from_numpy(m0))
+    pj = core_j.step(jnp.asarray(video[0])[None], jnp.asarray(m0)[None])
+    np.testing.assert_allclose(np.asarray(pj)[0], pt.numpy(), atol=1e-5)
+    for t in range(1, 8):
+        with torch.no_grad():
+            pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1))
+        pj = core_j.step(jnp.asarray(video[t])[None])
+        np.testing.assert_allclose(
+            np.asarray(pj)[0], pt.numpy(), atol=1e-4,
+            err_msg=f"prob mismatch at frame {t} (deep_update_every=3)",
+        )
