@@ -26,6 +26,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy oracle/end-to-end tests (~20 of them, ~80% of suite "
+        "time); deselect with -m 'not slow' for a <5 min dev loop",
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

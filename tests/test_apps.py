@@ -17,6 +17,7 @@ def test_vis_repr_synthetic(tmp_path):
         assert os.path.exists(p) and os.path.getsize(p) > 1000
 
 
+@pytest.mark.slow
 def test_vis_tracking_synthetic(tmp_path):
     from d3fields_tpu.apps.vis_tracking import main
 
@@ -91,6 +92,7 @@ def test_aggregate_colored_pcd_bounds():
     assert 0 < keep.shape[0] <= min(pts.shape[0], 2000)
 
 
+@pytest.mark.slow
 def test_eval_xmem_flip_scores_and_merge(tmp_path):
     """eval_xmem --synthetic with flip TTA + score saving, then merge the
     plain and flipped runs (reference XMem/eval.py --flip/--save_scores +
@@ -123,6 +125,7 @@ def test_eval_xmem_flip_scores_and_merge(tmp_path):
     assert m.shape == (120, 160)
 
 
+@pytest.mark.slow
 def test_train_xmem_synthetic(tmp_path):
     from d3fields_tpu.apps.train_xmem import main as train_main
 
@@ -139,6 +142,7 @@ def test_train_xmem_synthetic(tmp_path):
     assert dumps and dumps[0].endswith(".png")
 
 
+@pytest.mark.slow
 def test_eval_xmem_directory_palette_masks(tmp_path):
     """Directory videos: paletted (P-mode) DAVIS-style annotation PNGs must
     decode to object INDICES, and --frames 0 runs the whole video."""

@@ -147,6 +147,7 @@ def _tiny_gdino():
 
 @pytest.mark.parametrize("make", [_tiny_dinov2_hf, _tiny_sam, _tiny_gdino],
                          ids=["dinov2_hf", "sam", "gdino"])
+@pytest.mark.slow
 def test_converter_consumes_all_oracle_keys(make):
     family, sd, cfg = make()
     sd = {k: v.detach().numpy() for k, v in sd.items()}

@@ -157,6 +157,7 @@ def test_fusion_facade(scene, qpts):
     assert out["mask"].shape == (qpts.shape[0], scene["mask"].shape[-1])
 
 
+@pytest.mark.slow
 def test_reference_api_facade(scene):
     """The reference's Fusion method surface works end-to-end
     (vis_repr.py:88-126 / vis_tracking.py:91-134 call pattern)."""
@@ -223,6 +224,7 @@ def test_select_features_rand_v2_and_close(scene):
     assert f.state is None and f.mask_backend is None
 
 
+@pytest.mark.slow
 def test_video_tracker_factory_and_fallback_relabel(scene):
     """The lazy tracker factory builds on the first tracked frame; without
     a tracker, per-frame re-detection keeps instance identities by overlap

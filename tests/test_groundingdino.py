@@ -105,6 +105,7 @@ def test_text_mask_generation_matches_reference():
     np.testing.assert_array_equal(pos, ref_pos.numpy())
 
 
+@pytest.mark.slow
 def test_full_forward_parity(oracle):
     hf, params, cfg = oracle
     rs = np.random.RandomState(0)
@@ -131,6 +132,7 @@ def _toy_tokenizer(text):
     return [200 + (hash(w) % 1000) for w in text.split()]
 
 
+@pytest.mark.slow
 def test_detector_contract(oracle):
     _, params, cfg = oracle
     det = GroundingDinoDetector(params, cfg, tokenize=_toy_tokenizer,
@@ -146,6 +148,7 @@ def test_detector_contract(oracle):
     assert empty.xyxy.shape == (0, 4) and empty.class_id.shape == (0,)
 
 
+@pytest.mark.slow
 def test_grounded_sam_backend_end_to_end(oracle):
     """Full open-text instance segmentation with tiny dino + tiny SAM."""
     from transformers import (
@@ -204,6 +207,7 @@ def test_grounded_sam_backend_end_to_end(oracle):
         )
 
 
+@pytest.mark.slow
 def test_batched_views_match_per_view(oracle):
     """segment_views == per-view segment (one batched forward vs loop)."""
     from transformers import (

@@ -196,6 +196,7 @@ def test_align_with_prev_mask_restores_channel_order():
     np.testing.assert_array_equal(out2[..., 2], gone[..., 2])  # stays empty
 
 
+@pytest.mark.slow
 def test_pcd_association_matches_voxel_path(two_ball_scene):
     """The pcd-variant association (``fusion.py:743-792,866-974``, ported
     behind ``InstanceConfig(association='pcd')``) reaches the same
@@ -220,6 +221,7 @@ def test_pcd_association_matches_voxel_path(two_ball_scene):
     assert agree > 0.99, f"index-mask agreement {agree}"
 
 
+@pytest.mark.slow
 def test_pcd_association_merges_across_views(two_ball_scene):
     """Each ball is ONE instance across all four views (per-view points
     merged by pcd IoU), and every view contributes points to it."""

@@ -48,6 +48,7 @@ def test_fused_weighted_interp_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_eval_field_fused_matches_reference_impl(scene, qpts):
     st = _state(scene)
     names = ("dino_feats", "mask")
@@ -65,6 +66,7 @@ def test_eval_field_fused_matches_reference_impl(scene, qpts):
         np.testing.assert_array_equal(np.asarray(pre[k]), np.asarray(fused[k]))
 
 
+@pytest.mark.slow
 def test_bf16_descriptor_drift_within_budget(rng):
     """The TPU-default bf16 interpolation matmul must stay inside the
     <1e-3 descriptor cosine-error budget (BASELINE.json north star; the

@@ -115,6 +115,7 @@ def test_losses_match_torch_reference(tiny_train_setup):
     np.testing.assert_allclose(got, float(ref), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(tiny_train_setup):
     cfg, params, batch = tiny_train_setup
     opt = TR.make_optimizer(lr=3e-4)
@@ -128,6 +129,7 @@ def test_train_step_decreases_loss(tiny_train_setup):
     assert int(state.it) == 4
 
 
+@pytest.mark.slow
 def test_train_step_dp_sharded_matches_replicated(tiny_train_setup):
     """The DDP equivalent: batch over the dp axis gives the same update."""
     cfg, params, batch = tiny_train_setup
@@ -151,6 +153,7 @@ def test_train_step_dp_sharded_matches_replicated(tiny_train_setup):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, tiny_train_setup):
     cfg, params, batch = tiny_train_setup
     opt = TR.make_optimizer()
@@ -165,6 +168,7 @@ def test_checkpoint_roundtrip(tmp_path, tiny_train_setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_video_clip_loader_feeds_trainer():
     from d3fields_tpu.models.xmem.data import (
         SyntheticVideoSource, VideoClipLoader, sample_frame_indices,

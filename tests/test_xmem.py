@@ -353,6 +353,7 @@ class DynamicOracle:
 
 
 @pytest.mark.parametrize("steps", [9])
+@pytest.mark.slow
 def test_static_memory_matches_dynamic_oracle(steps):
     cfg = XMemConfig(
         max_mid_term_frames=3, min_mid_term_frames=1, num_prototypes=4,
@@ -401,6 +402,7 @@ def test_static_memory_matches_dynamic_oracle(steps):
         )
 
 
+@pytest.mark.slow
 def test_core_schedule_and_consolidation():
     cfg = XMemConfig(max_mid_term_frames=4, min_mid_term_frames=2,
                      num_prototypes=8, max_long_term_elements=64,
@@ -427,6 +429,7 @@ def test_core_schedule_and_consolidation():
     assert int(np.asarray(core.mem.l_size)[0]) == cfg.num_prototypes
 
 
+@pytest.mark.slow
 def test_core_bf16_compute_close_to_f32():
     """compute_dtype='bfloat16' (CNNs in bf16, memory attention f32) must
     track the f32 step closely: same argmax masks on nearly all pixels."""
@@ -463,6 +466,7 @@ def test_core_bf16_compute_close_to_f32():
 # video tracker bridge
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_video_tracker_end_to_end():
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker
 
@@ -492,6 +496,7 @@ def test_video_tracker_end_to_end():
     assert out.shape == (V, H, W, O + 1)
 
 
+@pytest.mark.slow
 def test_full_video_parity_vs_reference_core(torch_xmem):
     """Strongest guarantee: the reference InferenceCore and the static-shape
     JAX port produce the same per-frame probabilities over a video that
@@ -542,6 +547,7 @@ def test_full_video_parity_vs_reference_core(torch_xmem):
         )
 
 
+@pytest.mark.slow
 def test_full_video_parity_long_term_disabled(torch_xmem):
     """--disable_long_term protocol (``XMem/eval.py:51,70``): frames
     accumulate in working memory, no consolidation. Within the static
@@ -616,6 +622,7 @@ def test_disabled_long_term_fifo_past_capacity():
                                   frames[3][0])
 
 
+@pytest.mark.slow
 def test_full_video_parity_unsync_deep_update(torch_xmem):
     """deep_update_every > 0 (unsynchronized schedule,
     ``inference_core.py:16-17,51-56``): the decoder GRU hidden updates
