@@ -123,6 +123,7 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
     dec_hidden, logits, prob_with_bg = N.segment(
         paramsc, f16[0], f8[0], f4[0], mem.hidden.astype(dt),
         readout.astype(dt), h_out=True,
+        obj_active=mem.active if mem.multi_group else None,
     )
 
     if not sync:
@@ -158,8 +159,76 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
     return prob_with_bg.astype(jnp.float32), mem
 
 
+def reseed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
+                provided: Array, compute_dtype: str = "float32"):
+    """Mask-given step in multi-group mode: frame-0 seeding AND mid-video
+    object entry through one function (``inference_core.py:75-105`` with
+    mask given).
+
+    mask_prob (O, H, W): channels flagged by ``provided`` (O,) bool hold
+    the given masks; other ACTIVE objects keep their predicted
+    probabilities (zeroed inside provided-mask regions, the reference's
+    ``pred_prob_no_bg[:, mask_regions] = 0``), inactive objects read 0.
+    Newly provided objects enter the memory from this frame: their hidden
+    state starts at zero (``create_hidden_state`` pads with zeros) and
+    their affinity is restricted to keys written from now on.
+    """
+    dt = jnp.dtype(compute_dtype)
+    paramsc = _cast_floats(params, dt)
+    image = image.astype(dt)
+    key, shrinkage, selection, f16, f8, f4 = N.encode_key(
+        paramsc, image[None], need_sk=True, need_ek=True
+    )
+    qk, _, qe = _flatten_key(key[0], None, selection[0])
+    f32 = mem.wk.dtype
+    readout, _ = M.match_memory(mem, qk.astype(f32), qe.astype(f32))
+    O, cv, hw = readout.shape
+    h, w = key.shape[1], key.shape[2]
+    readout_hw = readout.transpose(0, 2, 1).reshape(O, h, w, cv)
+    _, _, prob_pred = N.segment(
+        paramsc, f16[0], f8[0], f4[0], mem.hidden.astype(dt),
+        readout_hw.astype(dt), h_out=False, obj_active=mem.active,
+    )
+    pred_no_bg = prob_pred[1:].astype(jnp.float32)
+    # at frame 0 nothing is active yet -> pred is fully masked out and the
+    # merge below reduces to the plain seed (reference skips segmentation
+    # entirely there; running-and-discarding is trace-uniform)
+    pred_no_bg = jnp.where(mem.active[:, None, None], pred_no_bg, 0.0)
+    mask_regions = (
+        jnp.sum(jnp.where(provided[:, None, None], mask_prob, 0.0), axis=0)
+        > 0.5
+    )
+    pred_no_bg = jnp.where(mask_regions[None], 0.0, pred_no_bg)
+    merged = jnp.where(provided[:, None, None], mask_prob.astype(jnp.float32),
+                       pred_no_bg)
+    prob_with_bg = B.soft_aggregate(merged, axis=0)
+
+    entering = provided & ~mem.active
+    hidden0 = jnp.where(entering[:, None, None, None], 0.0, mem.hidden)
+    mem = M.activate_objects(mem, provided)
+    value, hidden = N.encode_value(
+        paramsc, image, f16[0], hidden0.astype(dt),
+        prob_with_bg[1:].astype(dt), is_deep_update=True,
+    )
+    k, s, e = _flatten_key(key[0], shrinkage[0], selection[0])
+    v = value.reshape(O, h * w, cv).transpose(0, 2, 1)
+    mem = M.add_memory(
+        mem.replace(hidden=hidden.astype(mem.hidden.dtype)), k, s, v, e
+    )
+    return prob_with_bg.astype(jnp.float32), mem
+
+
 seed_step_jit = jax.jit(seed_step, static_argnames=("compute_dtype",))
 # vmapped multi-camera variants (params shared, memory/images stacked)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def reseed_step_views(params, mem, images, mask_prob, provided,
+                      compute_dtype: str = "float32"):
+    return jax.vmap(
+        lambda m, im, mp: reseed_step(params, m, im, mp, provided,
+                                      compute_dtype)
+    )(mem, images, mask_prob)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
@@ -188,7 +257,12 @@ class XMemCore:
     """
 
     def __init__(self, params, cfg: XMemConfig, num_views: int,
-                 num_objects: int, image_hw: Tuple[int, int]):
+                 num_objects: int, image_hw: Tuple[int, int],
+                 multi_group: bool = False):
+        """``multi_group=True`` preallocates ``num_objects`` slots of which
+        any subset may be seeded per mask-given step — objects may enter
+        mid-video (the reference's object groups, requires
+        ``enable_long_term=False``; see ``memory.init_memory``)."""
         H, W = image_hw
         if H % 16 or W % 16:
             raise ValueError("image must be pre-padded to multiples of 16")
@@ -196,6 +270,7 @@ class XMemCore:
         # d3fields configuration, fusion.py:272); >= 0: explicit schedule
         # (inference_core.py:16-17)
         self.deep_update_sync = cfg.deep_update_every < 0
+        self.multi_group = multi_group
         self.params = params
         self.cfg = cfg
         self.num_views = num_views
@@ -208,7 +283,8 @@ class XMemCore:
         ``inference_core.py:22-27``; used by ``Fusion.clear_xmem_memory``)."""
         H, W = self.image_hw
         single = M.init_memory(
-            self.cfg, self.num_objects, (H // 16, W // 16)
+            self.cfg, self.num_objects, (H // 16, W // 16),
+            multi_group=self.multi_group,
         )
         self.mem = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (self.num_views,) + x.shape),
@@ -219,16 +295,33 @@ class XMemCore:
         if not self.deep_update_sync:
             self.last_deep_update_ti = -self.cfg.deep_update_every
 
-    def step(self, images: Array, mask_prob: Optional[Array] = None) -> Array:
-        """images (V, H, W, 3) normalized; mask_prob (V, O, H, W) on the
-        seeding frame, None afterwards. Returns prob_with_bg (V, O+1, H, W).
+    def step(self, images: Array, mask_prob: Optional[Array] = None,
+             provided: Optional[Array] = None) -> Array:
+        """images (V, H, W, 3) normalized; mask_prob (V, O, H, W) on
+        mask-given frames, None otherwise. Returns prob_with_bg
+        (V, O+1, H, W).
+
+        In multi_group mode a mask may arrive on ANY frame; ``provided``
+        (O,) bool flags which channels it seeds (default: channels with a
+        nonzero mask in any view — the VOS convention where a mid-video
+        annotation frame carries only the entering objects).
         """
         self.curr_ti += 1
         if mask_prob is not None:
-            prob, self.mem = seed_step_views(
-                self.params, self.mem, images, mask_prob,
-                self.cfg.compute_dtype,
-            )
+            if self.multi_group:
+                if provided is None:
+                    provided = jnp.asarray(
+                        np.asarray(mask_prob).max(axis=(0, 2, 3)) > 0
+                    )
+                prob, self.mem = reseed_step_views(
+                    self.params, self.mem, images, mask_prob,
+                    jnp.asarray(provided), self.cfg.compute_dtype,
+                )
+            else:
+                prob, self.mem = seed_step_views(
+                    self.params, self.mem, images, mask_prob,
+                    self.cfg.compute_dtype,
+                )
             self.last_mem_ti = self.curr_ti
             if not self.deep_update_sync:
                 # seeding always deep-updates (the schedule has always

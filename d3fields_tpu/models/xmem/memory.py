@@ -18,10 +18,18 @@ scalar, so one compiled step serves the whole video:
 - every structural event (consolidate / evict) is a ``lax.cond`` between
   same-shape branches, and all slice offsets/lengths are static.
 
-Scope: a single object group — all objects enter at frame 0, which is the
-d3fields usage (``fusion.py:1173-1256`` seeds every instance on the first
-frame). The reference's multi-group path raises NotImplementedError on
-eviction anyway (``kv_memory_store.py:146-151``).
+Object groups: all objects entering at frame 0 is the d3fields usage
+(``fusion.py:1173-1256`` seeds every instance on the first frame) and the
+default compile path. Mid-video entry (the reference's multi-group memory,
+``kv_memory_store.py:10-16``) is supported with ``multi_group=True`` under
+``enable_long_term=False``: per-object entry offsets restrict each
+object's affinity to the key slots written since it entered — exactly the
+reference's per-group softmax over the trailing key subset
+(``memory_manager.py:120-135``). Multi-group WITH long-term stays
+unsupported by design: the reference's own path is broken there (its
+sieve keeps each group's own first HW of values against group-0's first
+HW of keys — misaligned — and its eviction raises NotImplementedError,
+``kv_memory_store.py:146-151``).
 
 Attention math is the reference's anisotropic L2 similarity with shrinkage
 and selection (``XMem/model/memory_util.py:7-40``) and top-k sparse softmax
@@ -71,12 +79,18 @@ class XMemMemory:
     l_life: Array
     l_size: Array
     hidden: Array
+    # multi-group bookkeeping (only meaningful when multi_group=True):
+    # w_entry[o] = first working slot whose keys object o may attend;
+    # active[o] = object o has been seeded (inactive objects read zeros)
+    w_entry: Array = None
+    active: Array = None
     # static memory-plan fields
     hw: int = flax.struct.field(pytree_node=False, default=0)
     top_k: int = flax.struct.field(pytree_node=False, default=30)
     min_elements: int = flax.struct.field(pytree_node=False, default=0)
     num_prototypes: int = flax.struct.field(pytree_node=False, default=128)
     long_term: bool = flax.struct.field(pytree_node=False, default=True)
+    multi_group: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def work_capacity(self) -> int:
@@ -93,6 +107,7 @@ def init_memory(
     key_hw: Tuple[int, int],
     *,
     dtype=jnp.float32,
+    multi_group: bool = False,
 ) -> XMemMemory:
     """Preallocate stores for a (h, w) key grid (1/16 of the padded input).
 
@@ -106,6 +121,13 @@ def init_memory(
     reference semantics; past capacity the oldest non-first frame is
     FIFO-dropped (documented deviation, unreachable when sized right).
     """
+    if multi_group and cfg.enable_long_term:
+        raise NotImplementedError(
+            "multi_group (mid-video object entry) requires "
+            "enable_long_term=False — the reference's own multi-group "
+            "long-term path is broken (value/key misalignment after "
+            "sieve_by_range; eviction raises, kv_memory_store.py:146-151)"
+        )
     h, w = key_hw
     hw = h * w
     wc = cfg.max_mid_term_frames * hw
@@ -130,6 +152,24 @@ def init_memory(
             cfg.num_prototypes, wc - cfg.min_mid_term_frames * hw
         ),
         long_term=cfg.enable_long_term,
+        multi_group=multi_group,
+        # until an object is activated it may attend nothing; activation
+        # (seed or mid-video entry) sets w_entry to the slot its first
+        # frame lands in
+        w_entry=jnp.full((num_objects,), wc, jnp.int32),
+        active=jnp.zeros((num_objects,), bool),
+    )
+
+
+def activate_objects(mem: XMemMemory, new_objects: Array) -> XMemMemory:
+    """Mark ``new_objects`` (O,) bool as entering NOW: their memory
+    visibility starts at the next written slot (the reference opens a new
+    object group whose values cover only keys appended from this frame on,
+    ``kv_memory_store.py:58-79``)."""
+    entering = new_objects & ~mem.active
+    return mem.replace(
+        w_entry=jnp.where(entering, mem.w_size.astype(jnp.int32), mem.w_entry),
+        active=mem.active | new_objects,
     )
 
 
@@ -251,6 +291,8 @@ def match_memory(mem: XMemMemory, qk: Array, qe: Optional[Array]):
     )
     sim = similarity(keys, shr, qk, qe)
     sim = jnp.where(valid[:, None], sim, _NEG_INF)
+    if mem.multi_group:
+        return _match_memory_multi_group(mem, sim, valid)
     affinity, usage = topk_softmax(sim, mem.top_k, return_usage=True)
     # materialize the dense affinity: without the barrier XLA fuses the
     # 30-tap densification into the readout matmul's operand and re-executes
@@ -270,6 +312,43 @@ def match_memory(mem: XMemMemory, qk: Array, qe: Optional[Array]):
         w_use=mem.w_use + jnp.where(w_valid, usage[lc:], 0.0),
         w_life=mem.w_life + w_valid.astype(mem.w_life.dtype),
     )
+    return readout, mem
+
+
+def _match_memory_multi_group(mem: XMemMemory, sim: Array, valid: Array):
+    """Per-object affinity over each object's visible key subset.
+
+    The reference computes one softmax per object GROUP over the trailing
+    keys appended since that group entered (``memory_manager.py:120-135``);
+    here each object carries its entry offset, so objects sharing an entry
+    frame compute identical affinities (same masked softmax — group
+    semantics without materializing groups). Long-term slots are absent by
+    construction (multi_group requires enable_long_term=False, so lc == 1
+    and invalid). Usage accounting is inert without long-term memory
+    (the reference constructs its store with count_usage=False then,
+    ``memory_manager.py:32``), so none is recorded here.
+    """
+    lc, wc = mem.long_capacity, mem.work_capacity
+    slot = jnp.arange(wc)
+
+    def per_object(entry, vals):
+        # vals: (CV, Lc+Wc) — this object's value slab
+        vis = jnp.concatenate(
+            [jnp.zeros((lc,), bool), slot >= entry]
+        ) & valid
+        sim_o = jnp.where(vis[:, None], sim, _NEG_INF)
+        # an object with no visible slot yet (inactive) would softmax over
+        # all -inf -> NaN; feed it the global sim instead and zero the
+        # readout after (callers also mask its probabilities)
+        any_vis = jnp.any(vis)
+        sim_o = jnp.where(any_vis, sim_o, sim)
+        aff = topk_softmax(sim_o, mem.top_k)
+        aff = jax.lax.optimization_barrier(aff)
+        out = vals @ aff                               # (CV, N)
+        return jnp.where(any_vis, out, 0.0)
+
+    values = jnp.concatenate([mem.lv, mem.wv], axis=2)  # (O, CV, Lc+Wc)
+    readout = jax.vmap(per_object)(mem.w_entry, values)
     return readout, mem
 
 
@@ -436,9 +515,17 @@ def _fifo_drop_second_frame(mem: XMemMemory) -> XMemMemory:
         t = jax.lax.dynamic_slice_in_dim(a, 2 * hw, tail, axis=axis)
         return jax.lax.dynamic_update_slice_in_dim(a, t, hw, axis=axis)
 
+    # active objects' entry offsets slide with the dropped frame (an entry
+    # inside the dropped block clamps to hw: its entry frame is gone);
+    # inactive objects keep their sentinel
+    new_entry = jnp.where(
+        mem.active & (mem.w_entry > hw),
+        jnp.maximum(mem.w_entry - hw, hw), mem.w_entry,
+    )
     return mem.replace(
         wk=shift(mem.wk, 1), ws=shift(mem.ws, 0), we=shift(mem.we, 1),
         wv=shift(mem.wv, 2),
         w_use=shift(mem.w_use, 0), w_life=shift(mem.w_life, 0),
         w_size=mem.w_size - hw,
+        w_entry=new_entry,
     )

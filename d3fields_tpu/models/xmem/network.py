@@ -72,11 +72,16 @@ def encode_value(params: Params, image: Array, f16: Array, hidden: Array,
 
 
 def segment(params: Params, f16: Array, f8: Array, f4: Array,
-            hidden: Array, memory_readout: Array, *, h_out: bool = True):
+            hidden: Array, memory_readout: Array, *, h_out: bool = True,
+            obj_active: Optional[Array] = None):
     """Decode per-object logits from the memory readout.
 
     f16 (h, w, 1024), f8 (2h, 2w, 512), f4 (4h, 4w, 256);
     hidden (O, h, w, CH); memory_readout (O, h, w, CV).
+    ``obj_active`` (O,) bool masks preallocated-but-not-yet-entered object
+    slots (multi-group mid-video entry): their probability is forced to 0
+    before soft aggregation, which makes them exactly equivalent to absent
+    channels (bg product term 1, clipped logit -> softmax weight ~1e-7).
     Returns (new_hidden or None, logits (O, H, W), prob_with_bg (O+1, H, W)).
     Reference ``XMem.segment`` + ``Decoder`` (``network.py:110-125``,
     ``modules.py:214-250``).
@@ -107,6 +112,8 @@ def segment(params: Params, f16: Array, f8: Array, f4: Array,
 
     logits = B.upsample_4x_logits(logits4)[..., 0]  # (O, H, W)
     prob = jax.nn.sigmoid(logits)
+    if obj_active is not None:
+        prob = jnp.where(obj_active[:, None, None], prob, 0.0)
     prob_with_bg = B.soft_aggregate(prob, axis=0)
     return new_hidden, logits, prob_with_bg
 

@@ -49,7 +49,11 @@ class VideoMaskTracker:
 
     def __init__(self, params, cfg: XMemConfig, num_views: int,
                  num_objects: int, image_hw: Tuple[int, int],
-                 size: int = 480):
+                 size: int = 480, multi_group: bool = False):
+        """``multi_group=True`` preallocates ``num_objects`` slots and
+        allows masks on later frames to seed objects entering mid-video
+        (requires ``enable_long_term=False``; the d3fields pipeline seeds
+        everything on frame 0 and keeps the default)."""
         self.cfg = cfg
         self.image_hw = image_hw
         self.num_objects = num_objects  # excludes background
@@ -61,7 +65,7 @@ class VideoMaskTracker:
         self.pad_spec = (lh, ph - rh - lh, lw, pw - rw - lw)
         self.core = XMemCore(
             params, cfg, num_views=num_views, num_objects=num_objects,
-            image_hw=(ph, pw),
+            image_hw=(ph, pw), multi_group=multi_group,
         )
         self.first_mask_loaded = False
         self.last_prob = None  # (V, O+1, H, W) soft probs of the last step
@@ -111,10 +115,15 @@ class VideoMaskTracker:
             if not self.first_mask_loaded:
                 raise ValueError("No mask provided for the first frame")
             prob = self.core.step(imgs)
+        elif self.core.multi_group:
+            # mid-video entry: nonzero channels of the new mask seed objects
+            masks = self._prep_masks(np.asarray(mask))
+            prob = self.core.step(imgs, masks)
         else:
             raise NotImplementedError(
-                "re-seeding with new masks mid-video is not used by the "
-                "d3fields pipeline (reference fusion.py:1240-1241 raises too)"
+                "re-seeding with new masks mid-video needs "
+                "multi_group=True (the d3fields pipeline seeds on frame 0 "
+                "only; reference fusion.py:1240-1241 raises too)"
             )
         # unpad, upsample probs to full res, argmax -> one-hot
         prob = unpad(prob, self.pad_spec, hw_axes=(2, 3))  # (V, O+1, rh, rw)

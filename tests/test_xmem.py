@@ -667,3 +667,107 @@ def test_full_video_parity_unsync_deep_update(torch_xmem):
             np.asarray(pj)[0], pt.numpy(), atol=1e-4,
             err_msg=f"prob mismatch at frame {t} (deep_update_every=3)",
         )
+
+
+@pytest.mark.slow
+def test_full_video_parity_object_enters_midvideo(torch_xmem):
+    """Multi-group memory (mid-video object entry, the reference's object
+    groups in ``kv_memory_store.py:10-16``): object 3 enters at frame 3
+    with a GT mask while objects 1-2 keep their predicted probabilities.
+    Per-frame parity vs the reference InferenceCore (long-term disabled —
+    the only regime where the reference's own multi-group path is sound).
+    Our core preallocates 3 object slots and activates the third on entry;
+    inactive slots are masked to prob 0 (equivalent to absent channels up
+    to the 1e-7 aggregation clip)."""
+    import torch
+    from XMem.inference.inference_core import InferenceCore
+
+    refcfg = {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64, "top_k": 5,
+        "mem_every": 2, "deep_update_every": -1, "enable_long_term": False,
+        "enable_long_term_count_usage": False,
+    }
+    core_t = InferenceCore(torch_xmem, refcfg)
+    core_t.set_all_labels([1, 2])
+
+    cfg = XMemConfig(top_k=5, mem_every=2, enable_long_term=False,
+                     max_mid_term_frames=8)
+    sd = {k: v.detach().numpy() for k, v in torch_xmem.state_dict().items()}
+    params = N.convert_torch_state_dict(sd, cfg)
+    core_j = C.XMemCore(params, cfg, num_views=1, num_objects=3,
+                        image_hw=(48, 64), multi_group=True)
+
+    rs = np.random.RandomState(17)
+    video = rs.rand(7, 48, 64, 3).astype(np.float32)
+    m0_2ch = (rs.rand(2, 48, 64) > 0.6).astype(np.float32)
+    m3 = (rs.rand(48, 64) > 0.7).astype(np.float32)
+
+    # frame 0: objects 1, 2
+    with torch.no_grad():
+        pt = core_t.step(torch.from_numpy(video[0]).permute(2, 0, 1),
+                         torch.from_numpy(m0_2ch))
+    m0_3ch = np.concatenate([m0_2ch, np.zeros((1, 48, 64), np.float32)])
+    pj = core_j.step(jnp.asarray(video[0])[None], jnp.asarray(m0_3ch)[None],
+                     provided=np.array([True, True, False]))
+    # reference probs have 3 channels (bg + 2 objs); ours 4 (slot 3 inactive)
+    np.testing.assert_allclose(np.asarray(pj)[0, :3], pt.numpy(), atol=1e-4)
+    assert np.asarray(pj)[0, 3].max() < 1e-3  # inactive slot silent
+
+    for t in range(1, 7):
+        if t == 3:  # object 3 enters with a GT mask
+            core_t.set_all_labels([1, 2, 3])
+            mask_t = np.concatenate(
+                [np.zeros((2, 48, 64), np.float32), m3[None]])
+            with torch.no_grad():
+                pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1),
+                                 torch.from_numpy(mask_t),
+                                 valid_labels=[3])
+            pj = core_j.step(jnp.asarray(video[t])[None],
+                             jnp.asarray(mask_t)[None],
+                             provided=np.array([False, False, True]))
+        else:
+            with torch.no_grad():
+                pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1))
+            pj = core_j.step(jnp.asarray(video[t])[None])
+        ref = pt.numpy()
+        ours = np.asarray(pj)[0, : ref.shape[0]]
+        np.testing.assert_allclose(
+            ours, ref, atol=2e-4,
+            err_msg=f"prob mismatch at frame {t} (multi-group)",
+        )
+        if t < 3:
+            assert np.asarray(pj)[0, 3].max() < 1e-3
+
+
+def test_video_tracker_midvideo_entry():
+    """Tracker-level multi-group flow: object 1 seeds frame 0, object 2
+    enters at frame 2 via a new index mask; both propagate afterwards."""
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+
+    cfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=5,
+                     mem_every=2, enable_long_term=False,
+                     max_mid_term_frames=6, size=-1)
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    tracker = VideoMaskTracker(params, cfg, num_views=2, num_objects=2,
+                               image_hw=(48, 64), size=-1,
+                               multi_group=True)
+    rs = np.random.RandomState(3)
+    rgb = (rs.rand(2, 48, 64, 3) * 255).astype(np.uint8)
+
+    m0 = np.zeros((2, 48, 64), np.uint8)
+    m0[:, 8:20, 10:26] = 1
+    out0 = tracker.process(rgb.astype(np.float32) / 255.0, m0)
+    assert out0.shape == (2, 48, 64, 3)
+
+    out1 = tracker.process(rgb.astype(np.float32) / 255.0)
+    assert np.isfinite(out1).all()
+
+    m2 = np.zeros((2, 48, 64), np.uint8)
+    m2[:, 30:44, 40:60] = 2  # object 2 enters
+    out2 = tracker.process(rgb.astype(np.float32) / 255.0, m2)
+    assert out2.shape == (2, 48, 64, 3)
+    # the provided region is assigned to object 2
+    assert out2[0, 34, 50, 2] > 0.5
+
+    out3 = tracker.process(rgb.astype(np.float32) / 255.0)
+    assert np.isfinite(out3).all() and out3.shape == (2, 48, 64, 3)
