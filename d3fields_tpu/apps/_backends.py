@@ -21,10 +21,10 @@ import os
 def _load_torch_sd(path: str):
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return {k: v.numpy() for k, v in sd.items()}
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
 
 def _load_family_params(path: str, family: str, cfg=None):
@@ -114,7 +114,10 @@ def _basic_tokenize(text: str):
     for ch in text:
         cp = ord(ch)
         cat = unicodedata.category(ch)
-        if cp == 0 or cp == 0xFFFD or (cat in ("Cc", "Cf") and ch not in "\t\n\r"):
+        # HF _is_control treats every category-C char (Cc/Cf/Co/Cs/Cn)
+        # except \t\n\r as a control character to strip
+        if cp == 0 or cp == 0xFFFD or (cat.startswith("C")
+                                       and ch not in "\t\n\r"):
             continue
         if ch in "\t\n\r" or cat == "Zs":
             cleaned.append(" ")

@@ -56,6 +56,12 @@ def _load_params(args, cfg):
     from d3fields_tpu.models.xmem import network as N
 
     if args.ckpt:
+        if args.ckpt.endswith(".npz"):
+            # converted pytree from tools/convert_ckpts.py (no torch needed)
+            from d3fields_tpu.utils.convert import load_params
+
+            params, _meta = load_params(args.ckpt)
+            return params
         try:  # trainer checkpoint (plain pickle with a "params" tree)
             import pickle
 

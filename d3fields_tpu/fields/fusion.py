@@ -630,6 +630,8 @@ class Fusion:
                 "mem": jax.tree.map(np.asarray, core.mem),
                 "curr_ti": core.curr_ti,
                 "last_mem_ti": core.last_mem_ti,
+                "last_deep_update_ti": getattr(core, "last_deep_update_ti",
+                                               None),
                 "first_mask_loaded": self.video_tracker.first_mask_loaded,
                 # construction spec so load_state can rebuild the tracker
                 # through video_tracker_factory when none is attached yet
@@ -637,6 +639,7 @@ class Fusion:
                     "num_views": self.num_cam,
                     "num_objects": self.video_tracker.num_objects,
                     "image_hw": tuple(self.video_tracker.image_hw),
+                    "multi_group": core.multi_group,
                 },
             }
         import os
@@ -691,9 +694,23 @@ class Fusion:
                     )
             if self.video_tracker is not None:
                 core = self.video_tracker.core
+                spec = t.get("spec") or {}
+                if spec.get("multi_group", False) != core.multi_group:
+                    import warnings
+
+                    warnings.warn(
+                        "load_state: checkpoint tracker was built with "
+                        f"multi_group={spec.get('multi_group')} but the "
+                        f"attached tracker has multi_group="
+                        f"{core.multi_group}; mid-video object entry will "
+                        "not behave as in the saved session",
+                        stacklevel=2,
+                    )
                 core.mem = jax.tree.map(jnp.asarray, t["mem"])
                 core.curr_ti = t["curr_ti"]
                 core.last_mem_ti = t["last_mem_ti"]
+                if t.get("last_deep_update_ti") is not None:
+                    core.last_deep_update_ti = t["last_deep_update_ti"]
                 self.video_tracker.first_mask_loaded = t["first_mask_loaded"]
 
 

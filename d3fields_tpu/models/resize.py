@@ -90,11 +90,9 @@ def _pil_coeffs_1d(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray]
         pts = (np.arange(xmax) + xmin - center + 0.5) / filterscale
         w = np.clip(1.0 - np.abs(pts), 0.0, None)
         w = w / w.sum()
-        q = np.where(
-            w < 0,
-            (-0.5 + w * (1 << _PIL_PRECISION_BITS)).astype(np.int64),
-            (0.5 + w * (1 << _PIL_PRECISION_BITS)).astype(np.int64),
-        )
+        # triangle-filter weights are non-negative, so Pillow's
+        # round-half-away-from-zero reduces to the positive arm
+        q = (0.5 + w * (1 << _PIL_PRECISION_BITS)).astype(np.int64)
         xmins[xx] = xmin
         weights[xx, :xmax] = q
     return xmins, weights

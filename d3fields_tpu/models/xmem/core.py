@@ -160,7 +160,8 @@ def _propagate(params, mem: M.XMemMemory, image: Array, is_mem_frame: Array,
 
 
 def reseed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
-                provided: Array, compute_dtype: str = "float32"):
+                provided: Array, compute_dtype: str = "float32",
+                adopt_deep: Optional[Array] = None, sync: bool = True):
     """Mask-given step in multi-group mode: frame-0 seeding AND mid-video
     object entry through one function (``inference_core.py:75-105`` with
     mask given).
@@ -172,6 +173,12 @@ def reseed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
     Newly provided objects enter the memory from this frame: their hidden
     state starts at zero (``create_hidden_state`` pads with zeros) and
     their affinity is restricted to keys written from now on.
+
+    ``adopt_deep`` (traced bool, default True): whether the value
+    encoder's reinforced hidden replaces the current hidden — False on an
+    unsynchronized schedule that has not elapsed (the reference computes
+    ``is_deep_update`` from the schedule even on mask-given frames,
+    ``inference_core.py:51-55``).
     """
     dt = jnp.dtype(compute_dtype)
     paramsc = _cast_floats(params, dt)
@@ -185,9 +192,14 @@ def reseed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
     O, cv, hw = readout.shape
     h, w = key.shape[1], key.shape[2]
     readout_hw = readout.transpose(0, 2, 1).reshape(O, h, w, cv)
-    _, _, prob_pred = N.segment(
+    # no-sync: a mask-given frame that segments is ALSO a normal update
+    # (is_normal_update is always true without deep_update_sync,
+    # inference_core.py:56,70-71) — the decoder hidden is adopted for the
+    # already-active objects before the value encoder runs; sync mode
+    # skips it (is_normal_update = not is_deep_update = False there)
+    dec_hidden, _, prob_pred = N.segment(
         paramsc, f16[0], f8[0], f4[0], mem.hidden.astype(dt),
-        readout_hw.astype(dt), h_out=False, obj_active=mem.active,
+        readout_hw.astype(dt), h_out=not sync, obj_active=mem.active,
     )
     pred_no_bg = prob_pred[1:].astype(jnp.float32)
     # at frame 0 nothing is active yet -> pred is fully masked out and the
@@ -204,17 +216,30 @@ def reseed_step(params, mem: M.XMemMemory, image: Array, mask_prob: Array,
     prob_with_bg = B.soft_aggregate(merged, axis=0)
 
     entering = provided & ~mem.active
-    hidden0 = jnp.where(entering[:, None, None, None], 0.0, mem.hidden)
+    if sync:
+        base_hidden = mem.hidden
+    else:
+        # the reference only segments (and thus only adopts the decoder
+        # hidden) when some active object is NOT provided
+        # (need_segment, inference_core.py:49)
+        need_seg = jnp.any(mem.active & ~provided)
+        base_hidden = jnp.where(
+            need_seg, dec_hidden.astype(mem.hidden.dtype), mem.hidden
+        )
+    hidden0 = jnp.where(
+        (entering | ~mem.active)[:, None, None, None], 0.0, base_hidden
+    )
     mem = M.activate_objects(mem, provided)
     value, hidden = N.encode_value(
         paramsc, image, f16[0], hidden0.astype(dt),
         prob_with_bg[1:].astype(dt), is_deep_update=True,
     )
+    hidden = hidden.astype(mem.hidden.dtype)
+    if adopt_deep is not None:
+        hidden = jnp.where(adopt_deep, hidden, hidden0)
     k, s, e = _flatten_key(key[0], shrinkage[0], selection[0])
     v = value.reshape(O, h * w, cv).transpose(0, 2, 1)
-    mem = M.add_memory(
-        mem.replace(hidden=hidden.astype(mem.hidden.dtype)), k, s, v, e
-    )
+    mem = M.add_memory(mem.replace(hidden=hidden), k, s, v, e)
     return prob_with_bg.astype(jnp.float32), mem
 
 
@@ -222,12 +247,13 @@ seed_step_jit = jax.jit(seed_step, static_argnames=("compute_dtype",))
 # vmapped multi-camera variants (params shared, memory/images stacked)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"))
 def reseed_step_views(params, mem, images, mask_prob, provided,
-                      compute_dtype: str = "float32"):
+                      compute_dtype: str = "float32",
+                      adopt_deep: Optional[Array] = None, sync: bool = True):
     return jax.vmap(
         lambda m, im, mp: reseed_step(params, m, im, mp, provided,
-                                      compute_dtype)
+                                      compute_dtype, adopt_deep, sync)
     )(mem, images, mask_prob)
 
 
@@ -308,6 +334,14 @@ class XMemCore:
         """
         self.curr_ti += 1
         if mask_prob is not None:
+            # a mask-given frame is a memory frame; on an unsynchronized
+            # schedule the deep update still only fires when it has elapsed
+            # (inference_core.py:51-55) — always true at t=0 since
+            # last_deep_update_ti starts at -deep_every
+            deep_fires = self.deep_update_sync or (
+                self.curr_ti - self.last_deep_update_ti
+                >= self.cfg.deep_update_every
+            )
             if self.multi_group:
                 if provided is None:
                     provided = jnp.asarray(
@@ -316,6 +350,9 @@ class XMemCore:
                 prob, self.mem = reseed_step_views(
                     self.params, self.mem, images, mask_prob,
                     jnp.asarray(provided), self.cfg.compute_dtype,
+                    None if self.deep_update_sync
+                    else jnp.asarray(deep_fires),
+                    self.deep_update_sync,
                 )
             else:
                 prob, self.mem = seed_step_views(
@@ -323,9 +360,7 @@ class XMemCore:
                     self.cfg.compute_dtype,
                 )
             self.last_mem_ti = self.curr_ti
-            if not self.deep_update_sync:
-                # seeding always deep-updates (the schedule has always
-                # elapsed at t=0: ti - (-deep_every) >= deep_every)
+            if not self.deep_update_sync and deep_fires:
                 self.last_deep_update_ti = self.curr_ti
             return prob
         if self.curr_ti == 0:

@@ -121,6 +121,13 @@ def init_memory(
     reference semantics; past capacity the oldest non-first frame is
     FIFO-dropped (documented deviation, unreachable when sized right).
     """
+    if not cfg.enable_long_term and cfg.max_mid_term_frames < 2:
+        raise ValueError(
+            "enable_long_term=False needs max_mid_term_frames >= 2: the "
+            "bounded working memory keeps the permanent first frame plus "
+            "at least the newest frame (and lax.cond traces the FIFO-drop "
+            "branch even before capacity is reached)"
+        )
     if multi_group and cfg.enable_long_term:
         raise NotImplementedError(
             "multi_group (mid-video object entry) requires "

@@ -66,7 +66,6 @@ def pcd_iou(pcd_1: np.ndarray, pcd_2: np.ndarray, threshold: float):
     dist = np.linalg.norm(pcd_1[:, None] - pcd_2[None], axis=-1)
     d12, i12 = dist.min(axis=1), dist.argmin(axis=1)
     d21, i21 = dist.min(axis=0), dist.argmin(axis=0)
-    n1, n2 = pcd_1.shape[0], pcd_2.shape[0]
     iou = ((d12 < threshold).sum() + (d21 < threshold).sum()) / (n1 + n2)
     return (
         iou,

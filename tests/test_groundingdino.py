@@ -310,6 +310,8 @@ def test_tokenizer_matches_hf_bert(tmp_path):
         "手机",                      # CJK chars split to singles
         "unknownword mug",          # [UNK] fallback
         "a cupful of coffee",
+        "mug\ue000 on the table",   # private-use char (Co): HF strips it
+        "red\x07 cup",              # bell control char (Cc): stripped
     ]
     for cap in captions:
         ref_ids = hf(cap, add_special_tokens=False)["input_ids"]

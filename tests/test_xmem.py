@@ -771,3 +771,63 @@ def test_video_tracker_midvideo_entry():
 
     out3 = tracker.process(rgb.astype(np.float32) / 255.0)
     assert np.isfinite(out3).all() and out3.shape == (2, 48, 64, 3)
+
+
+@pytest.mark.slow
+def test_midvideo_entry_respects_unsync_deep_schedule(torch_xmem):
+    """A mask-given frame on an unelapsed unsynchronized schedule must NOT
+    deep-update (``inference_core.py:51-55`` computes is_deep_update from
+    the schedule even when a mask is given): object 3 enters at frame 1
+    with deep_update_every=3 — the reference keeps the GRU hidden there
+    and deep-updates at frame 3; per-frame parity catches any shift."""
+    import torch
+    from XMem.inference.inference_core import InferenceCore
+
+    refcfg = {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64, "top_k": 5,
+        "mem_every": 2, "deep_update_every": 3, "enable_long_term": False,
+        "enable_long_term_count_usage": False,
+    }
+    core_t = InferenceCore(torch_xmem, refcfg)
+    core_t.set_all_labels([1, 2])
+
+    cfg = XMemConfig(top_k=5, mem_every=2, deep_update_every=3,
+                     enable_long_term=False, max_mid_term_frames=8)
+    sd = {k: v.detach().numpy() for k, v in torch_xmem.state_dict().items()}
+    params = N.convert_torch_state_dict(sd, cfg)
+    core_j = C.XMemCore(params, cfg, num_views=1, num_objects=3,
+                        image_hw=(48, 64), multi_group=True)
+
+    rs = np.random.RandomState(23)
+    video = rs.rand(6, 48, 64, 3).astype(np.float32)
+    m0_2ch = (rs.rand(2, 48, 64) > 0.6).astype(np.float32)
+    m3 = (rs.rand(48, 64) > 0.7).astype(np.float32)
+
+    with torch.no_grad():
+        pt = core_t.step(torch.from_numpy(video[0]).permute(2, 0, 1),
+                         torch.from_numpy(m0_2ch))
+    m0_3ch = np.concatenate([m0_2ch, np.zeros((1, 48, 64), np.float32)])
+    pj = core_j.step(jnp.asarray(video[0])[None], jnp.asarray(m0_3ch)[None],
+                     provided=np.array([True, True, False]))
+    np.testing.assert_allclose(np.asarray(pj)[0, :3], pt.numpy(), atol=1e-4)
+
+    for t in range(1, 6):
+        if t == 1:  # entry on an UNELAPSED deep schedule (last deep: t=0)
+            core_t.set_all_labels([1, 2, 3])
+            mask_t = np.concatenate(
+                [np.zeros((2, 48, 64), np.float32), m3[None]])
+            with torch.no_grad():
+                pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1),
+                                 torch.from_numpy(mask_t), valid_labels=[3])
+            pj = core_j.step(jnp.asarray(video[t])[None],
+                             jnp.asarray(mask_t)[None],
+                             provided=np.array([False, False, True]))
+        else:
+            with torch.no_grad():
+                pt = core_t.step(torch.from_numpy(video[t]).permute(2, 0, 1))
+            pj = core_j.step(jnp.asarray(video[t])[None])
+        ref = pt.numpy()
+        np.testing.assert_allclose(
+            np.asarray(pj)[0, : ref.shape[0]], ref, atol=2e-4,
+            err_msg=f"prob mismatch at frame {t} (unsync entry)",
+        )

@@ -28,16 +28,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from d3fields_tpu.apps._backends import _load_torch_sd
 from d3fields_tpu.utils.convert import convert_family, save_params
-
-
-def _load_torch_sd(path: str):
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
 
 ENV_VARS = {
