@@ -304,6 +304,36 @@ class XMemCore:
         self.image_hw = image_hw
         self.clear_memory()
 
+    def shard_views(self, mesh, axis: str = "dp"):
+        """Distribute the per-view state over a mesh axis: multi-camera
+        rigs scale across chips (each camera's CNN + memory attention runs
+        on its owning chip; there is no cross-view communication in the
+        XMem bridge, ``fusion.py:631-684``, so XLA partitions the vmapped
+        step with zero collectives). ``num_views`` must divide the axis
+        size evenly. Params are replicated; step inputs are sharded per
+        call."""
+        from d3fields_tpu.parallel.mesh import replicate, shard_leading
+
+        if self.num_views % mesh.shape[axis]:
+            raise ValueError(
+                f"num_views={self.num_views} not divisible by mesh axis "
+                f"'{axis}' of size {mesh.shape[axis]}"
+            )
+        self.params = replicate(mesh, self.params)
+        self.mem = jax.tree.map(
+            lambda x: shard_leading(mesh, x, axis), self.mem
+        )
+        self._view_mesh = (mesh, axis)
+        return self
+
+    def _shard_input(self, x):
+        mesh_axis = getattr(self, "_view_mesh", None)
+        if mesh_axis is None:
+            return x
+        from d3fields_tpu.parallel.mesh import shard_leading
+
+        return shard_leading(mesh_axis[0], jnp.asarray(x), mesh_axis[1])
+
     def clear_memory(self):
         """Reset tracking state (reference ``clear_memory``,
         ``inference_core.py:22-27``; used by ``Fusion.clear_xmem_memory``)."""
@@ -316,6 +346,13 @@ class XMemCore:
             lambda x: jnp.broadcast_to(x[None], (self.num_views,) + x.shape),
             single,
         )
+        if getattr(self, "_view_mesh", None) is not None:
+            from d3fields_tpu.parallel.mesh import shard_leading
+
+            mesh, axis = self._view_mesh
+            self.mem = jax.tree.map(
+                lambda x: shard_leading(mesh, x, axis), self.mem
+            )
         self.curr_ti = -1
         self.last_mem_ti = 0
         if not self.deep_update_sync:
@@ -333,7 +370,9 @@ class XMemCore:
         annotation frame carries only the entering objects).
         """
         self.curr_ti += 1
+        images = self._shard_input(images)
         if mask_prob is not None:
+            mask_prob = self._shard_input(mask_prob)
             # a mask-given frame is a memory frame; on an unsynchronized
             # schedule the deep update still only fires when it has elapsed
             # (inference_core.py:51-55) — always true at t=0 since

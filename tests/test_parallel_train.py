@@ -308,3 +308,51 @@ def test_static_image_source_pseudo_video():
     assert batch["cls_gt"].shape == (2, 3, 64, 80)
     # frames are genuinely different warps of the same image
     assert np.abs(batch["frames"][0, 0] - batch["frames"][0, 1]).max() > 0.01
+
+
+def test_xmem_views_sharded_matches_single_device():
+    """Fourth scale-out path: multi-camera XMem inference with the view
+    axis sharded over dp (each camera on its owning chip, zero
+    collectives — the XMem bridge has no cross-view communication,
+    fusion.py:631-684). Sharded step == unsharded step."""
+    import jax
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models.xmem import core as C
+    from d3fields_tpu.models.xmem import network as N
+    from d3fields_tpu.parallel.mesh import make_mesh
+
+    cfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=5,
+                     mem_every=2, max_mid_term_frames=3,
+                     min_mid_term_frames=1, num_prototypes=4,
+                     max_long_term_elements=64, size=-1)
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(5)
+    V, H, W = 4, 32, 32
+    video = rs.rand(4, V, H, W, 3).astype(np.float32)
+    m0 = (rs.rand(V, 2, H, W) > 0.6).astype(np.float32)
+
+    ref_core = C.XMemCore(params, cfg, num_views=V, num_objects=2,
+                          image_hw=(H, W))
+    ref = [np.asarray(ref_core.step(jnp.asarray(video[0]), jnp.asarray(m0)))]
+    for t in range(1, 4):
+        ref.append(np.asarray(ref_core.step(jnp.asarray(video[t]))))
+
+    mesh = make_mesh(dp=4, tp=1)
+    sh_core = C.XMemCore(params, cfg, num_views=V, num_objects=2,
+                         image_hw=(H, W)).shard_views(mesh)
+    got = [np.asarray(sh_core.step(jnp.asarray(video[0]), jnp.asarray(m0)))]
+    for t in range(1, 4):
+        got.append(np.asarray(sh_core.step(jnp.asarray(video[t]))))
+
+    for t, (a, b) in enumerate(zip(ref, got)):
+        # partitioning changes XLA's tiling/fusion and hence f32 rounding;
+        # probabilities agree to ~1e-3 and labels are identical
+        np.testing.assert_allclose(b, a, atol=2e-3, err_msg=f"frame {t}")
+        agree = (b.argmax(1) == a.argmax(1)).mean()
+        assert agree > 0.995, f"frame {t}: label agreement {agree}"
+
+    # clear_memory keeps the sharding
+    sh_core.clear_memory()
+    wk = sh_core.mem.wk
+    assert len(wk.sharding.device_set) == 4
