@@ -57,6 +57,14 @@ class GroundingDinoConfig:
     text: B.BertConfig = B.BertConfig()
 
     @staticmethod
+    def swin_b() -> "GroundingDinoConfig":
+        """groundingdino_swinb_cogcoor (HF grounding-dino-base) — the
+        larger of the two checkpoints the reference's download script
+        fetches (``scripts/download_ckpts.sh:5``; the runtime default is
+        swin-t, ``fusion.py:241``)."""
+        return GroundingDinoConfig(swin=SW.SwinConfig.base())
+
+    @staticmethod
     def tiny_test() -> "GroundingDinoConfig":
         return GroundingDinoConfig(
             d_model=32, num_feature_levels=3, encoder_layers=2,

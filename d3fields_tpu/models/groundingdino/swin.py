@@ -37,6 +37,14 @@ class SwinConfig:
     def tiny() -> "SwinConfig":
         return SwinConfig()
 
+    @staticmethod
+    def base() -> "SwinConfig":
+        """Swin-B/384-w12 — the trunk of groundingdino_swinb_cogcoor, the
+        second checkpoint the reference downloads
+        (``scripts/download_ckpts.sh:5``; HF grounding-dino-base)."""
+        return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2),
+                          num_heads=(4, 8, 16, 32), window_size=12)
+
     def stage_dim(self, i: int) -> int:
         return self.embed_dim * (2 ** i)
 

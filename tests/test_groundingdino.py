@@ -319,3 +319,81 @@ def test_tokenizer_matches_hf_bert(tmp_path):
             f"caption {cap!r}: ours={ours(cap)} hf={ref_ids} "
             f"(hf tokens: {hf.convert_ids_to_tokens(ref_ids)})"
         )
+
+
+@pytest.mark.slow
+def test_full_forward_parity_four_stage_swin():
+    """Production Swin topology at tiny size: FOUR stages with the real
+    out_stages (1,2,3) and num_feature_levels=4 — exercises the deeper
+    patch-merging path and the stage->level extra-conv that the 2-stage
+    tiny oracle misses (the swin_b/swin_t presets both have this shape)."""
+    from transformers import (
+        BertConfig as HFBert, GroundingDinoConfig as HFGDC,
+        GroundingDinoForObjectDetection, SwinConfig as HFSwin,
+    )
+
+    from d3fields_tpu.models.groundingdino import bert as B_
+    from d3fields_tpu.models.groundingdino import swin as SW
+
+    hfc = HFGDC(
+        backbone_config=HFSwin(
+            embed_dim=8, depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8],
+            window_size=4, image_size=128, patch_size=4,
+            out_features=["stage2", "stage3", "stage4"],
+        ),
+        text_config=HFBert(vocab_size=2000, hidden_size=24,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=48, max_position_embeddings=64),
+        d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_queries=16,
+        max_text_len=32, num_feature_levels=4,
+    )
+    torch.manual_seed(1)
+    hf = GroundingDinoForObjectDetection(hfc).eval()
+    with torch.no_grad():
+        for head in hf.bbox_embed:
+            head.layers[-1].weight.normal_(0, 0.05)
+            head.layers[-1].bias.normal_(0, 0.05)
+        hf.model.decoder.layer_norm.weight.normal_(1.0, 0.2)
+        hf.model.decoder.layer_norm.bias.normal_(0, 0.2)
+        hf.model.encoder_output_bbox_embed.layers[-1].weight.normal_(0, 0.05)
+        hf.model.encoder_output_bbox_embed.layers[-1].bias.normal_(0, 0.05)
+
+    cfg = G.GroundingDinoConfig(
+        d_model=32, num_feature_levels=4, encoder_layers=1, decoder_layers=1,
+        encoder_heads=4, decoder_heads=4, encoder_ffn_dim=64,
+        decoder_ffn_dim=64, num_queries=16, max_text_len=32,
+        swin=SW.SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                           num_heads=(1, 2, 4, 8), window_size=4,
+                           out_stages=(1, 2, 3)),
+        text=B_.BertConfig(vocab_size=2000, hidden_size=24, num_layers=2,
+                           num_heads=2, intermediate_size=48,
+                           max_position=64),
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    from d3fields_tpu.utils.convert import audit_conversion, ALLOWED_UNUSED
+
+    params, _ = audit_conversion(
+        lambda s: G.convert_hf_state_dict(s, cfg), sd,
+        allowed_unused=ALLOWED_UNUSED["gdino"],
+    )
+
+    rs = np.random.RandomState(0)
+    px = rs.randn(1, 128, 128, 3).astype(np.float32)
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]], np.int64)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px).permute(0, 3, 1, 2),
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.ones_like(torch.from_numpy(ids)),
+        )
+    logits, boxes = G.groundingdino_forward(params, cfg, jnp.asarray(px), ids)
+    ref_l = out.logits.numpy()
+    gl = np.asarray(logits)
+    fin = np.isfinite(ref_l)
+    assert (np.isfinite(gl) == fin).all()
+    np.testing.assert_allclose(gl[fin], ref_l[fin], rtol=2e-3, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(boxes), out.pred_boxes.numpy(), rtol=1e-4, atol=2e-5
+    )
