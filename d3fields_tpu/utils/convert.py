@@ -184,7 +184,15 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
     elif family == "gdino":
         from d3fields_tpu.models.groundingdino import model as G
 
-        cfg = cfg or G.GroundingDinoConfig()
+        if cfg is None:
+            # sniff the trunk width: 96 = swin-t (the reference's runtime
+            # default, fusion.py:241), 128 = swin-b (the second checkpoint
+            # its download script fetches)
+            pe = ("model.backbone.conv_encoder.model.embeddings."
+                  "patch_embeddings.projection.weight")
+            embed = int(np.shape(sd[pe])[0]) if pe in sd else 96
+            cfg = (G.GroundingDinoConfig.swin_b() if embed == 128
+                   else G.GroundingDinoConfig())
         params, _ = audit_conversion(
             lambda s: G.convert_hf_state_dict(s, cfg), sd,
             allowed_unused=ALLOWED_UNUSED["gdino"],
