@@ -170,6 +170,9 @@ def test_eval_xmem_directory_palette_masks(tmp_path):
         "--data_root", str(tmp_path / "data"), "--frames", "0",
         "--size", "48", "--key_dim", "8", "--value_dim", "16",
         "--hidden_dim", "8", "--out", out,
+        # cover the reference's --disable_long_term eval protocol
+        # (XMem/eval.py:51) through the app path
+        "--disable_long_term", "--max_mid_term_frames", "4",
     ])
     assert rc == 0
     # whole video propagated (T-1 outputs), labels are indices (max obj = 1)
