@@ -30,14 +30,25 @@ def _load_torch_sd(path: str):
 def _load_family_params(path: str, family: str, cfg=None):
     """Load model params from either a pre-converted ``.npz`` pytree
     (``tools/convert_ckpts.py``) or a raw torch checkpoint (converted here
-    under the key-coverage audit)."""
+    under the key-coverage audit). Returns ``(params, cfg)`` — for
+    GroundingDINO the config is sniffed from the checkpoint (swin-t vs
+    swin-b) unless given, so the detector is built with the matching
+    trunk."""
     from d3fields_tpu.utils.convert import convert_family, load_params
 
     if path.endswith(".npz"):
-        params, _meta = load_params(path)
-        return params
-    params, _cfg = convert_family(family, _load_torch_sd(path), cfg)
-    return params
+        params, meta = load_params(path)
+        if cfg is None and family == "gdino":
+            from d3fields_tpu.models.groundingdino.model import (
+                GroundingDinoConfig,
+            )
+
+            trunk = meta.get("gdino_trunk", "swin_t")
+            cfg = (GroundingDinoConfig.swin_b() if trunk == "swin_b"
+                   else GroundingDinoConfig())
+        return params, cfg
+    params, cfg = convert_family(family, _load_torch_sd(path), cfg)
+    return params, cfg
 
 
 def build_feature_backend(ckpt: str | None = None):
@@ -51,7 +62,7 @@ def build_feature_backend(ckpt: str | None = None):
             "--synthetic"
         )
     cfg = Dinov2Config.vit_large()
-    params = _load_family_params(ckpt, "dinov2_hub", cfg)
+    params, _ = _load_family_params(ckpt, "dinov2_hub", cfg)
     return Dinov2Backbone(params, cfg, compute_dtype="bfloat16")
 
 
@@ -73,14 +84,13 @@ def build_mask_backend(sam_ckpt: str | None = None,
             "SAM/GroundingDINO checkpoints not found; set D3F_SAM_CKPT and "
             "D3F_GDINO_CKPT (+ D3F_BERT_VOCAB), or run with --synthetic"
         )
-    sam_params = _load_family_params(sam_ckpt, "sam", SamConfig.vit_huge())
-    gdino_params = _load_family_params(
-        gdino_ckpt, "gdino", GroundingDinoConfig()
-    )
+    sam_params, _ = _load_family_params(sam_ckpt, "sam", SamConfig.vit_huge())
+    # cfg=None: the trunk (swin-t vs swin-b) is sniffed from the checkpoint
+    # / npz meta so either reference checkpoint works end-to-end
+    gdino_params, gcfg = _load_family_params(gdino_ckpt, "gdino", None)
     tokenize = _wordpiece_tokenizer(vocab) if vocab else None
     return GroundedSAMBackend(
-        GroundingDinoDetector(gdino_params, GroundingDinoConfig(),
-                              tokenize=tokenize),
+        GroundingDinoDetector(gdino_params, gcfg, tokenize=tokenize),
         SamPredictor(sam_params),
     )
 
@@ -196,7 +206,7 @@ def build_video_tracker_factory(ckpt: str | None = None):
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker
 
     cfg = XMemConfig()
-    params = _load_family_params(ckpt, "xmem", cfg)
+    params, _ = _load_family_params(ckpt, "xmem", cfg)
 
     def factory(num_views, num_objects, image_hw):
         return VideoMaskTracker(

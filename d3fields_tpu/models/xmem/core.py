@@ -309,10 +309,10 @@ class XMemCore:
         rigs scale across chips (each camera's CNN + memory attention runs
         on its owning chip; there is no cross-view communication in the
         XMem bridge, ``fusion.py:631-684``, so XLA partitions the vmapped
-        step with zero collectives). ``num_views`` must divide the axis
-        size evenly. Params are replicated; step inputs are sharded per
-        call."""
-        from d3fields_tpu.parallel.mesh import replicate, shard_leading
+        step with zero collectives). The mesh axis size must divide
+        ``num_views`` evenly. Params are replicated; step inputs are
+        sharded per call."""
+        from d3fields_tpu.parallel.mesh import replicate
 
         if self.num_views % mesh.shape[axis]:
             raise ValueError(
@@ -320,11 +320,20 @@ class XMemCore:
                 f"'{axis}' of size {mesh.shape[axis]}"
             )
         self.params = replicate(mesh, self.params)
-        self.mem = jax.tree.map(
-            lambda x: shard_leading(mesh, x, axis), self.mem
-        )
         self._view_mesh = (mesh, axis)
+        self.mem = self._place_mem(self.mem)
         return self
+
+    def _place_mem(self, mem):
+        """Apply the view sharding (if configured) to a memory pytree."""
+        mesh_axis = getattr(self, "_view_mesh", None)
+        if mesh_axis is None:
+            return mem
+        from d3fields_tpu.parallel.mesh import shard_leading
+
+        return jax.tree.map(
+            lambda x: shard_leading(mesh_axis[0], x, mesh_axis[1]), mem
+        )
 
     def _shard_input(self, x):
         mesh_axis = getattr(self, "_view_mesh", None)
@@ -346,13 +355,7 @@ class XMemCore:
             lambda x: jnp.broadcast_to(x[None], (self.num_views,) + x.shape),
             single,
         )
-        if getattr(self, "_view_mesh", None) is not None:
-            from d3fields_tpu.parallel.mesh import shard_leading
-
-            mesh, axis = self._view_mesh
-            self.mem = jax.tree.map(
-                lambda x: shard_leading(mesh, x, axis), self.mem
-            )
+        self.mem = self._place_mem(self.mem)
         self.curr_ti = -1
         self.last_mem_ti = 0
         if not self.deep_update_sync:
@@ -370,6 +373,10 @@ class XMemCore:
         annotation frame carries only the entering objects).
         """
         self.curr_ti += 1
+        if mask_prob is not None and self.multi_group and provided is None:
+            # derive from the HOST input before sharding: np.asarray on a
+            # sharded array gathers (and fails on non-addressable devices)
+            provided = np.asarray(mask_prob).max(axis=(0, 2, 3)) > 0
         images = self._shard_input(images)
         if mask_prob is not None:
             mask_prob = self._shard_input(mask_prob)
@@ -382,10 +389,6 @@ class XMemCore:
                 >= self.cfg.deep_update_every
             )
             if self.multi_group:
-                if provided is None:
-                    provided = jnp.asarray(
-                        np.asarray(mask_prob).max(axis=(0, 2, 3)) > 0
-                    )
                 prob, self.mem = reseed_step_views(
                     self.params, self.mem, images, mask_prob,
                     jnp.asarray(provided), self.cfg.compute_dtype,

@@ -190,9 +190,21 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
             # its download script fetches)
             pe = ("model.backbone.conv_encoder.model.embeddings."
                   "patch_embeddings.projection.weight")
-            embed = int(np.shape(sd[pe])[0]) if pe in sd else 96
-            cfg = (G.GroundingDinoConfig.swin_b() if embed == 128
-                   else G.GroundingDinoConfig())
+            if pe not in sd:
+                raise ValueError(
+                    f"cannot sniff the GroundingDINO trunk: key {pe!r} "
+                    "missing from the state dict — pass an explicit cfg"
+                )
+            embed = int(np.shape(sd[pe])[0])
+            if embed == 96:
+                cfg = G.GroundingDinoConfig()
+            elif embed == 128:
+                cfg = G.GroundingDinoConfig.swin_b()
+            else:
+                raise ValueError(
+                    f"unsupported GroundingDINO trunk width {embed} (know "
+                    "96 = swin-t, 128 = swin-b) — pass an explicit cfg"
+                )
         params, _ = audit_conversion(
             lambda s: G.convert_hf_state_dict(s, cfg), sd,
             allowed_unused=ALLOWED_UNUSED["gdino"],

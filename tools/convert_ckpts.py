@@ -45,10 +45,16 @@ def convert_one(family: str, ckpt_path: str, out_dir: str, hf: bool = False) -> 
         ("dinov2_hf" if hf else "dinov2_hub") if family == "dinov2" else family
     )
     sd = _load_torch_sd(ckpt_path)
-    params, _cfg = convert_family(fam_key, sd)
+    params, cfg = convert_family(fam_key, sd)
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"{family}.npz")
-    save_params(out, params, meta={"family": fam_key, "source": ckpt_path})
+    meta = {"family": fam_key, "source": ckpt_path}
+    if family == "gdino":
+        # persist the sniffed trunk so npz loads rebuild the right config
+        meta["gdino_trunk"] = (
+            "swin_b" if cfg.swin.embed_dim == 128 else "swin_t"
+        )
+    save_params(out, params, meta=meta)
     n = sum(1 for _ in _iter_leaves(params))
     print(f"[convert] {family}: {len(sd)} torch tensors -> {n} pytree leaves "
           f"-> {out}")
