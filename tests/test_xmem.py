@@ -831,3 +831,30 @@ def test_midvideo_entry_respects_unsync_deep_schedule(torch_xmem):
             np.asarray(pj)[0, : ref.shape[0]], ref, atol=2e-4,
             err_msg=f"prob mismatch at frame {t} (unsync entry)",
         )
+
+
+def test_memory_config_guards():
+    """Misconfigurations fail at construction with actionable messages."""
+    from d3fields_tpu.models.xmem import memory as M
+
+    with pytest.raises(NotImplementedError, match="multi_group"):
+        M.init_memory(XMemConfig(enable_long_term=True), 1, (2, 2),
+                      multi_group=True)
+    with pytest.raises(ValueError, match="max_mid_term_frames >= 2"):
+        M.init_memory(
+            XMemConfig(enable_long_term=False, max_mid_term_frames=1),
+            1, (2, 2),
+        )
+
+
+def test_gdino_trunk_sniff_guards():
+    """Unknown trunk widths / missing sniff key raise actionably instead of
+    failing deep inside conversion."""
+    from d3fields_tpu.utils.convert import convert_family
+
+    pe = ("model.backbone.conv_encoder.model.embeddings."
+          "patch_embeddings.projection.weight")
+    with pytest.raises(ValueError, match="unsupported GroundingDINO trunk"):
+        convert_family("gdino", {pe: np.zeros((192, 3, 4, 4), np.float32)})
+    with pytest.raises(ValueError, match="cannot sniff"):
+        convert_family("gdino", {"other.key": np.zeros(3, np.float32)})
