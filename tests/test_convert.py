@@ -281,3 +281,18 @@ def test_allowed_unused_registry_has_reasons():
     for pats in ALLOWED_UNUSED.values():
         for p in pats:
             re.compile(p)
+
+
+def test_gdino_npz_meta_selects_trunk(tmp_path):
+    """A converted gdino .npz carries its trunk in the meta; the backend
+    loader rebuilds the matching config (swin-b checkpoints work without
+    any manual configuration)."""
+    from d3fields_tpu.apps._backends import _load_family_params
+
+    for trunk, embed in [("swin_b", 128), ("swin_t", 96)]:
+        path = str(tmp_path / f"gdino_{trunk}.npz")
+        save_params(path, {"stub": np.ones(2, np.float32)},
+                    meta={"family": "gdino", "gdino_trunk": trunk})
+        params, cfg = _load_family_params(path, "gdino", None)
+        assert cfg.swin.embed_dim == embed
+        np.testing.assert_array_equal(params["stub"], np.ones(2, np.float32))
