@@ -310,6 +310,19 @@ class DynamicOracle:
         self.wl = cat(self.wl, np.full(self.hw, 1e-7, np.float32), 0)
         maxw = self.cfg.max_mid_term_frames * self.hw
         if self.wk.shape[1] >= maxw:
+            # LT eviction precedes consolidation when the prototype append
+            # would not fit (memory_manager.py:182-189,
+            # kv_memory_store.remove_obsolete_features)
+            maxl = self.cfg.max_long_term_elements
+            keep = maxl - self.cfg.num_prototypes
+            if self.lk is not None and self.lk.shape[1] >= keep:
+                usage = self.lu / self.ll
+                idx = np.sort(np.lexsort((np.arange(usage.shape[0]),
+                                          -usage))[:keep])
+                self.lk = self.lk[:, idx]
+                self.ls = self.ls[idx]
+                self.lv = self.lv[:, :, idx]
+                self.lu, self.ll = self.lu[idx], self.ll[idx]
             self._consolidate()
 
     def _consolidate(self):
@@ -321,7 +334,10 @@ class DynamicOracle:
         ce = self.we[:, lo:hi]
         cv = self.wv[:, :, lo:hi]
         cu = (self.wu / self.wl)[lo:hi]
-        pidx = np.argsort(cu)[-P:][::-1]
+        # torch.topk / lax.top_k break ties by SMALLEST index; plain
+        # argsort breaks them the other way (bites when several
+        # candidates have exactly zero usage)
+        pidx = np.lexsort((np.arange(cu.shape[0]), -cu))[:P]
         pk, pe = ck[:, pidx], ce[:, pidx]
         nck = ck.shape[0]
         a_sq = (ck**2).T @ pe
@@ -352,12 +368,15 @@ class DynamicOracle:
         self.ll = cat(self.ll, np.full(P, 1e-7, np.float32), 0)
 
 
-@pytest.mark.parametrize("steps", [9])
+@pytest.mark.parametrize("steps,max_lt", [(9, 64), (26, 24)])
 @pytest.mark.slow
-def test_static_memory_matches_dynamic_oracle(steps):
+def test_static_memory_matches_dynamic_oracle(steps, max_lt):
+    """steps=9 crosses consolidation events; steps=26 with a small
+    long-term capacity additionally fires LT EVICTION several times
+    (kv_memory_store.remove_obsolete_features / _evict_long_term)."""
     cfg = XMemConfig(
         max_mid_term_frames=3, min_mid_term_frames=1, num_prototypes=4,
-        max_long_term_elements=64, top_k=3,
+        max_long_term_elements=max_lt, top_k=3,
     )
     hw, ck, cv, O = 6, 8, 10, 2
     mem = M.XMemMemory(
@@ -365,9 +384,9 @@ def test_static_memory_matches_dynamic_oracle(steps):
         we=jnp.zeros((ck, 3 * hw)), wv=jnp.zeros((O, cv, 3 * hw)),
         w_use=jnp.zeros((3 * hw,)), w_life=jnp.full((3 * hw,), 1e-7),
         w_size=jnp.zeros((), jnp.int32),
-        lk=jnp.zeros((ck, 64)), ls=jnp.zeros((64,)),
-        lv=jnp.zeros((O, cv, 64)),
-        l_use=jnp.zeros((64,)), l_life=jnp.full((64,), 1e-7),
+        lk=jnp.zeros((ck, max_lt)), ls=jnp.zeros((max_lt,)),
+        lv=jnp.zeros((O, cv, max_lt)),
+        l_use=jnp.zeros((max_lt,)), l_life=jnp.full((max_lt,), 1e-7),
         l_size=jnp.zeros((), jnp.int32),
         hidden=jnp.zeros((O, 1, 1, 4)),
         hw=hw, top_k=cfg.top_k, min_elements=1 * hw, num_prototypes=4,
