@@ -37,15 +37,25 @@ def _load_family_params(path: str, family: str, cfg=None):
     from d3fields_tpu.utils.convert import convert_family, load_params
 
     if path.endswith(".npz"):
-        params, meta = load_params(path)
+        params, _meta = load_params(path)
         if cfg is None and family == "gdino":
             from d3fields_tpu.models.groundingdino.model import (
-                GroundingDinoConfig,
+                config_for_trunk,
             )
 
-            trunk = meta.get("gdino_trunk", "swin_t")
-            cfg = (GroundingDinoConfig.swin_b() if trunk == "swin_b"
-                   else GroundingDinoConfig())
+            # sniff the trunk from the params themselves (the patch-embed
+            # width), so any .npz works — including ones written via plain
+            # save_params without the convert_ckpts meta; config_for_trunk
+            # raises actionably on unknown widths
+            try:
+                embed = int(params["swin"]["patch_w"].shape[-1])
+            except (KeyError, TypeError, AttributeError):
+                raise ValueError(
+                    f"cannot sniff the GroundingDINO trunk from {path!r}: "
+                    "no swin/patch_w leaf in the pytree — pass an explicit "
+                    "cfg"
+                ) from None
+            cfg = config_for_trunk(embed)
         return params, cfg
     params, cfg = convert_family(family, _load_torch_sd(path), cfg)
     return params, cfg
@@ -70,7 +80,6 @@ def build_mask_backend(sam_ckpt: str | None = None,
                        gdino_ckpt: str | None = None,
                        vocab: str | None = None):
     from d3fields_tpu.models.groundingdino.detector import GroundingDinoDetector
-    from d3fields_tpu.models.groundingdino.model import GroundingDinoConfig
     from d3fields_tpu.models.sam.model import SamConfig
     from d3fields_tpu.models.sam.predictor import SamPredictor
     from d3fields_tpu.seg.grounded_sam import GroundedSAMBackend

@@ -79,6 +79,35 @@ class GroundingDinoConfig:
         )
 
 
+_TRUNK_NAMES = {96: "swin_t", 128: "swin_b"}
+
+
+def config_for_trunk(embed_dim: int) -> GroundingDinoConfig:
+    """Single source for the trunk-width -> config mapping: 96 = swin-t
+    (the reference's runtime default, ``fusion.py:241``), 128 = swin-b (the
+    second checkpoint its download script fetches). Used by both the
+    checkpoint-conversion sniffer (``utils/convert.py``) and the ``.npz``
+    backend loader (``apps/_backends.py``)."""
+    if embed_dim == 96:
+        return GroundingDinoConfig()
+    if embed_dim == 128:
+        return GroundingDinoConfig.swin_b()
+    raise ValueError(
+        f"unsupported GroundingDINO trunk width {embed_dim} (know "
+        "96 = swin-t, 128 = swin-b) — pass an explicit cfg"
+    )
+
+
+def trunk_name(embed_dim: int) -> str:
+    """Canonical trunk label for a Swin embed width (for ``.npz`` meta)."""
+    if embed_dim not in _TRUNK_NAMES:
+        raise ValueError(
+            f"unsupported GroundingDINO trunk width {embed_dim} (know "
+            f"{sorted(_TRUNK_NAMES)})"
+        )
+    return _TRUNK_NAMES[embed_dim]
+
+
 def _layer_norm(x, w, b, eps=1e-5):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)

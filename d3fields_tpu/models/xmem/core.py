@@ -324,24 +324,17 @@ class XMemCore:
         self.mem = self._place_mem(self.mem)
         return self
 
-    def _place_mem(self, mem):
-        """Apply the view sharding (if configured) to a memory pytree."""
+    def _place_mem(self, tree):
+        """Apply the view sharding (if configured) to a pytree — the memory
+        state or a bare per-view input array (a bare ndarray is a leaf)."""
         mesh_axis = getattr(self, "_view_mesh", None)
         if mesh_axis is None:
-            return mem
+            return tree
         from d3fields_tpu.parallel.mesh import shard_leading
 
         return jax.tree.map(
-            lambda x: shard_leading(mesh_axis[0], x, mesh_axis[1]), mem
+            lambda x: shard_leading(mesh_axis[0], x, mesh_axis[1]), tree
         )
-
-    def _shard_input(self, x):
-        mesh_axis = getattr(self, "_view_mesh", None)
-        if mesh_axis is None:
-            return x
-        from d3fields_tpu.parallel.mesh import shard_leading
-
-        return shard_leading(mesh_axis[0], jnp.asarray(x), mesh_axis[1])
 
     def clear_memory(self):
         """Reset tracking state (reference ``clear_memory``,
@@ -377,9 +370,9 @@ class XMemCore:
             # derive from the HOST input before sharding: np.asarray on a
             # sharded array gathers (and fails on non-addressable devices)
             provided = np.asarray(mask_prob).max(axis=(0, 2, 3)) > 0
-        images = self._shard_input(images)
+        images = self._place_mem(images)
         if mask_prob is not None:
-            mask_prob = self._shard_input(mask_prob)
+            mask_prob = self._place_mem(mask_prob)
             # a mask-given frame is a memory frame; on an unsynchronized
             # schedule the deep update still only fires when it has elapsed
             # (inference_core.py:51-55) — always true at t=0 since

@@ -185,9 +185,7 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
         from d3fields_tpu.models.groundingdino import model as G
 
         if cfg is None:
-            # sniff the trunk width: 96 = swin-t (the reference's runtime
-            # default, fusion.py:241), 128 = swin-b (the second checkpoint
-            # its download script fetches)
+            # sniff the trunk width from the patch-embed weight
             pe = ("model.backbone.conv_encoder.model.embeddings."
                   "patch_embeddings.projection.weight")
             if pe not in sd:
@@ -195,16 +193,7 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
                     f"cannot sniff the GroundingDINO trunk: key {pe!r} "
                     "missing from the state dict — pass an explicit cfg"
                 )
-            embed = int(np.shape(sd[pe])[0])
-            if embed == 96:
-                cfg = G.GroundingDinoConfig()
-            elif embed == 128:
-                cfg = G.GroundingDinoConfig.swin_b()
-            else:
-                raise ValueError(
-                    f"unsupported GroundingDINO trunk width {embed} (know "
-                    "96 = swin-t, 128 = swin-b) — pass an explicit cfg"
-                )
+            cfg = G.config_for_trunk(int(np.shape(sd[pe])[0]))
         params, _ = audit_conversion(
             lambda s: G.convert_hf_state_dict(s, cfg), sd,
             allowed_unused=ALLOWED_UNUSED["gdino"],

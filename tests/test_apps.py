@@ -143,9 +143,13 @@ def test_train_xmem_synthetic(tmp_path):
 
 
 @pytest.mark.slow
-def test_eval_xmem_directory_palette_masks(tmp_path):
+@pytest.mark.parametrize("long_term", [True, False],
+                         ids=["long_term", "disable_long_term"])
+def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
     """Directory videos: paletted (P-mode) DAVIS-style annotation PNGs must
-    decode to object INDICES, and --frames 0 runs the whole video."""
+    decode to object INDICES, and --frames 0 runs the whole video — under
+    both the default long-term memory config and the reference's
+    --disable_long_term eval protocol (XMem/eval.py:51)."""
     import cv2
     from PIL import Image
 
@@ -170,10 +174,8 @@ def test_eval_xmem_directory_palette_masks(tmp_path):
         "--data_root", str(tmp_path / "data"), "--frames", "0",
         "--size", "48", "--key_dim", "8", "--value_dim", "16",
         "--hidden_dim", "8", "--out", out,
-        # cover the reference's --disable_long_term eval protocol
-        # (XMem/eval.py:51) through the app path
-        "--disable_long_term", "--max_mid_term_frames", "4",
-    ])
+    ] + ([] if long_term
+         else ["--disable_long_term", "--max_mid_term_frames", "4"]))
     assert rc == 0
     # whole video propagated (T-1 outputs), labels are indices (max obj = 1)
     outs = sorted(os.listdir(os.path.join(out, "vid0")))

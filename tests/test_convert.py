@@ -283,16 +283,30 @@ def test_allowed_unused_registry_has_reasons():
             re.compile(p)
 
 
-def test_gdino_npz_meta_selects_trunk(tmp_path):
-    """A converted gdino .npz carries its trunk in the meta; the backend
-    loader rebuilds the matching config (swin-b checkpoints work without
-    any manual configuration)."""
+def test_gdino_npz_selects_trunk(tmp_path):
+    """The backend loader sniffs a gdino .npz's trunk from the params
+    pytree itself (patch-embed width), so swin-b checkpoints — and plain
+    ``save_params`` files without the convert_ckpts meta — work without
+    manual configuration; unsniffable pytrees raise actionably."""
+    import pytest
+
     from d3fields_tpu.apps._backends import _load_family_params
 
     for trunk, embed in [("swin_b", 128), ("swin_t", 96)]:
         path = str(tmp_path / f"gdino_{trunk}.npz")
-        save_params(path, {"stub": np.ones(2, np.float32)},
-                    meta={"family": "gdino", "gdino_trunk": trunk})
+        tree = {"swin": {"patch_w": np.ones((48, embed), np.float32)}}
+        save_params(path, tree, meta={"family": "gdino"})
         params, cfg = _load_family_params(path, "gdino", None)
         assert cfg.swin.embed_dim == embed
-        np.testing.assert_array_equal(params["stub"], np.ones(2, np.float32))
+        assert params["swin"]["patch_w"].shape == (48, embed)
+
+    bad = str(tmp_path / "gdino_bad.npz")
+    save_params(bad, {"stub": np.ones(2, np.float32)}, meta={})
+    with pytest.raises(ValueError, match="cannot sniff"):
+        _load_family_params(bad, "gdino", None)
+
+    wide = str(tmp_path / "gdino_wide.npz")
+    save_params(wide, {"swin": {"patch_w": np.ones((48, 192), np.float32)}},
+                meta={})
+    with pytest.raises(ValueError, match="unsupported GroundingDINO trunk"):
+        _load_family_params(wide, "gdino", None)

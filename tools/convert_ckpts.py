@@ -50,10 +50,11 @@ def convert_one(family: str, ckpt_path: str, out_dir: str, hf: bool = False) -> 
     out = os.path.join(out_dir, f"{family}.npz")
     meta = {"family": fam_key, "source": ckpt_path}
     if family == "gdino":
-        # persist the sniffed trunk so npz loads rebuild the right config
-        meta["gdino_trunk"] = (
-            "swin_b" if cfg.swin.embed_dim == 128 else "swin_t"
-        )
+        # record the sniffed trunk for humans inspecting the npz (the
+        # loader re-sniffs from the params, so this is informational)
+        from d3fields_tpu.models.groundingdino.model import trunk_name
+
+        meta["gdino_trunk"] = trunk_name(cfg.swin.embed_dim)
     save_params(out, params, meta=meta)
     n = sum(1 for _ in _iter_leaves(params))
     print(f"[convert] {family}: {len(sd)} torch tensors -> {n} pytree leaves "
