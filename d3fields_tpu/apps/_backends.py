@@ -38,24 +38,36 @@ def _load_family_params(path: str, family: str, cfg=None):
 
     if path.endswith(".npz"):
         params, _meta = load_params(path)
-        if cfg is None and family == "gdino":
-            from d3fields_tpu.models.groundingdino.model import (
-                config_for_trunk,
-            )
-
-            # sniff the trunk from the params themselves (the patch-embed
+        if cfg is None and family in ("gdino", "sam"):
+            # sniff the variant from the params themselves (the patch-embed
             # width), so any .npz works — including ones written via plain
-            # save_params without the convert_ckpts meta; config_for_trunk
-            # raises actionably on unknown widths
+            # save_params without the convert_ckpts meta; the config_for_*
+            # helpers raise actionably on unknown widths
+            leaf = (("swin", "patch_w") if family == "gdino"
+                    else ("patch_w",))
             try:
-                embed = int(params["swin"]["patch_w"].shape[-1])
+                node = params
+                for k in leaf:
+                    node = node[k]
+                embed = int(node.shape[-1])
             except (KeyError, TypeError, AttributeError):
                 raise ValueError(
-                    f"cannot sniff the GroundingDINO trunk from {path!r}: "
-                    "no swin/patch_w leaf in the pytree — pass an explicit "
-                    "cfg"
+                    f"cannot sniff the {family} model variant from "
+                    f"{path!r}: no {'/'.join(leaf)} leaf in the pytree — "
+                    "pass an explicit cfg"
                 ) from None
-            cfg = config_for_trunk(embed)
+            if family == "gdino":
+                from d3fields_tpu.models.groundingdino.model import (
+                    config_for_trunk,
+                )
+
+                cfg = config_for_trunk(embed)
+            else:
+                from d3fields_tpu.models.sam.model import (
+                    config_for_encoder_width,
+                )
+
+                cfg = config_for_encoder_width(embed)
         return params, cfg
     params, cfg = convert_family(family, _load_torch_sd(path), cfg)
     return params, cfg
@@ -80,7 +92,6 @@ def build_mask_backend(sam_ckpt: str | None = None,
                        gdino_ckpt: str | None = None,
                        vocab: str | None = None):
     from d3fields_tpu.models.groundingdino.detector import GroundingDinoDetector
-    from d3fields_tpu.models.sam.model import SamConfig
     from d3fields_tpu.models.sam.predictor import SamPredictor
     from d3fields_tpu.seg.grounded_sam import GroundedSAMBackend
 
@@ -93,14 +104,15 @@ def build_mask_backend(sam_ckpt: str | None = None,
             "SAM/GroundingDINO checkpoints not found; set D3F_SAM_CKPT and "
             "D3F_GDINO_CKPT (+ D3F_BERT_VOCAB), or run with --synthetic"
         )
-    sam_params, _ = _load_family_params(sam_ckpt, "sam", SamConfig.vit_huge())
-    # cfg=None: the trunk (swin-t vs swin-b) is sniffed from the checkpoint
-    # / npz meta so either reference checkpoint works end-to-end
+    # cfg=None: the SAM encoder variant (vit-b/l/h) and the GroundingDINO
+    # trunk (swin-t/b) are sniffed from the checkpoint / npz params so any
+    # reference checkpoint works end-to-end
+    sam_params, scfg = _load_family_params(sam_ckpt, "sam", None)
     gdino_params, gcfg = _load_family_params(gdino_ckpt, "gdino", None)
     tokenize = _wordpiece_tokenizer(vocab) if vocab else None
     return GroundedSAMBackend(
         GroundingDinoDetector(gdino_params, gcfg, tokenize=tokenize),
-        SamPredictor(sam_params),
+        SamPredictor(sam_params, scfg),
     )
 
 

@@ -65,6 +65,11 @@ class SamConfig:
                          mlp_dim=3072, global_attn_indexes=(2, 5, 8, 11))
 
     @staticmethod
+    def vit_large() -> "SamConfig":
+        return SamConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                         mlp_dim=4096, global_attn_indexes=(5, 11, 17, 23))
+
+    @staticmethod
     def tiny_test() -> "SamConfig":
         """Matches the tiny HF SamConfig used as the test oracle."""
         return SamConfig(
@@ -77,6 +82,24 @@ class SamConfig:
     @property
     def grid(self) -> int:
         return self.image_size // self.patch_size
+
+
+_ENCODER_WIDTHS = {768: SamConfig.vit_base, 1024: SamConfig.vit_large,
+                   1280: SamConfig.vit_huge}
+
+
+def config_for_encoder_width(hidden: int) -> SamConfig:
+    """Single source for the encoder-width -> config mapping: 768 = vit-b,
+    1024 = vit-l, 1280 = vit-h (the checkpoint the reference downloads,
+    ``scripts/download_ckpts.sh``/``fusion.py:235``). Used by the
+    checkpoint-conversion sniffer (``utils/convert.py``) and the ``.npz``
+    backend loader (``apps/_backends.py``)."""
+    if hidden not in _ENCODER_WIDTHS:
+        raise ValueError(
+            f"unsupported SAM encoder width {hidden} (know 768 = vit_base, "
+            "1024 = vit_large, 1280 = vit_huge) — pass an explicit cfg"
+        )
+    return _ENCODER_WIDTHS[hidden]()
 
 
 def _layer_norm(x, w, b, eps=1e-6):

@@ -159,7 +159,8 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
 
     ``family``: dinov2_hub | dinov2_hf | sam | gdino | xmem. ``cfg``
     defaults to the reference's production configuration for that family
-    (ViT-L/14, SAM ViT-H, GroundingDINO-B, XMem base).
+    (ViT-L/14, XMem base); the SAM encoder variant (vit-b/l/h) and the
+    GroundingDINO trunk (swin-t/b) are sniffed from the state dict.
     """
     if family in ("dinov2_hub", "dinov2_hf"):
         from d3fields_tpu.models import dinov2 as d2
@@ -176,7 +177,15 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
     elif family == "sam":
         from d3fields_tpu.models.sam import model as S
 
-        cfg = cfg or S.SamConfig.vit_huge()
+        if cfg is None:
+            # sniff the encoder variant from the patch-embed weight
+            pe = "vision_encoder.patch_embed.projection.weight"
+            if pe not in sd:
+                raise ValueError(
+                    f"cannot sniff the SAM encoder variant: key {pe!r} "
+                    "missing from the state dict — pass an explicit cfg"
+                )
+            cfg = S.config_for_encoder_width(int(np.shape(sd[pe])[0]))
         params, _ = audit_conversion(
             lambda s: S.convert_hf_state_dict(s, cfg), sd,
             allowed_unused=ALLOWED_UNUSED["sam"],

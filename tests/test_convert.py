@@ -310,3 +310,23 @@ def test_gdino_npz_selects_trunk(tmp_path):
                 meta={})
     with pytest.raises(ValueError, match="unsupported GroundingDINO trunk"):
         _load_family_params(wide, "gdino", None)
+
+
+def test_sam_npz_selects_variant(tmp_path):
+    """The backend loader sniffs a SAM .npz's encoder variant (vit-b/l/h)
+    from the patch-embed width in the params pytree."""
+    import pytest
+
+    from d3fields_tpu.apps._backends import _load_family_params
+
+    for hidden in (768, 1024, 1280):
+        path = str(tmp_path / f"sam_{hidden}.npz")
+        save_params(path, {"patch_w": np.ones((768, hidden), np.float32)},
+                    meta={"family": "sam"})
+        _, cfg = _load_family_params(path, "sam", None)
+        assert cfg.hidden_size == hidden
+
+    bad = str(tmp_path / "sam_bad.npz")
+    save_params(bad, {"stub": np.ones(2, np.float32)}, meta={})
+    with pytest.raises(ValueError, match="cannot sniff"):
+        _load_family_params(bad, "sam", None)

@@ -7,6 +7,9 @@ checkpoints (``fusion.py:223,235-262``; ``XMem.pth``), this tier asserts:
 - conversion consumes every real-checkpoint tensor (coverage audit);
 - DINOv2 descriptors match a torch oracle end-to-end within the <1e-3
   cosine budget (BASELINE.json) on a fixture image;
+- SAM box-prompted masks and GroundingDINO detections match HF oracles
+  built from the same weights (encoder variant / trunk sniffed from the
+  state dict, so any reference checkpoint works);
 - XMem with real weights tracks a clip frame-for-frame against the
   reference ``InferenceCore``;
 - the offline conversion tool's ``.npz`` roundtrips exactly.
@@ -137,6 +140,161 @@ def test_dinov2_real_descriptor_cosine():
         np.linalg.norm(ours_bf16, axis=-1) * np.linalg.norm(ref, axis=-1)
         + 1e-12)
     assert cos16.min() > 1 - 1e-3, f"bf16 descriptor cosine {cos16.min()}"
+
+
+# ---------------------------------------------------------------------------
+# SAM / GroundingDINO: real-weight forward parity vs HF oracles
+# ---------------------------------------------------------------------------
+
+def _fixture_image(H, W, scale=255.0):
+    ys, xs = np.mgrid[0:H, 0:W]
+    return np.stack([
+        xs * scale / W, ys * scale / H,
+        (np.sin(xs / 9.0) * np.cos(ys / 7.0)) * (scale * 0.47)
+        + scale * 0.5,
+    ], axis=-1).astype(np.float32)
+
+
+def _strict_load(model, sd_np, allowed_unexpected=("position_ids",)):
+    """Load converted-numpy tensors back into a freshly constructed HF
+    oracle; the only tolerated mismatches are serialization-era buffers
+    (``position_ids``), so a config/checkpoint mismatch fails here rather
+    than as a numerical diff."""
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()},
+        strict=False,
+    )
+    bad_unexpected = [k for k in unexpected
+                      if not any(a in k for a in allowed_unexpected)]
+    bad_missing = [k for k in missing
+                   if not any(a in k for a in allowed_unexpected)]
+    assert not bad_unexpected, f"oracle rejected tensors: {bad_unexpected}"
+    assert not bad_missing, f"oracle missing tensors: {bad_missing}"
+
+
+def test_sam_real_box_prediction_parity():
+    """Real-weight end-to-end: encoder + box prompt + mask decoder vs the
+    HF ``SamModel`` oracle at the checkpoint's own scale (the variant —
+    vit-b/l/h — is sniffed from the state dict; the reference downloads
+    vit-h, ``fusion.py:235``)."""
+    from transformers import (
+        SamConfig as HFSamConfig, SamMaskDecoderConfig, SamModel,
+        SamPromptEncoderConfig, SamVisionConfig,
+    )
+
+    from d3fields_tpu.models.sam import model as S
+
+    sd = _load_sd(_ckpt("D3F_SAM_CKPT"))
+    params, cfg = convert_family("sam", sd)
+
+    vis = SamVisionConfig(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        global_attn_indexes=list(cfg.global_attn_indexes),
+        mlp_ratio=cfg.mlp_dim / cfg.hidden_size,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        output_channels=cfg.output_channels, window_size=cfg.window_size,
+    )
+    hf = SamModel(HFSamConfig(
+        vision_config=vis, prompt_encoder_config=SamPromptEncoderConfig(),
+        mask_decoder_config=SamMaskDecoderConfig(),
+    )).eval()
+    _strict_load(hf, sd, allowed_unexpected=("position_ids",
+                                             "shared_embedding"))
+
+    size = cfg.image_size
+    px = (_fixture_image(size, size, scale=1.0) - 0.45) / 0.225
+    boxes = np.array([[40.0, 60.0, 400.0, 500.0],
+                      [100.0, 50.0, 600.0, 440.0]], np.float32)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px[None]).permute(0, 3, 1, 2),
+            input_boxes=torch.from_numpy(boxes)[None],
+            multimask_output=True,
+        )
+    masks, iou = S.sam_predict_boxes(
+        params, jnp.asarray(px[None]), jnp.asarray(boxes), cfg, True
+    )
+    ref_iou = out.iou_scores[0].numpy()
+    ref_masks = out.pred_masks[0].numpy()
+    iou_scale = np.abs(ref_iou).max() + 1e-12
+    mask_scale = np.abs(ref_masks).max() + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(iou) / iou_scale, ref_iou / iou_scale, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(masks) / mask_scale, ref_masks / mask_scale, atol=5e-3)
+    # the thresholded masks (what the pipeline consumes) agree pointwise
+    agree = (np.asarray(masks) > 0) == (ref_masks > 0)
+    assert agree.mean() > 0.999, f"binary mask agreement {agree.mean()}"
+
+
+def test_gdino_real_forward_parity():
+    """Real-weight end-to-end: Swin + BERT + deformable encoder/decoder vs
+    the HF ``GroundingDinoForObjectDetection`` oracle (trunk sniffed from
+    the state dict — works for both reference checkpoints,
+    ``scripts/download_ckpts.sh``)."""
+    from transformers import (
+        BertConfig as HFBert, GroundingDinoConfig as HFGDC,
+        GroundingDinoForObjectDetection, SwinConfig as HFSwin,
+    )
+
+    from d3fields_tpu.models.groundingdino import model as G
+
+    sd = _load_sd(_ckpt("D3F_GDINO_CKPT"))
+    params, cfg = convert_family("gdino", sd)
+
+    hfc = HFGDC(
+        backbone_config=HFSwin(
+            embed_dim=cfg.swin.embed_dim, depths=list(cfg.swin.depths),
+            num_heads=list(cfg.swin.num_heads),
+            window_size=cfg.swin.window_size, patch_size=cfg.swin.patch_size,
+            out_features=[f"stage{i + 1}" for i in cfg.swin.out_stages],
+        ),
+        text_config=HFBert(
+            vocab_size=cfg.text.vocab_size, hidden_size=cfg.text.hidden_size,
+            num_hidden_layers=cfg.text.num_layers,
+            num_attention_heads=cfg.text.num_heads,
+            intermediate_size=cfg.text.intermediate_size,
+            max_position_embeddings=cfg.text.max_position,
+        ),
+        d_model=cfg.d_model, encoder_layers=cfg.encoder_layers,
+        decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.encoder_heads,
+        decoder_attention_heads=cfg.decoder_heads,
+        encoder_ffn_dim=cfg.encoder_ffn_dim,
+        decoder_ffn_dim=cfg.decoder_ffn_dim,
+        num_queries=cfg.num_queries, max_text_len=cfg.max_text_len,
+        num_feature_levels=cfg.num_feature_levels,
+        positional_embedding_temperature=cfg.pe_temperature,
+    )
+    hf = GroundingDinoForObjectDetection(hfc).eval()
+    _strict_load(hf, sd)
+
+    px = (_fixture_image(224, 224, scale=1.0) - 0.45) / 0.225
+    # arbitrary content ids between the specials; only embedding indices
+    # matter, so no vocab file is needed ('.' = 1012 splits two phrases,
+    # generate_text_masks parity is asserted separately)
+    ids = np.array([[101, 2300, 4937, 1012, 2630, 6242, 1012, 102]], np.int64)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px[None]).permute(0, 3, 1, 2),
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.ones_like(torch.from_numpy(ids)),
+        )
+    logits, boxes = G.groundingdino_forward(params, cfg, jnp.asarray(px[None]),
+                                            ids)
+    ref_l = out.logits.numpy()
+    gl = np.asarray(logits)
+    fin = np.isfinite(ref_l)
+    assert (np.isfinite(gl) == fin).all()
+    np.testing.assert_allclose(gl[fin], ref_l[fin], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(boxes), out.pred_boxes.numpy(), rtol=2e-3, atol=2e-3
+    )
+    # detection-level agreement: the top-score query boxes coincide
+    ref_best = np.argmax(ref_l[0].max(-1))
+    got_best = np.argmax(gl[0].max(-1))
+    assert ref_best == got_best
 
 
 # ---------------------------------------------------------------------------

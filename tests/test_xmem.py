@@ -877,3 +877,19 @@ def test_gdino_trunk_sniff_guards():
         convert_family("gdino", {pe: np.zeros((192, 3, 4, 4), np.float32)})
     with pytest.raises(ValueError, match="cannot sniff"):
         convert_family("gdino", {"other.key": np.zeros(3, np.float32)})
+
+
+def test_sam_variant_sniff_guards():
+    """Same for the SAM encoder variant, and the width->preset mapping."""
+    from d3fields_tpu.models.sam.model import config_for_encoder_width
+    from d3fields_tpu.utils.convert import convert_family
+
+    pe = "vision_encoder.patch_embed.projection.weight"
+    with pytest.raises(ValueError, match="unsupported SAM encoder"):
+        convert_family("sam", {pe: np.zeros((999, 3, 16, 16), np.float32)})
+    with pytest.raises(ValueError, match="cannot sniff"):
+        convert_family("sam", {"other.key": np.zeros(3, np.float32)})
+    for hidden, layers in [(768, 12), (1024, 24), (1280, 32)]:
+        cfg = config_for_encoder_width(hidden)
+        assert (cfg.hidden_size, cfg.num_layers) == (hidden, layers)
+        assert cfg.global_attn_indexes[-1] == layers - 1
