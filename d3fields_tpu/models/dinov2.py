@@ -209,6 +209,24 @@ class Dinov2Backbone:
         self.pos_interpolate = pos_interpolate
         self.resize_mode = resize_mode
         self._pos_cache: Dict[Tuple[int, int], Array] = {}
+        self._view_mesh = None
+
+    def shard_views(self, mesh, axis: str = "dp") -> "Dinov2Backbone":
+        """Scale multi-camera extraction across chips: params replicated,
+        the view axis of each batch sharded over mesh ``axis`` (same
+        contract as ``XMemCore.shard_views``). Each chip then runs the
+        ViT forward for its own cameras with no collectives — the serving
+        analogue of the reference's one-GPU per-frame loop
+        (``fusion.py:593-629``). The view count must divide the axis size;
+        outputs keep the sharding (device-local until fetched)."""
+        from d3fields_tpu.parallel.mesh import replicate
+
+        self.params = replicate(mesh, self.params)
+        self._pos_cache = {
+            k: replicate(mesh, v) for k, v in self._pos_cache.items()
+        }
+        self._view_mesh = (mesh, axis)
+        return self
 
     def interpolated_pos_embed(self, gh: int, gw: int) -> Array:
         key = (gh, gw)
@@ -232,7 +250,12 @@ class Dinov2Backbone:
                     patch_pe, (gh, gw), scale_hw=scale_hw
                 ).reshape(gh * gw, -1)
                 out = np.concatenate([cls_pe, patch_pe], axis=0)
-            self._pos_cache[key] = jnp.asarray(out)
+            pos = jnp.asarray(out)
+            if self._view_mesh is not None:
+                from d3fields_tpu.parallel.mesh import replicate
+
+                pos = replicate(self._view_mesh[0], pos)
+            self._pos_cache[key] = pos
         return self._pos_cache[key]
 
     def __call__(self, images: np.ndarray, patch_hw: Optional[Tuple[int, int]] = None) -> Array:
@@ -244,6 +267,16 @@ class Dinov2Backbone:
         pos = self.interpolated_pos_embed(ph, pw)
         if self.resize_mode == "pil" and np.asarray(images).dtype == np.uint8:
             images = pil_bilinear_resize_u8(np.asarray(images), (ph * P, pw * P))
+        if self._view_mesh is not None:
+            from d3fields_tpu.parallel.mesh import shard_leading
+
+            mesh, axis = self._view_mesh
+            if K % mesh.shape[axis]:
+                raise ValueError(
+                    f"num_views={K} not divisible by mesh axis {axis!r} of "
+                    f"size {mesh.shape[axis]}"
+                )
+            images = shard_leading(mesh, images, axis)
         # ONE dispatch for upload + preprocess + forward: separate
         # resize/normalize ops each pay a host->device round trip (~20 ms
         # apiece through a remote-tunnel backend).

@@ -356,3 +356,61 @@ def test_xmem_views_sharded_matches_single_device():
     sh_core.clear_memory()
     wk = sh_core.mem.wk
     assert len(wk.sharding.device_set) == 4
+
+
+def test_dinov2_views_sharded_matches_single_device():
+    """Fifth scale-out path: multi-camera DINOv2 extraction with views over
+    dp (no collectives — per-view ViT forwards are independent,
+    fusion.py:593-629). Sharded == unsharded, and non-divisible view
+    counts raise."""
+    from d3fields_tpu.models import dinov2 as d2
+    from d3fields_tpu.parallel.mesh import make_mesh
+
+    cfg = d2.Dinov2Config.tiny_test()
+    params = d2.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    V, H, W = 8, 48, 64
+    imgs = rs.randint(0, 255, (V, H, W, 3), dtype=np.uint8)
+
+    ref = np.asarray(d2.Dinov2Backbone(params, cfg)(imgs, patch_hw=(4, 6)))
+
+    mesh = make_mesh(dp=4, tp=1)
+    sharded = d2.Dinov2Backbone(params, cfg).shard_views(mesh)
+    out = sharded(imgs, patch_hw=(4, 6))
+    assert len(out.sharding.device_set) == 4
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded(imgs[:3], patch_hw=(4, 6))
+
+
+def test_fusion_perception_step_sharded(scene):
+    """The full serving step — Fusion.update with multi-view DINOv2
+    extraction sharded over dp, then the field query sharded over dp —
+    matches the single-device pipeline end-to-end."""
+    from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.models import dinov2 as d2
+    from d3fields_tpu.parallel.mesh import make_mesh
+
+    obs = {k: scene[k] for k in ("color", "depth", "pose", "K")}
+    cfg = d2.Dinov2Config.tiny_test()
+    params = d2.init_params(jax.random.PRNGKey(1), cfg)
+    rs = np.random.RandomState(2)
+    pts = rs.uniform(-0.4, 0.4, (2000, 3)).astype(np.float32)
+
+    ref_f = Fusion(feature_backend=d2.Dinov2Backbone(params, cfg))
+    ref_f.update(obs)
+    ref = ref_f.batch_eval_np(pts, ("dino_feats",))
+
+    mesh = make_mesh(dp=4, tp=1)
+    sh_f = Fusion(
+        feature_backend=d2.Dinov2Backbone(params, cfg).shard_views(mesh)
+    )
+    st = sh_f.update(obs)
+    assert len(st.dino_feats.sharding.device_set) == 4
+    got = sharded_batch_eval(mesh, st, pts, ("dino_feats",), tile=256)
+    np.testing.assert_allclose(
+        np.asarray(got["dist"]), ref["dist"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got["dino_feats"]), ref["dino_feats"],
+        rtol=1e-4, atol=1e-5)
