@@ -251,6 +251,9 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
     src = eval_field_jit(st0, kp.reshape(-1, 3), ("dino_feats",))["dino_feats"]
     out = rigid_tracking_jit(st0, src, kp, lo, hi, tcfg)  # compile
     float(out["match_pts"].reshape(-1)[0])
+    # warm the propagate path too (mask_prob=None jits a different XMem
+    # step than the seed frame) so the timed loop is compile-free
+    float(frame(None).mask.reshape(-1)[0])
 
     ts = []
     for _ in range(frames):

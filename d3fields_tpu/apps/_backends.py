@@ -44,7 +44,7 @@ def _load_family_params(path: str, family: str, cfg=None):
             # save_params without the convert_ckpts meta; the config_for_*
             # helpers raise actionably on unknown widths
             leaf = (("swin", "patch_w") if family == "gdino"
-                    else ("patch_w",))
+                    else ("vision", "patch_w"))
             try:
                 node = params
                 for k in leaf:

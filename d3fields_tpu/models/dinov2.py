@@ -217,8 +217,8 @@ class Dinov2Backbone:
         contract as ``XMemCore.shard_views``). Each chip then runs the
         ViT forward for its own cameras with no collectives — the serving
         analogue of the reference's one-GPU per-frame loop
-        (``fusion.py:593-629``). The view count must divide the axis size;
-        outputs keep the sharding (device-local until fetched)."""
+        (``fusion.py:593-629``). The mesh axis size must divide the view
+        count; outputs keep the sharding (device-local until fetched)."""
         from d3fields_tpu.parallel.mesh import replicate
 
         self.params = replicate(mesh, self.params)

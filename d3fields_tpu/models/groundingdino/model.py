@@ -79,33 +79,35 @@ class GroundingDinoConfig:
         )
 
 
-_TRUNK_NAMES = {96: "swin_t", 128: "swin_b"}
+# the one trunk-width table: 96 = swin-t (the reference's runtime default,
+# ``fusion.py:241``), 128 = swin-b (the second checkpoint its download
+# script fetches) — both trunk_name() and config_for_trunk() derive from it
+_TRUNKS = {
+    96: ("swin_t", GroundingDinoConfig),
+    128: ("swin_b", GroundingDinoConfig.swin_b),
+}
+
+
+def _require_trunk(embed_dim: int):
+    if embed_dim not in _TRUNKS:
+        known = ", ".join(f"{w} = {n}" for w, (n, _) in sorted(_TRUNKS.items()))
+        raise ValueError(
+            f"unsupported GroundingDINO trunk width {embed_dim} (know "
+            f"{known}) — pass an explicit cfg"
+        )
+    return _TRUNKS[embed_dim]
 
 
 def config_for_trunk(embed_dim: int) -> GroundingDinoConfig:
-    """Single source for the trunk-width -> config mapping: 96 = swin-t
-    (the reference's runtime default, ``fusion.py:241``), 128 = swin-b (the
-    second checkpoint its download script fetches). Used by both the
+    """Config for a Swin patch-embed width. Used by both the
     checkpoint-conversion sniffer (``utils/convert.py``) and the ``.npz``
     backend loader (``apps/_backends.py``)."""
-    if embed_dim == 96:
-        return GroundingDinoConfig()
-    if embed_dim == 128:
-        return GroundingDinoConfig.swin_b()
-    raise ValueError(
-        f"unsupported GroundingDINO trunk width {embed_dim} (know "
-        "96 = swin-t, 128 = swin-b) — pass an explicit cfg"
-    )
+    return _require_trunk(embed_dim)[1]()
 
 
 def trunk_name(embed_dim: int) -> str:
     """Canonical trunk label for a Swin embed width (for ``.npz`` meta)."""
-    if embed_dim not in _TRUNK_NAMES:
-        raise ValueError(
-            f"unsupported GroundingDINO trunk width {embed_dim} (know "
-            f"{sorted(_TRUNK_NAMES)})"
-        )
-    return _TRUNK_NAMES[embed_dim]
+    return _require_trunk(embed_dim)[0]
 
 
 def _layer_norm(x, w, b, eps=1e-5):

@@ -321,8 +321,10 @@ def test_sam_npz_selects_variant(tmp_path):
 
     for hidden in (768, 1024, 1280):
         path = str(tmp_path / f"sam_{hidden}.npz")
-        save_params(path, {"patch_w": np.ones((768, hidden), np.float32)},
-                    meta={"family": "sam"})
+        save_params(
+            path,
+            {"vision": {"patch_w": np.ones((768, hidden), np.float32)}},
+            meta={"family": "sam"})
         _, cfg = _load_family_params(path, "sam", None)
         assert cfg.hidden_size == hidden
 
