@@ -2,10 +2,16 @@
 
 Runs mask propagation over video directories, writes predicted index masks
 as PNGs, and reports FPS (``total_frames / total_process_time``,
-``XMem/eval.py:248-250``). Works on any directory layout
+``XMem/eval.py:248-250``). Works on any of
 
-  <root>/<video>/frames/*.png    RGB frames
-  <root>/<video>/masks/<first>.png  index mask of the first frame
+  <root>/<video>/frames/*.png          RGB frames
+  <root>/<video>/masks/<first>.png     index mask of the first frame
+
+  <root>/JPEGImages/480p/<video>/*.jpg     DAVIS checkout (reference
+  <root>/Annotations/480p/<video>/*.png    ``XMem/eval.py`` d16/d17 paths)
+
+  <root>/JPEGImages/<video>/*.jpg          YouTubeVOS-style checkout
+  <root>/Annotations/<video>/*.png         (``XMem/eval.py`` y18/y19)
 
 or on synthetic drifting-sphere videos with ``--synthetic`` (reporting IoU
 against the analytic ground truth as the J-score stand-in).
@@ -48,6 +54,40 @@ def build_parser():
                         "multi-scale/flip merging (XMem/eval.py "
                         "--save_scores; merge with apps.merge_scores)")
     return p
+
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def _video_dirs(root):
+    """Yield ``(video_name, frames_dir, masks_dir)`` for either the generic
+    ``<root>/<video>/{frames,masks}`` layout or a DAVIS / YouTubeVOS
+    checkout (``JPEGImages[/<res>]/<video>`` with the seed annotation in
+    the parallel ``Annotations`` tree — the layouts the reference's
+    ``XMem/eval.py`` dataset paths point into)."""
+    jdir = os.path.join(root, "JPEGImages")
+    if os.path.isdir(jdir):
+        adir = os.path.join(root, "Annotations")
+        sub = sorted(d for d in os.listdir(jdir)
+                     if os.path.isdir(os.path.join(jdir, d)))
+        if sub:
+            # DAVIS inserts a resolution level (480p/1080p/Full-Resolution)
+            # whose entries are themselves directories of videos
+            first = os.path.join(jdir, sub[0])
+            inner = os.listdir(first)
+            if inner and all(os.path.isdir(os.path.join(first, e))
+                             for e in inner):
+                res = "480p" if "480p" in sub else sub[0]
+                jdir, adir = os.path.join(jdir, res), os.path.join(adir, res)
+                sub = sorted(d for d in os.listdir(jdir)
+                             if os.path.isdir(os.path.join(jdir, d)))
+        for vid in sub:
+            yield vid, os.path.join(jdir, vid), os.path.join(adir, vid)
+        return
+    for vid in sorted(os.listdir(root)):
+        fdir = os.path.join(root, vid, "frames")
+        if os.path.isdir(fdir):
+            yield vid, fdir, os.path.join(root, vid, "masks")
 
 
 def _load_params(args, cfg):
@@ -113,12 +153,10 @@ def main(argv=None):
         import cv2
 
         def videos():
-            for vid in sorted(os.listdir(args.data_root)):
-                fdir = os.path.join(args.data_root, vid, "frames")
-                mdir = os.path.join(args.data_root, vid, "masks")
-                if not os.path.isdir(fdir):
-                    continue
-                names = sorted(os.listdir(fdir))
+            for vid, fdir, mdir in _video_dirs(args.data_root):
+                names = sorted(
+                    n for n in os.listdir(fdir)
+                    if n.lower().endswith(_IMG_EXTS))
 
                 def frames(t, names=names, fdir=fdir, mdir=mdir):
                     rgb = cv2.imread(os.path.join(fdir, names[t]))[..., ::-1]

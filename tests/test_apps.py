@@ -182,3 +182,76 @@ def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
     assert outs == ["00001.png", "00002.png", "00003.png"]
     pred = np.array(Image.open(os.path.join(out, "vid0", "00001.png")))
     assert pred.max() <= 1  # paletted PNG round-trips INDICES
+
+
+def test_video_dirs_layouts(tmp_path):
+    """_video_dirs resolves all three supported layouts: generic
+    frames/masks, DAVIS (JPEGImages/480p/<video>), and YouTubeVOS
+    (JPEGImages/<video>) — the directory trees the reference XMem/eval.py
+    dataset paths point into."""
+    from d3fields_tpu.apps.eval_xmem import _video_dirs
+
+    gen = tmp_path / "generic"
+    (gen / "vidA" / "frames").mkdir(parents=True)
+    (gen / "vidA" / "masks").mkdir()
+    (gen / "notavideo").mkdir()  # no frames/ subdir: skipped
+    got = list(_video_dirs(str(gen)))
+    assert [v for v, _, _ in got] == ["vidA"]
+    assert got[0][1].endswith(os.path.join("vidA", "frames"))
+
+    davis = tmp_path / "DAVIS"
+    for vid in ("bear", "dogs"):
+        (davis / "JPEGImages" / "480p" / vid).mkdir(parents=True)
+        (davis / "Annotations" / "480p" / vid).mkdir(parents=True)
+    got = list(_video_dirs(str(davis)))
+    assert [v for v, _, _ in got] == ["bear", "dogs"]
+    assert all(os.path.join("JPEGImages", "480p") in f for _, f, _ in got)
+    assert all(os.path.join("Annotations", "480p") in m for _, _, m in got)
+
+    yt = tmp_path / "ytvos"
+    (yt / "JPEGImages" / "0a2f2bd294").mkdir(parents=True)
+    (yt / "Annotations" / "0a2f2bd294").mkdir(parents=True)
+    # the video dir holds image files, not dirs → no resolution level
+    open(yt / "JPEGImages" / "0a2f2bd294" / "00000.jpg", "wb").close()
+    got = list(_video_dirs(str(yt)))
+    assert [v for v, _, _ in got] == ["0a2f2bd294"]
+    assert got[0][2].endswith(os.path.join("Annotations", "0a2f2bd294"))
+
+
+@pytest.mark.slow
+def test_eval_xmem_davis_layout(tmp_path):
+    """End-to-end eval over a real DAVIS-style checkout: .jpg frames under
+    JPEGImages/480p/<video>, paletted seed annotation under
+    Annotations/480p/<video> (reference XMem/eval.py d17 path)."""
+    import cv2
+    from PIL import Image
+
+    from d3fields_tpu.apps.eval_xmem import main as eval_main
+
+    rs = np.random.RandomState(1)
+    root = tmp_path / "DAVIS"
+    fdir = root / "JPEGImages" / "480p" / "bear"
+    mdir = root / "Annotations" / "480p" / "bear"
+    fdir.mkdir(parents=True)
+    mdir.mkdir(parents=True)
+    H, W, T = 48, 64, 3
+    for t in range(T):
+        img = (rs.rand(H, W, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(fdir / f"{t:05d}.jpg"), img)
+    m = np.zeros((H, W), np.uint8)
+    m[12:36, 16:40] = 1
+    pal = Image.fromarray(m, mode="P")
+    pal.putpalette([0, 0, 0, 128, 0, 0] + [0] * (254 * 3))
+    pal.save(str(mdir / "00000.png"))
+
+    out = str(tmp_path / "out")
+    rc = eval_main([
+        "--data_root", str(root), "--frames", "0", "--size", "48",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+        "--out", out,
+    ])
+    assert rc == 0
+    outs = sorted(os.listdir(os.path.join(out, "bear")))
+    assert outs == ["00001.png", "00002.png"]
+    pred = np.array(Image.open(os.path.join(out, "bear", "00001.png")))
+    assert pred.shape == (H, W) and pred.max() <= 1
