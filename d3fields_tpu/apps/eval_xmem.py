@@ -56,40 +56,6 @@ def build_parser():
     return p
 
 
-_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
-
-
-def _video_dirs(root):
-    """Yield ``(video_name, frames_dir, masks_dir)`` for either the generic
-    ``<root>/<video>/{frames,masks}`` layout or a DAVIS / YouTubeVOS
-    checkout (``JPEGImages[/<res>]/<video>`` with the seed annotation in
-    the parallel ``Annotations`` tree — the layouts the reference's
-    ``XMem/eval.py`` dataset paths point into)."""
-    jdir = os.path.join(root, "JPEGImages")
-    if os.path.isdir(jdir):
-        adir = os.path.join(root, "Annotations")
-        sub = sorted(d for d in os.listdir(jdir)
-                     if os.path.isdir(os.path.join(jdir, d)))
-        if sub:
-            # DAVIS inserts a resolution level (480p/1080p/Full-Resolution)
-            # whose entries are themselves directories of videos
-            first = os.path.join(jdir, sub[0])
-            inner = os.listdir(first)
-            if inner and all(os.path.isdir(os.path.join(first, e))
-                             for e in inner):
-                res = "480p" if "480p" in sub else sub[0]
-                jdir, adir = os.path.join(jdir, res), os.path.join(adir, res)
-                sub = sorted(d for d in os.listdir(jdir)
-                             if os.path.isdir(os.path.join(jdir, d)))
-        for vid in sub:
-            yield vid, os.path.join(jdir, vid), os.path.join(adir, vid)
-        return
-    for vid in sorted(os.listdir(root)):
-        fdir = os.path.join(root, vid, "frames")
-        if os.path.isdir(fdir):
-            yield vid, fdir, os.path.join(root, vid, "masks")
-
-
 def _load_params(args, cfg):
     import jax
 
@@ -152,27 +118,23 @@ def main(argv=None):
     else:
         import cv2
 
+        from d3fields_tpu.models.xmem.data import (
+            IMAGE_EXTS, load_index_mask, resolve_video_dirs,
+        )
+
         def videos():
-            for vid, fdir, mdir in _video_dirs(args.data_root):
+            for vid, fdir, mdir in resolve_video_dirs(args.data_root):
                 names = sorted(
                     n for n in os.listdir(fdir)
-                    if n.lower().endswith(_IMG_EXTS))
+                    if n.lower().endswith(IMAGE_EXTS))
 
                 def frames(t, names=names, fdir=fdir, mdir=mdir):
                     rgb = cv2.imread(os.path.join(fdir, names[t]))[..., ::-1]
                     mpath = os.path.join(
                         mdir, os.path.splitext(names[t])[0] + ".png"
                     )
-                    m = None
-                    if os.path.exists(mpath):
-                        # PIL keeps palette INDICES for paletted DAVIS-style
-                        # annotations (cv2 grayscale would decode them to
-                        # palette-color luminance, garbling object ids)
-                        from PIL import Image
-
-                        m = np.array(Image.open(mpath))
-                        if m.ndim == 3:  # plain RGB/gray mask
-                            m = m[..., 0]
+                    m = (load_index_mask(mpath)
+                         if os.path.exists(mpath) else None)
                     return rgb, m
                 # the whole video, like the reference XMem/eval.py (--frames
                 # caps it for smoke runs)

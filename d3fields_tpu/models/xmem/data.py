@@ -120,35 +120,96 @@ def assemble_clip(
     }
 
 
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def resolve_video_dirs(root: str):
+    """Yield ``(video_name, frames_dir, masks_dir)`` for either the generic
+    ``<root>/<video>/{frames,masks}`` layout or a DAVIS / YouTubeVOS
+    checkout (``JPEGImages[/<res>]/<video>`` with annotations in the
+    parallel ``Annotations`` tree — the layouts the reference's
+    ``XMem/eval.py``/``train.py`` dataset paths point into)."""
+    jdir = os.path.join(root, "JPEGImages")
+    if os.path.isdir(jdir):
+        adir = os.path.join(root, "Annotations")
+        sub = sorted(d for d in os.listdir(jdir)
+                     if os.path.isdir(os.path.join(jdir, d)))
+        if sub:
+            # DAVIS inserts a resolution level (480p/1080p/Full-Resolution)
+            # whose entries are themselves directories of videos
+            first = os.path.join(jdir, sub[0])
+            inner = os.listdir(first)
+            if inner and all(os.path.isdir(os.path.join(first, e))
+                             for e in inner):
+                res = "480p" if "480p" in sub else sub[0]
+                jdir, adir = os.path.join(jdir, res), os.path.join(adir, res)
+                sub = sorted(d for d in os.listdir(jdir)
+                             if os.path.isdir(os.path.join(jdir, d)))
+        for vid in sub:
+            yield vid, os.path.join(jdir, vid), os.path.join(adir, vid)
+        return
+    for vid in sorted(os.listdir(root)):
+        fdir = os.path.join(root, vid, "frames")
+        if os.path.isdir(fdir):
+            yield vid, fdir, os.path.join(root, vid, "masks")
+
+
+def load_index_mask(path: str) -> np.ndarray:
+    """Decode an index/annotation mask preserving object IDs. Paletted
+    (P-mode) DAVIS-style PNGs must keep their palette INDICES — cv2
+    grayscale would decode them to palette-color luminance, garbling
+    object ids."""
+    from PIL import Image
+
+    m = np.array(Image.open(path))
+    if m.ndim == 3:  # plain RGB/gray mask
+        m = m[..., 0]
+    return m
+
+
 class DirectoryVideoSource:
-    """``<root>/<video>/frames/*.png`` + ``<root>/<video>/masks/*.png``
-    (index masks). The directory analogue of VOSDataset's im/gt roots."""
+    """Real-video training source over any layout ``resolve_video_dirs``
+    understands (generic ``frames/masks``, DAVIS, YouTubeVOS) — the
+    directory analogue of VOSDataset's im/gt roots. Every sampled frame
+    must have an annotation (the VOS training contract)."""
 
     def __init__(self, root: str):
         self.root = root
-        self.videos = sorted(
-            d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d, "frames"))
-        )
+        self._dirs = {v: (f, m) for v, f, m in resolve_video_dirs(root)}
+        self.videos = sorted(self._dirs)
         if not self.videos:
             raise FileNotFoundError(f"no videos under {root}")
+        self._names = {}
+
+    def _frame_names(self, video: str):
+        if video not in self._names:
+            fdir = self._dirs[video][0]
+            self._names[video] = sorted(
+                n for n in os.listdir(fdir)
+                if n.lower().endswith(IMAGE_EXTS))
+        return self._names[video]
 
     def load(self, video: str, indices: Sequence[int]):
         import cv2
 
-        fdir = os.path.join(self.root, video, "frames")
-        mdir = os.path.join(self.root, video, "masks")
-        names = sorted(os.listdir(fdir))
+        fdir, mdir = self._dirs[video]
+        names = self._frame_names(video)
         frames, masks = [], []
         for i in indices:
             frames.append(cv2.imread(os.path.join(fdir, names[i]))[..., ::-1])
-            mname = os.path.splitext(names[i])[0] + ".png"
-            masks.append(cv2.imread(os.path.join(mdir, mname),
-                                    cv2.IMREAD_GRAYSCALE))
+            mpath = os.path.join(
+                mdir, os.path.splitext(names[i])[0] + ".png")
+            if not os.path.exists(mpath):
+                raise FileNotFoundError(
+                    f"no annotation for frame {names[i]} of {video!r} "
+                    f"(expected {mpath}); VOS training samples need a mask "
+                    "on every frame"
+                )
+            masks.append(load_index_mask(mpath))
         return np.stack(frames), np.stack(masks)
 
     def length(self, video: str) -> int:
-        return len(os.listdir(os.path.join(self.root, video, "frames")))
+        return len(self._frame_names(video))
 
 
 class SyntheticVideoSource:

@@ -185,11 +185,11 @@ def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
 
 
 def test_video_dirs_layouts(tmp_path):
-    """_video_dirs resolves all three supported layouts: generic
+    """resolve_video_dirs resolves all three supported layouts: generic
     frames/masks, DAVIS (JPEGImages/480p/<video>), and YouTubeVOS
     (JPEGImages/<video>) — the directory trees the reference XMem/eval.py
     dataset paths point into."""
-    from d3fields_tpu.apps.eval_xmem import _video_dirs
+    from d3fields_tpu.models.xmem.data import resolve_video_dirs as _video_dirs
 
     gen = tmp_path / "generic"
     (gen / "vidA" / "frames").mkdir(parents=True)
@@ -216,6 +216,45 @@ def test_video_dirs_layouts(tmp_path):
     got = list(_video_dirs(str(yt)))
     assert [v for v, _, _ in got] == ["0a2f2bd294"]
     assert got[0][2].endswith(os.path.join("Annotations", "0a2f2bd294"))
+
+
+def test_directory_video_source_davis_layout(tmp_path):
+    """DirectoryVideoSource trains off a DAVIS checkout directly: paletted
+    annotation PNGs keep their object INDICES (cv2 grayscale would decode
+    palette-color luminance), and a frame without an annotation fails
+    loudly (VOS training needs a mask per sampled frame)."""
+    import cv2
+    from PIL import Image
+
+    from d3fields_tpu.models.xmem.data import DirectoryVideoSource
+
+    root = tmp_path / "DAVIS"
+    fdir = root / "JPEGImages" / "480p" / "bear"
+    adir = root / "Annotations" / "480p" / "bear"
+    fdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for t in range(3):
+        img = rng.integers(0, 255, (32, 48, 3), np.uint8)
+        cv2.imwrite(str(fdir / f"{t:05d}.jpg"), img)
+        if t < 2:  # frame 2 deliberately unannotated
+            m = np.zeros((32, 48), np.uint8)
+            m[8:16, 8:24] = 1
+            m[20:28, 30:40] = 2
+            pim = Image.fromarray(m, mode="P")
+            # palette maps index 1 -> a color whose luminance is NOT 1
+            pim.putpalette([0, 0, 0, 255, 0, 0, 0, 255, 0] + [0] * 759)
+            pim.save(str(adir / f"{t:05d}.png"))
+
+    src = DirectoryVideoSource(str(root))
+    assert src.videos == ["bear"]
+    assert src.length("bear") == 3
+    frames, masks = src.load("bear", [0, 1])
+    assert frames.shape == (2, 32, 48, 3)
+    assert sorted(np.unique(masks).tolist()) == [0, 1, 2]  # indices survive
+
+    with pytest.raises(FileNotFoundError, match="no annotation"):
+        src.load("bear", [2])
 
 
 @pytest.mark.slow
