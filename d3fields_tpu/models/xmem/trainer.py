@@ -10,10 +10,10 @@ TPU-first deviations from the reference loop:
 - the whole T-frame unroll (encode key once, grow value memory, per-frame
   read/segment/encode_value) is ONE jitted step — no per-frame kernel
   launches;
-- reference frames are all previous frames (the reference samples
-  ``num_ref_frames`` random ones only when T-1 exceeds it,
-  ``trainer.py:100-118``; static shapes make the full set the natural
-  choice for the standard T<=8, num_ref=3..7 curriculum's early stages);
+- ``num_ref_frames`` memory capping gathers a static-length random frame
+  subset (frame 0 + randperm, exactly ``trainer.py:82-96``) instead of
+  torch's dynamic stacking; 0 keeps every previous frame (identical
+  whenever ``T - 1 <= num_ref``, e.g. the s0 curriculum);
 - bootstrapped CE's top-p hard-pixel fraction is a traced value: the
   per-pixel losses are sorted once and averaged under an iota<k mask
   instead of torch.topk with a python-int k (``losses.py:22-43``).
@@ -79,16 +79,36 @@ def bootstrapped_ce(logits: Array, cls_gt: Array, it: Array,
 # multi-frame forward + loss
 # ---------------------------------------------------------------------------
 
+def select_ref_frames(ti: int, num_ref_frames: int, key: Array) -> Array:
+    """Memory-frame indices for query frame ``ti``: frame 0 always, plus
+    ``num_ref_frames - 1`` random distinct frames from ``[1, ti)`` —
+    exactly the reference's sampling (``trainer.py:87-96``:
+    ``cat([zeros(1), randperm(ti-1)[:num_ref-1] + 1])``). Only called when
+    ``ti > num_ref_frames`` so the slice is full-length; the result has a
+    STATIC length of ``num_ref_frames`` (ti is a Python int — the T-frame
+    rollout is unrolled), keeping the gathered memory shapes static."""
+    perm = jax.random.permutation(key, ti - 1)[: num_ref_frames - 1] + 1
+    return jnp.concatenate([jnp.zeros((1,), perm.dtype), perm])
+
+
 def sequence_loss(params, batch: Dict[str, Array], it: Array,
                   cfg: XMemConfig, rng: Optional[Array] = None, *,
                   start_warm: int = 20000, end_warm: int = 70000,
                   deep_update_prob: float = 0.2,
+                  num_ref_frames: int = 0,
                   return_probs: bool = False) -> Tuple[Array, Dict[str, Array]]:
     """One sample's T-frame rollout loss (vmapped over batch by the step).
 
     batch: frames (T, H, W, 3), first_gt (O, H, W) one-hot,
     cls_gt (T, H, W) int, selector (O,) 1.0 for live objects.
     Mirrors ``XMemTrainer.do_pass`` (``trainer.py:56-160``).
+
+    ``num_ref_frames > 0`` caps the attention memory per query frame at
+    that many reference frames, sampled like the reference
+    (``trainer.py:82-96``): all previous frames while ``ti <= num_ref``,
+    else frame 0 + random others. 0 = keep every previous frame (the
+    natural static-shape choice for short clips; identical to the capped
+    path whenever ``T - 1 <= num_ref``).
     """
     frames = batch["frames"]
     first_gt = batch["first_gt"]
@@ -112,14 +132,26 @@ def sequence_loss(params, batch: Dict[str, Array], it: Array,
     total = 0.0
     aux: Dict[str, Array] = {}
     for ti in range(1, T):
-        ref_k = jnp.concatenate([flat_k(t) for t in range(ti)], axis=1)
-        ref_s = jnp.concatenate(
-            [shrinkage[t].reshape(-1) for t in range(ti)], axis=0
-        )
-        ref_v = jnp.concatenate(
-            [v.reshape(O, h * w, -1).transpose(0, 2, 1) for v in values],
-            axis=2,
-        )  # (O, CV, ti*hw)
+        if num_ref_frames > 0 and ti > num_ref_frames:
+            sel_key = (jax.random.fold_in(rng, 7919 + ti) if rng is not None
+                       else jax.random.fold_in(jax.random.PRNGKey(1), ti))
+            sel = select_ref_frames(ti, num_ref_frames, sel_key)
+            ref_k = (key[sel].reshape(num_ref_frames * h * w, -1).T)
+            ref_s = shrinkage[sel].reshape(-1)
+            # values is a python list (one entry per past frame); stack so
+            # the traced index vector can gather it
+            ref_v = (jnp.stack(values)[sel]           # (R, O, h, w, CV)
+                     .transpose(1, 4, 0, 2, 3)
+                     .reshape(O, -1, num_ref_frames * h * w))
+        else:
+            ref_k = jnp.concatenate([flat_k(t) for t in range(ti)], axis=1)
+            ref_s = jnp.concatenate(
+                [shrinkage[t].reshape(-1) for t in range(ti)], axis=0
+            )
+            ref_v = jnp.concatenate(
+                [v.reshape(O, h * w, -1).transpose(0, 2, 1) for v in values],
+                axis=2,
+            )  # (O, CV, ti*hw)
         qk = flat_k(ti)
         qe = selection[ti].reshape(h * w, -1).T
         sim = M.similarity(ref_k, ref_s, qk, qe)
@@ -194,9 +226,12 @@ def init_train_state(params, optimizer) -> TrainState:
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "optimizer", "num_ref_frames", "start_warm", "end_warm"))
 def train_step(state: TrainState, batch: Dict[str, Array],
-               cfg: XMemConfig, optimizer) -> Tuple[TrainState, Dict]:
+               cfg: XMemConfig, optimizer, *, num_ref_frames: int = 0,
+               start_warm: int = 20000,
+               end_warm: int = 70000) -> Tuple[TrainState, Dict]:
     """One DP step: batch axes lead every array; lay them out over a mesh
     'dp' axis (NamedSharding) and XLA all-reduces the vmapped grads over
     ICI — the DDP equivalent (``XMem/train.py:25``, ``trainer.py:27-31``)."""
@@ -208,7 +243,11 @@ def train_step(state: TrainState, batch: Dict[str, Array],
             jnp.arange(bsz)
         )
         losses, aux = jax.vmap(
-            lambda b, k: sequence_loss(params, b, state.it, cfg, k)
+            lambda b, k: sequence_loss(
+                params, b, state.it, cfg, k,
+                num_ref_frames=num_ref_frames,
+                start_warm=start_warm, end_warm=end_warm,
+            )
         )(batch, keys)
         return losses.mean(), aux
 

@@ -115,6 +115,70 @@ def test_losses_match_torch_reference(tiny_train_setup):
     np.testing.assert_allclose(got, float(ref), rtol=1e-4)
 
 
+def test_select_ref_frames_matches_reference_sampling():
+    """Frame 0 always; the rest distinct, drawn from [1, ti); static
+    length num_ref (reference trainer.py:87-96)."""
+    for ti, num_ref in [(4, 3), (7, 3), (5, 2), (9, 4)]:
+        for s in range(8):
+            sel = np.asarray(TR.select_ref_frames(
+                ti, num_ref, jax.random.PRNGKey(s)))
+            assert sel.shape == (num_ref,)
+            assert sel[0] == 0
+            assert len(set(sel.tolist())) == num_ref
+            assert (sel[1:] >= 1).all() and (sel < ti).all()
+    # across seeds the non-zero picks cover the whole range (randperm)
+    picks = {
+        int(v) for s in range(64)
+        for v in np.asarray(
+            TR.select_ref_frames(6, 3, jax.random.PRNGKey(s)))[1:]
+    }
+    assert picks == {1, 2, 3, 4, 5}
+
+
+def test_sequence_loss_ref_cap_not_binding_is_exact(tiny_train_setup):
+    """With T - 1 <= num_ref_frames the capped path never triggers: the
+    loss is bit-identical to the keep-everything default (T=3 here, the
+    s0 curriculum's shape with num_ref=2)."""
+    cfg, params, batch = tiny_train_setup
+    one = {k: v[0] for k, v in batch.items()}
+    it = jnp.asarray(0)
+    full, _ = TR.sequence_loss(params, one, it, cfg, None)
+    capped, _ = TR.sequence_loss(params, one, it, cfg, None,
+                                 num_ref_frames=2)
+    assert float(full) == float(capped)
+
+
+def test_sequence_loss_ref_cap_binding(tiny_train_setup):
+    """T=5 with num_ref_frames=2 exercises the random-subset gather
+    (ti = 3, 4 exceed the cap): loss finite, differs from the full-memory
+    rollout, and grads flow."""
+    cfg, params, batch = tiny_train_setup
+    rs = np.random.RandomState(3)
+    T, H, W = 5, 32, 32
+    one = {
+        "frames": jnp.asarray(rs.rand(T, H, W, 3).astype(np.float32)),
+        "first_gt": jnp.asarray((rs.rand(2, H, W) > 0.5).astype(np.float32)),
+        "cls_gt": jnp.asarray(rs.randint(0, 3, (T, H, W))),
+        "selector": jnp.ones((2,), jnp.float32),
+    }
+    it = jnp.asarray(0)
+    rng = jax.random.PRNGKey(0)
+
+    def loss_fn(p, nrf):
+        return TR.sequence_loss(p, one, it, cfg, rng, num_ref_frames=nrf)[0]
+
+    capped, grads = jax.value_and_grad(lambda p: loss_fn(p, 2))(params)
+    full = loss_fn(params, 0)
+    assert np.isfinite(float(capped)) and np.isfinite(float(full))
+    assert float(capped) != float(full)
+    gnorm = float(optax_global_norm(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(tree)))
+
+
 @pytest.mark.slow
 def test_train_step_decreases_loss(tiny_train_setup):
     cfg, params, batch = tiny_train_setup
