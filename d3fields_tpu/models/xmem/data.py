@@ -250,12 +250,16 @@ class VideoClipLoader:
 
     def __init__(self, source, *, num_frames: int = 3, max_jump: int = 5,
                  max_num_obj: int = 3, out_hw: Tuple[int, int] = (96, 128),
-                 seed: int = 0):
+                 seed: int = 0, finetune: bool = False):
         self.source = source
         self.num_frames = num_frames
         self.max_jump = max_jump
         self.max_num_obj = max_num_obj
         self.out_hw = out_hw
+        # finetune = fewer augmentations to train the sensory memory
+        # (reference vos_dataset.py:56-60 zeroes the affine degrees/shear):
+        # here the random crop-and-resize collapses to the full frame
+        self.finetune = finetune
         self.rs = np.random.RandomState(seed)
         # the reference VOSDataset skips videos shorter than the clip
         # length; filter once here (source lengths are static)
@@ -268,6 +272,12 @@ class VideoClipLoader:
                 f"({len(source.videos)} videos in the source)"
             )
 
+    def set_max_jump(self, max_jump: int) -> None:
+        self.max_jump = max_jump
+
+    def set_finetune(self, finetune: bool) -> None:
+        self.finetune = finetune
+
     def sample(self) -> Dict[str, np.ndarray]:
         for _ in range(200 * len(self.eligible)):
             video = self.eligible[self.rs.randint(len(self.eligible))]
@@ -279,6 +289,7 @@ class VideoClipLoader:
             out = assemble_clip(
                 frames, masks, out_hw=self.out_hw,
                 max_num_obj=self.max_num_obj, rs=self.rs,
+                crop_scale=(1.0, 1.0) if self.finetune else (0.36, 1.0),
             )
             if out is not None:
                 return out
@@ -292,6 +303,70 @@ class VideoClipLoader:
         return {
             k: np.stack([s[k] for s in samples]) for k in samples[0]
         }
+
+
+class MixedClipLoader:
+    """Weighted mixture over several clip loaders — the reference's
+    ``ConcatDataset([davis_dataset] * 5 + [yv_dataset])``
+    (``XMem/train.py:125-138``): each sample draws a loader with
+    probability proportional to its weight (there: 5 x len(davis) vs
+    len(yv)). ``jump_divisors`` carries the reference's per-dataset
+    ``max_skip // 5`` scaling for datasets annotated every N frames."""
+
+    def __init__(self, loaders: Sequence, weights: Sequence[float], *,
+                 jump_divisors: Optional[Sequence[int]] = None,
+                 seed: int = 0):
+        if len(loaders) != len(weights) or not loaders:
+            raise ValueError("need one weight per loader (and >= 1 loader)")
+        self.loaders = list(loaders)
+        w = np.asarray(weights, np.float64)
+        if (w <= 0).any():
+            raise ValueError(f"weights must be positive, got {weights}")
+        self.p = w / w.sum()
+        self.jump_divisors = list(jump_divisors or [1] * len(loaders))
+        if len(self.jump_divisors) != len(self.loaders):
+            raise ValueError("need one jump divisor per loader")
+        self.rs = np.random.RandomState(seed)
+
+    def set_max_jump(self, max_jump: int) -> None:
+        for ld, div in zip(self.loaders, self.jump_divisors):
+            ld.max_jump = max(1, max_jump // div)
+
+    def set_finetune(self, finetune: bool) -> None:
+        for ld in self.loaders:
+            ld.finetune = finetune
+
+    def sample(self) -> Dict[str, np.ndarray]:
+        i = int(self.rs.choice(len(self.loaders), p=self.p))
+        return self.loaders[i].sample()
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        samples = [self.sample() for _ in range(batch_size)]
+        return {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }
+
+
+def max_skip_schedule(stage: int, iterations: int) -> List[Tuple[int, int]]:
+    """The temporal-skip curriculum as ``(change_iteration, skip_value)``
+    pairs (reference ``train.py:155-202``): training starts at skip 5 and
+    switches to 10, 15, then back to 5 at fractions of the stage's
+    iteration budget — [0.1, 0.3, 0.8] for stage 1, [0.1, 0.3, 0.9] for
+    stages 2/3. Stage 0 (static pseudo-videos) has no schedule."""
+    if stage == 0:
+        return []
+    fracs = (0.1, 0.3, 0.8) if stage == 1 else (0.1, 0.3, 0.9)
+    return [(round(iterations * f), v) for f, v in zip(fracs, (10, 15, 5))]
+
+
+def skip_at(schedule: Sequence[Tuple[int, int]], it: int,
+            initial: int = 5) -> int:
+    """Scheduled max_skip at iteration ``it`` (last passed change wins)."""
+    cur = initial
+    for change_it, val in schedule:
+        if it >= change_it:
+            cur = val
+    return cur
 
 
 # ---------------------------------------------------------------------------

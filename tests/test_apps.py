@@ -143,6 +143,28 @@ def test_train_xmem_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_xmem_staged_with_finetune_tail(tmp_path):
+    """--stage presets drive the loop: 2 main steps + 1 finetune step
+    (the low-augmentation tail, reference train.py:232-236), checkpoint at
+    the combined total."""
+    from d3fields_tpu.apps.train_xmem import main as train_main
+    from d3fields_tpu.models.xmem import trainer as TR
+
+    out = str(tmp_path / "train")
+    rc = train_main([
+        "--stage", "2", "--synthetic", "--steps", "2", "--finetune", "1",
+        "--batch", "1", "--num_frames", "3", "--num_ref_frames", "2",
+        "--size", "48", "64", "--key_dim", "8", "--value_dim", "16",
+        "--hidden_dim", "8", "--save_every", "100", "--log_every", "1",
+        "--out", out,
+    ])
+    assert rc == 0
+    opt = TR.make_optimizer()
+    state = TR.load_checkpoint(os.path.join(out, "ckpt_final.pkl"), opt)
+    assert int(state.it) == 3  # steps + finetune
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("long_term", [True, False],
                          ids=["long_term", "disable_long_term"])
 def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
@@ -216,6 +238,85 @@ def test_video_dirs_layouts(tmp_path):
     got = list(_video_dirs(str(yt)))
     assert [v for v, _, _ in got] == ["0a2f2bd294"]
     assert got[0][2].endswith(os.path.join("Annotations", "0a2f2bd294"))
+
+
+def test_stage_presets_and_skip_schedule():
+    """Stage presets resolve to the reference Configuration defaults
+    (util/configuration.py:35-79) and the skip curriculum matches
+    train.py:155-202 (initial 5 -> 10 -> 15 -> 5 at stage fractions)."""
+    from d3fields_tpu.apps.train_xmem import build_parser, resolve_stage_args
+    from d3fields_tpu.models.xmem.data import max_skip_schedule, skip_at
+
+    a = resolve_stage_args(build_parser().parse_args(["--stage", "3"]))
+    assert (a.steps, a.finetune, a.lr_steps) == (100_000, 10_000, (80_000,))
+    assert (a.num_frames, a.num_ref_frames, a.batch) == (8, 3, 8)
+    # explicit flags beat the preset
+    a = resolve_stage_args(
+        build_parser().parse_args(["--stage", "3", "--steps", "7"]))
+    assert a.steps == 7 and a.num_frames == 8
+    # stage 0: single object, no skip schedule
+    a = resolve_stage_args(build_parser().parse_args(["--stage", "0"]))
+    assert a.max_num_obj == 1 and max_skip_schedule(0, a.steps) == []
+
+    sched = max_skip_schedule(3, 100_000)
+    assert sched == [(10_000, 10), (30_000, 15), (90_000, 5)]
+    assert [skip_at(sched, i) for i in (0, 9_999, 10_000, 29_999, 30_000,
+                                        89_999, 90_000)] == \
+        [5, 5, 10, 10, 15, 15, 5]
+    # stage 1 switches back to 5 at 0.8 (train.py:177)
+    assert max_skip_schedule(1, 10)[-1] == (8, 5)
+
+
+def test_mixed_clip_loader(tmp_path):
+    """MixedClipLoader: 5x-weighted sampling over both roots and the
+    per-dataset max_skip // 5 scaling (reference train.py:125-138);
+    finetune mode collapses the crop augmentation to the full frame."""
+    import cv2
+
+    from d3fields_tpu.models.xmem.data import (
+        DirectoryVideoSource, MixedClipLoader, VideoClipLoader,
+    )
+
+    rs = np.random.default_rng(0)
+    for root, vid, nobj in [("davis", "vidA", 1), ("yv", "vidB", 2)]:
+        fdir = tmp_path / root / vid / "frames"
+        mdir = tmp_path / root / vid / "masks"
+        fdir.mkdir(parents=True)
+        mdir.mkdir()
+        for t in range(6):
+            cv2.imwrite(str(fdir / f"{t:05d}.png"),
+                        rs.integers(0, 255, (24, 32, 3), np.uint8))
+            m = np.zeros((24, 32), np.uint8)
+            m[4:20, 4:16] = 1
+            if nobj > 1:
+                m[4:20, 20:30] = 2
+            cv2.imwrite(str(mdir / f"{t:05d}.png"), m)
+
+    mk = lambda root, seed: VideoClipLoader(
+        DirectoryVideoSource(str(tmp_path / root)), num_frames=3,
+        max_jump=5, max_num_obj=2, out_hw=(24, 32), seed=seed)
+    davis, yv = mk("davis", 0), mk("yv", 1)
+    mixed = MixedClipLoader([davis, yv], [5.0, 1.0], jump_divisors=[1, 5])
+
+    mixed.set_max_jump(15)
+    assert davis.max_jump == 15 and yv.max_jump == 3
+    mixed.set_max_jump(5)
+    assert davis.max_jump == 5 and yv.max_jump == 1
+
+    b = mixed.batch(4)
+    assert b["frames"].shape == (4, 3, 24, 32, 3)
+    # sampling respects the 5:1 weighting (binomial(60, 5/6) >> 30)
+    marks = [int(mixed.rs.choice(2, p=mixed.p)) for _ in range(60)]
+    assert sum(m == 0 for m in marks) > 40
+
+    # finetune: the shared crop becomes the identity, so a mask pixel
+    # stays put across samples (crop_scale fixed at 1.0)
+    mixed.set_finetune(True)
+    assert davis.finetune and yv.finetune
+    s = davis.sample()
+    assert s["cls_gt"].shape == (3, 24, 32)
+    got = s["cls_gt"][0] > 0
+    assert got[10, 8] and not got[2, 2]  # the un-cropped mask geometry
 
 
 def test_directory_video_source_davis_layout(tmp_path):
