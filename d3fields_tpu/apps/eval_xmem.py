@@ -15,6 +15,12 @@ as PNGs, and reports FPS (``total_frames / total_process_time``,
 
 or on synthetic drifting-sphere videos with ``--synthetic`` (reporting IoU
 against the analytic ground truth as the J-score stand-in).
+
+Seeding follows the reference protocol (``XMem/eval.py`` feeds ``msk``
+whenever the dataset supplies one): every annotation frame that introduces
+an unseen object id seeds the tracker — frame 0 for DAVIS, each object's
+first appearance for YouTubeVOS (mid-video entry via the multi-group
+memory). Densely-annotated layouts seed once and score the rest.
 """
 
 from __future__ import annotations
@@ -105,16 +111,23 @@ def main(argv=None):
         from d3fields_tpu.utils.synthetic import render_sphere_scene
 
         def videos():
-            def frames(t):
-                offs = np.array([[0.008 * t, 0.004 * t, 0.0],
-                                 [-0.005 * t, 0.006 * t, 0.0]])
-                sc = render_sphere_scene(num_views=1, H=120, W=160,
-                                         feat_dim=4, sphere_offsets=offs)
-                m = np.zeros((120, 160), np.uint8)
-                for si in range(sc["sphere_masks"].shape[1]):
-                    m[sc["sphere_masks"][0, si]] = si + 1
-                return sc["color"][0], m
-            yield "synthetic_0", frames, max(args.frames, 2)
+            cache = {}
+
+            def render(t):
+                if t not in cache:
+                    offs = np.array([[0.008 * t, 0.004 * t, 0.0],
+                                     [-0.005 * t, 0.006 * t, 0.0]])
+                    sc = render_sphere_scene(num_views=1, H=120, W=160,
+                                             feat_dim=4, sphere_offsets=offs)
+                    m = np.zeros((120, 160), np.uint8)
+                    for si in range(sc["sphere_masks"].shape[1]):
+                        m[sc["sphere_masks"][0, si]] = si + 1
+                    cache.clear()
+                    cache[t] = (sc["color"][0], m)
+                return cache[t]
+
+            yield ("synthetic_0", lambda t: render(t)[0],
+                   lambda t: render(t)[1], max(args.frames, 2))
     else:
         import cv2
 
@@ -128,30 +141,62 @@ def main(argv=None):
                     n for n in os.listdir(fdir)
                     if n.lower().endswith(IMAGE_EXTS))
 
-                def frames(t, names=names, fdir=fdir, mdir=mdir):
-                    rgb = cv2.imread(os.path.join(fdir, names[t]))[..., ::-1]
+                def get_rgb(t, names=names, fdir=fdir):
+                    return cv2.imread(os.path.join(fdir, names[t]))[..., ::-1]
+
+                def get_mask(t, names=names, mdir=mdir):
                     mpath = os.path.join(
                         mdir, os.path.splitext(names[t])[0] + ".png"
                     )
-                    m = (load_index_mask(mpath)
-                         if os.path.exists(mpath) else None)
-                    return rgb, m
+                    return (load_index_mask(mpath)
+                            if os.path.exists(mpath) else None)
                 # the whole video, like the reference XMem/eval.py (--frames
                 # caps it for smoke runs)
                 n = len(names) if args.frames <= 0 else min(len(names), args.frames)
-                yield vid, frames, n
+                yield vid, get_rgb, get_mask, n
 
     from d3fields_tpu.utils.metrics import davis_jf
 
     tp = Throughput()
     ious = []
     jfs = []
-    for vid, get, n_frames in videos():
-        rgb0, m0 = get(0)
-        num_obj = int(m0.max())
+    for vid, get_rgb, get_mask, n_frames in videos():
+        # Seed frames = annotations that INTRODUCE unseen object ids (the
+        # YouTubeVOS first-appearance protocol the reference eval follows:
+        # XMem/eval.py feeds `msk` whenever the dataset supplies one, and
+        # YTVOS supplies each object's mask at its first appearance only).
+        # Densely-annotated layouts (DAVIS train, generic frames/masks)
+        # thus seed on frame 0 alone; the rest is ground truth for scoring.
+        seeds, seen = {}, set()
+        for t in range(n_frames):
+            m = get_mask(t)
+            if m is None:
+                continue
+            new_ids = set(np.unique(m).tolist()) - {0} - seen
+            if new_ids:
+                seeds[t] = m
+                seen |= new_ids
+        if not seeds:
+            print(f"[eval_xmem] {vid}: no annotated objects, skipped")
+            continue
+        start = min(seeds)
+        num_obj = max(seen)
+        multi_group = len(seeds) > 1
+        vcfg = cfg
+        if multi_group and cfg.enable_long_term:
+            import dataclasses
+
+            # mid-video entry needs the bounded working memory (the
+            # reference's own multi-group + long-term path is broken:
+            # kv_memory_store.py:146-151 raises on >1 group eviction)
+            vcfg = dataclasses.replace(cfg, enable_long_term=False)
+            print(f"[eval_xmem] {vid}: objects enter mid-video at "
+                  f"{sorted(seeds)[1:]} -> long-term memory disabled")
+        rgb0, m0 = get_rgb(start), seeds[start]
         tracker = VideoMaskTracker(
-            params, cfg, num_views=1, num_objects=num_obj,
+            params, vcfg, num_views=1, num_objects=num_obj,
             image_hw=rgb0.shape[:2], size=args.size,
+            multi_group=multi_group,
         )
         vdir = os.path.join(args.out, vid)
         os.makedirs(vdir, exist_ok=True)
@@ -159,12 +204,17 @@ def main(argv=None):
             rgb0, m0 = rgb0[:, ::-1], m0[:, ::-1]
         onehot = tracker.process(np.ascontiguousarray(rgb0[None]),
                                  np.ascontiguousarray(m0[None]))
-        for t in range(1, n_frames):
-            rgb, gt = get(t)
+        for t in range(start + 1, n_frames):
+            rgb, gt = get_rgb(t), get_mask(t)
             if args.flip:
                 rgb = np.ascontiguousarray(rgb[:, ::-1])
             tp.start()
-            onehot = tracker.process(rgb[None])
+            if t in seeds:
+                m = seeds[t][:, ::-1] if args.flip else seeds[t]
+                onehot = tracker.process(rgb[None],
+                                         np.ascontiguousarray(m[None]))
+            else:
+                onehot = tracker.process(rgb[None])
             tp.stop(units=1, result_tree=None)
             oh = onehot[0][:, ::-1] if args.flip else onehot[0]  # (H, W, O+1)
             pred = oh.argmax(-1).astype(np.uint8)
@@ -187,7 +237,8 @@ def main(argv=None):
                 union = ((pred > 0) | (gt > 0)).sum()
                 ious.append(inter / max(union, 1))
                 jfs.append(davis_jf(pred, gt, num_obj))
-        print(f"[eval_xmem] {vid}: {n_frames - 1} frames propagated")
+        print(f"[eval_xmem] {vid}: {n_frames - start - 1} frames propagated"
+              + (f" ({len(seeds)} annotation frames)" if multi_group else ""))
     line = f"[eval_xmem] FPS: {tp.per_second:.2f}"
     if ious:
         line += f", fg-IoU vs GT: {np.mean(ious):.3f}"

@@ -395,3 +395,60 @@ def test_eval_xmem_davis_layout(tmp_path):
     assert outs == ["00001.png", "00002.png"]
     pred = np.array(Image.open(os.path.join(out, "bear", "00001.png")))
     assert pred.shape == (H, W) and pred.max() <= 1
+
+
+@pytest.mark.slow
+def test_eval_xmem_ytvos_first_appearance(tmp_path, capsys):
+    """YouTubeVOS protocol: object 1 is annotated at frame 0, object 2
+    only at its first appearance (frame 2) — the eval must seed the second
+    object mid-video (multi-group entry, auto-disabling long-term memory)
+    and keep propagating both (reference XMem/eval.py feeds msk whenever
+    the dataset supplies one)."""
+    import cv2
+    from PIL import Image
+
+    from d3fields_tpu.apps.eval_xmem import main as eval_main
+
+    rs = np.random.RandomState(2)
+    root = tmp_path / "ytvos"
+    fdir = root / "JPEGImages" / "0a2f2bd294"
+    mdir = root / "Annotations" / "0a2f2bd294"
+    fdir.mkdir(parents=True)
+    mdir.mkdir(parents=True)
+    H, W, T = 48, 64, 5
+    for t in range(T):
+        img = (rs.rand(H, W, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(fdir / f"{t:05d}.jpg"), img)
+    def save_ann(m, name):
+        pim = Image.fromarray(m, mode="P")
+        # full palette, as real YTVOS annotations carry — without it PIL
+        # bit-packs the PNG and REMAPS the indices (2 -> 1)
+        pim.putpalette([0, 0, 0, 255, 0, 0, 0, 255, 0] + [0] * 759)
+        pim.save(str(mdir / name))
+
+    m0 = np.zeros((H, W), np.uint8)
+    m0[8:24, 8:28] = 1
+    save_ann(m0, "00000.png")
+    m2 = np.zeros((H, W), np.uint8)
+    m2[28:44, 36:60] = 2  # first appearance of object 2
+    save_ann(m2, "00002.png")
+
+    out = str(tmp_path / "out")
+    rc = eval_main([
+        "--data_root", str(root), "--frames", "0", "--size", "-1",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+        "--out", out,
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "long-term memory disabled" in text
+    outs = sorted(os.listdir(os.path.join(out, "0a2f2bd294")))
+    assert outs == [f"{t:05d}.png" for t in range(1, T)]
+    # the frame where object 2 entered carries its given region
+    pred2 = np.array(Image.open(os.path.join(out, "0a2f2bd294",
+                                             "00002.png")))
+    assert (pred2[30:42, 40:56] == 2).mean() > 0.5
+    # and it persists in later frames' label set
+    pred4 = np.array(Image.open(os.path.join(out, "0a2f2bd294",
+                                             "00004.png")))
+    assert pred4.max() <= 2 and np.isfinite(pred4).all()
