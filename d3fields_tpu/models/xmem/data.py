@@ -436,37 +436,80 @@ class StaticImageSource:
     affine jitter of the same image (rotation/scale/shear around a shared
     sequence-level scale), plus a 33%-probability TPS warp of scale 0.02.
 
-    ``pairs``: list of (image (H, W, 3) uint8, mask (H, W) uint8 index)
-    or a directory of ``X.jpg`` + ``X.png`` pairs (the reference's
-    method-1 layout). Color jitter is brightness/contrast (cv2) instead
-    of torchvision ColorJitter.
+    ``pairs``: list of (image (H, W, 3) uint8, mask (H, W) uint8 index),
+    or ``root`` pointing at any of
+    - a flat directory of ``X.jpg`` + ``X.png`` pairs (the reference's
+      method-1 layout: DUTS, ecssd, BIG, HRSOD),
+    - a class-subdirectory tree ``<class>/X.jpg + X.png`` (method 0, the
+      FSS layout),
+    - the reference's combined ``static_root`` holding the six datasets,
+      mixed with the reference's duplication factors
+      (``train.py:162-173``: fss/DUTS-TR/DUTS-TE/ecssd x1,
+      BIG_small/HRSOD_small x5).
+    Images load lazily at sample time (the reference keeps paths too) so
+    tens of thousands of stills don't sit in RAM. Color jitter is
+    brightness/contrast (cv2) instead of torchvision ColorJitter.
     """
+
+    # (subdir, method, multiplier) — reference train.py:162-173
+    REFERENCE_STATIC_SETS = (
+        ("fss", 0, 1), ("DUTS-TR", 1, 1), ("DUTS-TE", 1, 1),
+        ("ecssd", 1, 1), ("BIG_small", 1, 5), ("HRSOD_small", 1, 5),
+    )
+
+    @staticmethod
+    def _flat_pairs(d):
+        return [(os.path.join(d, n), os.path.join(d, n[:-4] + ".png"))
+                for n in sorted(os.listdir(d))
+                if n.lower().endswith(".jpg")
+                and os.path.exists(os.path.join(d, n[:-4] + ".png"))]
+
+    @classmethod
+    def _class_pairs(cls, d):
+        out = []
+        for c in sorted(os.listdir(d)):
+            sub = os.path.join(d, c)
+            if os.path.isdir(sub):
+                out.extend(cls._flat_pairs(sub))
+        return out
 
     def __init__(self, pairs=None, root: Optional[str] = None,
                  length: int = 1000, seed: int = 0):
-        import cv2
-
         if pairs is None:
             pairs = []
-            for name in sorted(os.listdir(root)):
-                if not name.lower().endswith(".jpg"):
-                    continue
-                img = cv2.imread(os.path.join(root, name))
-                m = cv2.imread(os.path.join(root, name[:-4] + ".png"),
-                               cv2.IMREAD_GRAYSCALE)
-                if img is None or m is None:
-                    continue
-                # 0/255 binary masks (the reference FSS layout) binarize;
-                # small-valued masks are already object INDICES — keep them
-                if m.max() > 10:
-                    m = (m > 127).astype(np.uint8)
-                pairs.append((img[..., ::-1], m.astype(np.uint8)))
+            present = [(n, m, k) for n, m, k in self.REFERENCE_STATIC_SETS
+                       if os.path.isdir(os.path.join(root, n))]
+            if present:
+                for name, method, mult in present:
+                    d = os.path.join(root, name)
+                    found = (self._class_pairs(d) if method == 0
+                             else self._flat_pairs(d))
+                    pairs.extend(found * mult)
+            else:
+                pairs = self._flat_pairs(root) or self._class_pairs(root)
             if not pairs:
                 raise FileNotFoundError(f"no jpg/png pairs under {root}")
         self.pairs = pairs
         self.videos = [f"static_{i}" for i in range(len(pairs))]
         self._length = length  # virtual frames; every index is a new warp
         self.rs = np.random.RandomState(seed)
+
+    def _resolve(self, i: int):
+        """Lazy path -> array resolution (in-memory pairs pass through)."""
+        img, mask = self.pairs[i]
+        if isinstance(img, str):
+            import cv2
+
+            im = cv2.imread(img)
+            m = cv2.imread(mask, cv2.IMREAD_GRAYSCALE)
+            if im is None or m is None:
+                raise FileNotFoundError(f"unreadable pair {img} / {mask}")
+            # 0/255 binary masks (FSS/saliency layouts) binarize;
+            # small-valued masks are already object INDICES — keep them
+            if m.max() > 10:
+                m = (m > 127).astype(np.uint8)
+            return im[..., ::-1], m.astype(np.uint8)
+        return img, mask
 
     def length(self, video: str) -> int:
         return self._length
@@ -499,7 +542,7 @@ class StaticImageSource:
         return fi, fm
 
     def load(self, video: str, indices: Sequence[int]):
-        img, mask = self.pairs[int(video.split("_")[-1])]
+        img, mask = self._resolve(int(video.split("_")[-1]))
         seq_scale = self.rs.uniform(0.8, 1.5)
         frames, masks = [], []
         for _ in indices:

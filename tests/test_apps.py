@@ -319,6 +319,42 @@ def test_mixed_clip_loader(tmp_path):
     assert got[10, 8] and not got[2, 2]  # the un-cropped mask geometry
 
 
+def test_static_image_source_layouts(tmp_path):
+    """StaticImageSource resolves the reference's static_root recipe
+    (train.py:162-173): fss class-subdir layout, flat jpg/png layouts,
+    and the 1/1/5 duplication multipliers; images load lazily by path."""
+    import cv2
+
+    from d3fields_tpu.models.xmem.data import StaticImageSource
+
+    rs = np.random.default_rng(0)
+
+    def put_pair(d, stem):
+        os.makedirs(d, exist_ok=True)
+        cv2.imwrite(os.path.join(d, stem + ".jpg"),
+                    rs.integers(0, 255, (24, 32, 3), np.uint8))
+        m = np.zeros((24, 32), np.uint8)
+        m[6:18, 8:24] = 255  # binary saliency mask
+        cv2.imwrite(os.path.join(d, stem + ".png"), m)
+
+    root = str(tmp_path / "static")
+    put_pair(os.path.join(root, "fss", "classA"), "1")
+    put_pair(os.path.join(root, "fss", "classB"), "1")
+    put_pair(os.path.join(root, "DUTS-TR"), "a")
+    put_pair(os.path.join(root, "BIG_small"), "b")
+
+    src = StaticImageSource(root=root)
+    # 2 fss x1 + 1 DUTS x1 + 1 BIG x5 = 8 entries
+    assert len(src.videos) == 8
+    frames, masks = src.load(src.videos[0], [0, 1])
+    assert frames.shape == (2, 24, 32, 3) and masks.max() <= 1
+
+    flat = StaticImageSource(root=os.path.join(root, "DUTS-TR"))
+    assert len(flat.videos) == 1
+    classy = StaticImageSource(root=os.path.join(root, "fss"))
+    assert len(classy.videos) == 2
+
+
 def test_directory_video_source_davis_layout(tmp_path):
     """DirectoryVideoSource trains off a DAVIS checkout directly: paletted
     annotation PNGs keep their object INDICES (cv2 grayscale would decode
