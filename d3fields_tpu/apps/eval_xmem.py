@@ -114,6 +114,9 @@ def main(argv=None):
             cache = {}
 
             def render(t):
+                # memoized per frame index: the seed scan and the
+                # propagation loop both visit each t (tiny frames, so
+                # keeping all of them is cheaper than re-rendering)
                 if t not in cache:
                     offs = np.array([[0.008 * t, 0.004 * t, 0.0],
                                      [-0.005 * t, 0.006 * t, 0.0]])
@@ -122,7 +125,6 @@ def main(argv=None):
                     m = np.zeros((120, 160), np.uint8)
                     for si in range(sc["sphere_masks"].shape[1]):
                         m[sc["sphere_masks"][0, si]] = si + 1
-                    cache.clear()
                     cache[t] = (sc["color"][0], m)
                 return cache[t]
 
@@ -167,11 +169,12 @@ def main(argv=None):
         # YTVOS supplies each object's mask at its first appearance only).
         # Densely-annotated layouts (DAVIS train, generic frames/masks)
         # thus seed on frame 0 alone; the rest is ground truth for scoring.
-        seeds, seen = {}, set()
+        seeds, seen, gts = {}, set(), {}
         for t in range(n_frames):
             m = get_mask(t)
             if m is None:
                 continue
+            gts[t] = m  # decoded once; reused for scoring below
             new_ids = set(np.unique(m).tolist()) - {0} - seen
             if new_ids:
                 seeds[t] = m
@@ -205,7 +208,7 @@ def main(argv=None):
         onehot = tracker.process(np.ascontiguousarray(rgb0[None]),
                                  np.ascontiguousarray(m0[None]))
         for t in range(start + 1, n_frames):
-            rgb, gt = get_rgb(t), get_mask(t)
+            rgb, gt = get_rgb(t), gts.get(t)
             if args.flip:
                 rgb = np.ascontiguousarray(rgb[:, ::-1])
             tp.start()
@@ -232,11 +235,22 @@ def main(argv=None):
                     prob = prob[:, ::-1]
                 np.save(os.path.join(vdir, f"{t:05d}.npy"),
                         prob.astype(np.float16))
-            if gt is not None and gt.max() > 0:
+            # Seed frames are excluded from scoring: a first-appearance
+            # annotation was fed to the tracker (trivially right for the
+            # entering object) and leaves already-tracked objects as
+            # background (falsely zeroing their J/F). On sparse
+            # first-appearance datasets (multi_group) remaining annotations
+            # are partial too — score only the ids they contain; densely
+            # annotated gt (DAVIS) scores every object, absent = empty.
+            if t not in seeds and gt is not None and gt.max() > 0:
                 inter = ((pred > 0) & (gt > 0)).sum()
                 union = ((pred > 0) | (gt > 0)).sum()
                 ious.append(inter / max(union, 1))
-                jfs.append(davis_jf(pred, gt, num_obj))
+                gt_ids = None
+                if multi_group:
+                    gt_ids = np.unique(gt)
+                    gt_ids = gt_ids[gt_ids > 0].tolist()
+                jfs.append(davis_jf(pred, gt, num_obj, objects=gt_ids))
         print(f"[eval_xmem] {vid}: {n_frames - start - 1} frames propagated"
               + (f" ({len(seeds)} annotation frames)" if multi_group else ""))
     line = f"[eval_xmem] FPS: {tp.per_second:.2f}"

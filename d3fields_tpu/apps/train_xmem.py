@@ -69,6 +69,10 @@ def build_parser():
     p.add_argument("--static_root", default=None,
                    help="static X.jpg + X.png pairs -> pseudo-video clips "
                         "(the reference's s0 pretraining stage)")
+    p.add_argument("--subset", default="train",
+                   help="ImageSets split for --davis_root/--yv_root "
+                        "(reference load_sub_davis/load_sub_yv); checkouts "
+                        "without a split file use all videos")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--finetune", type=int, default=None,
@@ -160,12 +164,17 @@ def main(argv=None):
         # (train.py:125-138); either root alone degrades to that dataset
         loaders, weights, divisors = [], [], []
         if args.davis_root:
-            src = DirectoryVideoSource(args.davis_root)
+            # subset="train" guards a trainval checkout against training
+            # on the val videos (reference load_sub_davis); checkouts
+            # without ImageSets keep everything (with a warning)
+            src = DirectoryVideoSource(args.davis_root, subset=args.subset)
+            print(f"[train_xmem] DAVIS: {len(src.videos)} videos")
             loaders.append(make_loader(src))
             weights.append(5.0 * len(src.videos))
             divisors.append(1)
         if args.yv_root:
-            src = DirectoryVideoSource(args.yv_root)
+            src = DirectoryVideoSource(args.yv_root, subset=args.subset)
+            print(f"[train_xmem] YouTubeVOS: {len(src.videos)} videos")
             loaders.append(make_loader(src, seed=1))
             weights.append(float(len(src.videos)))
             divisors.append(5)

@@ -123,12 +123,56 @@ def assemble_clip(
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 
-def resolve_video_dirs(root: str):
+def load_split(root: str, subset: str) -> Optional[set]:
+    """Video names of an ImageSets split (``<root>/ImageSets/**/
+    <subset>.txt``, one name per line) — the reference's
+    ``load_sub_davis``/``load_sub_yv`` (``util/load_subset.py``). None if
+    the checkout carries no such split file."""
+    for rel in (os.path.join("ImageSets", "2017", subset + ".txt"),
+                os.path.join("ImageSets", "480p", subset + ".txt"),
+                os.path.join("ImageSets", subset + ".txt")):
+        path = os.path.join(root, rel)
+        if os.path.exists(path):
+            names = set()
+            with open(path) as f:
+                for ln in f:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    tok = ln.split()[0]
+                    if "JPEGImages" in tok:
+                        # 480p-style row: /JPEGImages[/<res>]/<video>/<file>
+                        parts = os.path.normpath(tok).strip(os.sep).split(os.sep)
+                        i = parts.index("JPEGImages")
+                        names.add(parts[i + 2] if len(parts) > i + 3
+                                  else parts[i + 1])
+                    else:
+                        names.add(tok)  # 2017-style row: just the name
+            return names
+    return None
+
+
+def resolve_video_dirs(root: str, subset: Optional[str] = None):
     """Yield ``(video_name, frames_dir, masks_dir)`` for either the generic
     ``<root>/<video>/{frames,masks}`` layout or a DAVIS / YouTubeVOS
     checkout (``JPEGImages[/<res>]/<video>`` with annotations in the
     parallel ``Annotations`` tree — the layouts the reference's
-    ``XMem/eval.py``/``train.py`` dataset paths point into)."""
+    ``XMem/eval.py``/``train.py`` dataset paths point into).
+
+    ``subset`` filters to an ImageSets split (e.g. ``"train"`` on a DAVIS
+    trainval checkout — the reference's ``load_sub_davis`` guard against
+    training on val videos). A missing split file keeps every video and
+    warns."""
+    keep = None
+    if subset is not None:
+        keep = load_split(root, subset)
+        if keep is None:
+            import warnings
+
+            warnings.warn(
+                f"no ImageSets/{subset}.txt under {root}; using ALL videos "
+                "(make sure this checkout holds only the intended split)"
+            )
     jdir = os.path.join(root, "JPEGImages")
     if os.path.isdir(jdir):
         adir = os.path.join(root, "Annotations")
@@ -146,11 +190,12 @@ def resolve_video_dirs(root: str):
                 sub = sorted(d for d in os.listdir(jdir)
                              if os.path.isdir(os.path.join(jdir, d)))
         for vid in sub:
-            yield vid, os.path.join(jdir, vid), os.path.join(adir, vid)
+            if keep is None or vid in keep:
+                yield vid, os.path.join(jdir, vid), os.path.join(adir, vid)
         return
     for vid in sorted(os.listdir(root)):
         fdir = os.path.join(root, vid, "frames")
-        if os.path.isdir(fdir):
+        if os.path.isdir(fdir) and (keep is None or vid in keep):
             yield vid, fdir, os.path.join(root, vid, "masks")
 
 
@@ -173,9 +218,10 @@ class DirectoryVideoSource:
     directory analogue of VOSDataset's im/gt roots. Every sampled frame
     must have an annotation (the VOS training contract)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, subset: Optional[str] = None):
         self.root = root
-        self._dirs = {v: (f, m) for v, f, m in resolve_video_dirs(root)}
+        self._dirs = {v: (f, m)
+                      for v, f, m in resolve_video_dirs(root, subset=subset)}
         self.videos = sorted(self._dirs)
         if not self.videos:
             raise FileNotFoundError(f"no videos under {root}")
@@ -245,6 +291,10 @@ class SyntheticVideoSource:
         return np.stack(frames), np.stack(masks)
 
 
+def _stack_batch(samples) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
 class VideoClipLoader:
     """Batches trainer samples with reference sampling semantics."""
 
@@ -299,10 +349,7 @@ class VideoClipLoader:
         )
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        samples = [self.sample() for _ in range(batch_size)]
-        return {
-            k: np.stack([s[k] for s in samples]) for k in samples[0]
-        }
+        return _stack_batch([self.sample() for _ in range(batch_size)])
 
 
 class MixedClipLoader:
@@ -327,6 +374,11 @@ class MixedClipLoader:
         if len(self.jump_divisors) != len(self.loaders):
             raise ValueError("need one jump divisor per loader")
         self.rs = np.random.RandomState(seed)
+        # apply the divisors to the initial skip immediately — the
+        # reference constructs yv_dataset with max_skip//5 from iteration 0
+        # (train.py:127-128), not only after the first schedule switch
+        for ld, div in zip(self.loaders, self.jump_divisors):
+            ld.max_jump = max(1, ld.max_jump // div)
 
     def set_max_jump(self, max_jump: int) -> None:
         for ld, div in zip(self.loaders, self.jump_divisors):
@@ -341,10 +393,7 @@ class MixedClipLoader:
         return self.loaders[i].sample()
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        samples = [self.sample() for _ in range(batch_size)]
-        return {
-            k: np.stack([s[k] for s in samples]) for k in samples[0]
-        }
+        return _stack_batch([self.sample() for _ in range(batch_size)])
 
 
 def max_skip_schedule(stage: int, iterations: int) -> List[Tuple[int, int]]:
@@ -495,21 +544,30 @@ class StaticImageSource:
         self.rs = np.random.RandomState(seed)
 
     def _resolve(self, i: int):
-        """Lazy path -> array resolution (in-memory pairs pass through)."""
-        img, mask = self.pairs[i]
-        if isinstance(img, str):
+        """Lazy path -> array resolution (in-memory pairs pass through).
+        An unreadable file (one corrupt jpg among tens of thousands of
+        stills) must not kill a 150k-iteration stage-0 run: warn once and
+        substitute the next readable pair."""
+        for attempt in range(len(self.pairs)):
+            img, mask = self.pairs[(i + attempt) % len(self.pairs)]
+            if not isinstance(img, str):
+                return img, mask
             import cv2
 
             im = cv2.imread(img)
             m = cv2.imread(mask, cv2.IMREAD_GRAYSCALE)
             if im is None or m is None:
-                raise FileNotFoundError(f"unreadable pair {img} / {mask}")
+                import warnings
+
+                warnings.warn(f"unreadable static pair {img} / {mask}; "
+                              "substituting the next one")
+                continue
             # 0/255 binary masks (FSS/saliency layouts) binarize;
             # small-valued masks are already object INDICES — keep them
             if m.max() > 10:
                 m = (m > 127).astype(np.uint8)
             return im[..., ::-1], m.astype(np.uint8)
-        return img, mask
+        raise FileNotFoundError("no readable image/mask pair in the source")
 
     def length(self, video: str) -> int:
         return self._length

@@ -14,7 +14,7 @@ import json
 import os
 import sys
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -143,7 +143,8 @@ def _boundary(mask: np.ndarray) -> np.ndarray:
 
 def davis_jf(pred_idx: np.ndarray, gt_idx: np.ndarray,
              num_objects: Optional[int] = None,
-             bound_ratio: float = 0.008) -> Dict[str, float]:
+             bound_ratio: float = 0.008,
+             objects: Optional[Sequence[int]] = None) -> Dict[str, float]:
     """Per-frame DAVIS metrics for index masks (0 = background).
 
     The reference writes masks for EXTERNAL davis2017-evaluation scoring
@@ -151,18 +152,25 @@ def davis_jf(pred_idx: np.ndarray, gt_idx: np.ndarray,
     J = per-object region IoU, F = boundary F-measure with boundary-match
     tolerance ``bound_ratio * image diagonal`` (the davis2017 default).
     Returns {'J': mean over objects, 'F': mean, 'JF': (J+F)/2}.
+
+    ``objects`` restricts scoring to those ids (for partially-annotated
+    ground truth, e.g. YouTubeVOS first-appearance frames where absent
+    objects are background in the PNG, not truly absent).
     """
     import cv2
 
     H, W = gt_idx.shape
     if num_objects is None:
         num_objects = int(max(pred_idx.max(), gt_idx.max()))
-    if num_objects == 0:
+    if objects is None:
+        objects = range(1, num_objects + 1)
+    objects = [int(o) for o in objects]
+    if not objects:
         return {"J": 1.0, "F": 1.0, "JF": 1.0}
     rad = max(1, int(round(bound_ratio * np.sqrt(H * H + W * W))))
     kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (2 * rad + 1, 2 * rad + 1))
     js, fs = [], []
-    for o in range(1, num_objects + 1):
+    for o in objects:
         p = pred_idx == o
         g = gt_idx == o
         union = (p | g).sum()

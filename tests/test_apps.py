@@ -297,6 +297,9 @@ def test_mixed_clip_loader(tmp_path):
         max_jump=5, max_num_obj=2, out_hw=(24, 32), seed=seed)
     davis, yv = mk("davis", 0), mk("yv", 1)
     mixed = MixedClipLoader([davis, yv], [5.0, 1.0], jump_divisors=[1, 5])
+    # divisors apply from iteration 0 (reference renew_vos_loader(5):
+    # yv gets max_skip//5 at construction, not at the first switch)
+    assert davis.max_jump == 5 and yv.max_jump == 1
 
     mixed.set_max_jump(15)
     assert davis.max_jump == 15 and yv.max_jump == 3
@@ -317,6 +320,44 @@ def test_mixed_clip_loader(tmp_path):
     assert s["cls_gt"].shape == (3, 24, 32)
     got = s["cls_gt"][0] > 0
     assert got[10, 8] and not got[2, 2]  # the un-cropped mask geometry
+
+
+def test_video_dirs_imagesets_subset(tmp_path):
+    """subset= filters a DAVIS trainval checkout to its ImageSets split
+    (reference load_sub_davis — guards against training on val videos);
+    both the 2017 name-list and the 480p path-list formats parse."""
+    from d3fields_tpu.models.xmem.data import (
+        DirectoryVideoSource, load_split, resolve_video_dirs,
+    )
+
+    davis = tmp_path / "DAVIS"
+    for vid in ("bear", "dogs", "soapbox"):
+        (davis / "JPEGImages" / "480p" / vid).mkdir(parents=True)
+        (davis / "Annotations" / "480p" / vid).mkdir(parents=True)
+    iset = davis / "ImageSets" / "2017"
+    iset.mkdir(parents=True)
+    (iset / "train.txt").write_text("bear\ndogs\n")
+    (iset / "val.txt").write_text("soapbox\n")
+
+    assert load_split(str(davis), "train") == {"bear", "dogs"}
+    got = [v for v, _, _ in resolve_video_dirs(str(davis), subset="train")]
+    assert got == ["bear", "dogs"]
+    src = DirectoryVideoSource(str(davis), subset="val")
+    assert src.videos == ["soapbox"]
+
+    # 480p path-list format (DAVIS 2016 style)
+    iset480 = tmp_path / "D16" / "ImageSets" / "480p"
+    iset480.mkdir(parents=True)
+    (iset480 / "train.txt").write_text(
+        "/JPEGImages/480p/bear/00000.jpg /Annotations/480p/bear/00000.png\n"
+        "/JPEGImages/480p/dogs/00000.jpg /Annotations/480p/dogs/00000.png\n")
+    assert load_split(str(tmp_path / "D16"), "train") == {"bear", "dogs"}
+
+    # missing split file -> warn and keep everything
+    with pytest.warns(UserWarning, match="using ALL videos"):
+        got = [v for v, _, _ in
+               resolve_video_dirs(str(davis), subset="testdev")]
+    assert got == ["bear", "dogs", "soapbox"]
 
 
 def test_static_image_source_layouts(tmp_path):

@@ -233,6 +233,10 @@ def test_davis_jf_metric():
     m2 = davis_jf(pred2, gt)
     assert m2["J"] == pytest.approx(0.5, abs=0.01)
     assert m2["F"] == pytest.approx(0.5, abs=0.01)
+    # objects= restricts scoring (partial YTVOS first-appearance gt):
+    # scoring only object 1 ignores the missing object 2
+    m3 = davis_jf(pred2, gt, objects=[1])
+    assert m3["J"] == 1.0 and m3["F"] == 1.0
 
 
 def test_davis_palette_matches_reference_table():
