@@ -54,7 +54,24 @@ def build_parser():
                         "(XMem/eval.py --disable_long_term); size "
                         "--max_mid_term_frames to the video for exact "
                         "reference semantics")
-    p.add_argument("--max_mid_term_frames", type=int, default=10)
+    p.add_argument("--split", default=None,
+                   help="ImageSets split to evaluate (e.g. val on a DAVIS "
+                        "trainval checkout, XMem/eval.py --split); default: "
+                        "every video under --data_root")
+    # the reference's memory-tuning knobs (XMem/eval.py:52-60)
+    p.add_argument("--max_mid_term_frames", type=int, default=10,
+                   help="T_max in the paper")
+    p.add_argument("--min_mid_term_frames", type=int, default=5,
+                   help="T_min in the paper")
+    p.add_argument("--max_long_term_elements", type=int, default=10000,
+                   help="LT_max in the paper")
+    p.add_argument("--num_prototypes", type=int, default=128,
+                   help="P in the paper")
+    p.add_argument("--top_k", type=int, default=30)
+    p.add_argument("--mem_every", type=int, default=5,
+                   help="r in the paper; increase to improve speed")
+    p.add_argument("--deep_update_every", type=int, default=-1,
+                   help="-1 synchronizes with mem_every")
     p.add_argument("--save_scores", action="store_true",
                    help="also save per-object probability maps as .npy for "
                         "multi-scale/flip merging (XMem/eval.py "
@@ -92,18 +109,29 @@ def _load_params(args, cfg):
     return N.init_params(jax.random.PRNGKey(0), cfg)
 
 
+def make_config(args):
+    """CLI memory knobs -> XMemConfig (reference XMem/eval.py:51-60)."""
+    from d3fields_tpu.config import XMemConfig
+
+    return XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
+                      hidden_dim=args.hidden_dim,
+                      enable_long_term=not args.disable_long_term,
+                      max_mid_term_frames=args.max_mid_term_frames,
+                      min_mid_term_frames=args.min_mid_term_frames,
+                      max_long_term_elements=args.max_long_term_elements,
+                      num_prototypes=args.num_prototypes,
+                      top_k=args.top_k, mem_every=args.mem_every,
+                      deep_update_every=args.deep_update_every)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import time
 
-    from d3fields_tpu.config import XMemConfig
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker
     from d3fields_tpu.utils.profiling import Throughput
 
-    cfg = XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
-                     hidden_dim=args.hidden_dim,
-                     enable_long_term=not args.disable_long_term,
-                     max_mid_term_frames=args.max_mid_term_frames)
+    cfg = make_config(args)
     params = _load_params(args, cfg)
     os.makedirs(args.out, exist_ok=True)
 
@@ -138,7 +166,8 @@ def main(argv=None):
         )
 
         def videos():
-            for vid, fdir, mdir in resolve_video_dirs(args.data_root):
+            for vid, fdir, mdir in resolve_video_dirs(args.data_root,
+                                                      subset=args.split):
                 names = sorted(
                     n for n in os.listdir(fdir)
                     if n.lower().endswith(IMAGE_EXTS))

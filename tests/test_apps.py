@@ -322,6 +322,28 @@ def test_mixed_clip_loader(tmp_path):
     assert got[10, 8] and not got[2, 2]  # the un-cropped mask geometry
 
 
+def test_eval_xmem_memory_knobs_reach_config():
+    """The reference's eval memory-tuning flags (XMem/eval.py:52-60) flow
+    into XMemConfig."""
+    from d3fields_tpu.apps.eval_xmem import build_parser, make_config
+
+    args = build_parser().parse_args([
+        "--synthetic", "--top_k", "7", "--mem_every", "3",
+        "--max_mid_term_frames", "4", "--min_mid_term_frames", "2",
+        "--max_long_term_elements", "512", "--num_prototypes", "16",
+        "--deep_update_every", "9", "--disable_long_term",
+    ])
+    cfg = make_config(args)
+    assert (cfg.top_k, cfg.mem_every) == (7, 3)
+    assert (cfg.max_mid_term_frames, cfg.min_mid_term_frames) == (4, 2)
+    assert (cfg.max_long_term_elements, cfg.num_prototypes) == (512, 16)
+    assert cfg.deep_update_every == 9 and not cfg.enable_long_term
+    # defaults mirror the reference
+    d = make_config(build_parser().parse_args(["--synthetic"]))
+    assert (d.top_k, d.mem_every, d.deep_update_every) == (30, 5, -1)
+    assert d.enable_long_term
+
+
 def test_video_dirs_imagesets_subset(tmp_path):
     """subset= filters a DAVIS trainval checkout to its ImageSets split
     (reference load_sub_davis — guards against training on val videos);
