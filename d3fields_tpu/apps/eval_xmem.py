@@ -234,8 +234,8 @@ def main(argv=None):
         os.makedirs(vdir, exist_ok=True)
         if args.flip:
             rgb0, m0 = rgb0[:, ::-1], m0[:, ::-1]
-        onehot = tracker.process(np.ascontiguousarray(rgb0[None]),
-                                 np.ascontiguousarray(m0[None]))
+        tracker.process(np.ascontiguousarray(rgb0[None]),
+                        np.ascontiguousarray(m0[None]), return_index=True)
         for t in range(start + 1, n_frames):
             rgb, gt = get_rgb(t), gts.get(t)
             if args.flip:
@@ -243,13 +243,14 @@ def main(argv=None):
             tp.start()
             if t in seeds:
                 m = seeds[t][:, ::-1] if args.flip else seeds[t]
-                onehot = tracker.process(rgb[None],
-                                         np.ascontiguousarray(m[None]))
+                idx = tracker.process(rgb[None],
+                                      np.ascontiguousarray(m[None]),
+                                      return_index=True)
             else:
-                onehot = tracker.process(rgb[None])
+                idx = tracker.process(rgb[None], return_index=True)
             tp.stop(units=1, result_tree=None)
-            oh = onehot[0][:, ::-1] if args.flip else onehot[0]  # (H, W, O+1)
-            pred = oh.argmax(-1).astype(np.uint8)
+            pred = np.ascontiguousarray(
+                idx[0][:, ::-1] if args.flip else idx[0])  # (H, W) uint8
             from d3fields_tpu.utils.visualization import save_index_mask_png
 
             # paletted PNG with the DAVIS palette (what the reference eval

@@ -102,10 +102,14 @@ class VideoMaskTracker:
         out, _ = pad_divide_by(out, 16, hw_axes=(2, 3))
         return out
 
-    def process(self, rgb: np.ndarray, mask: Optional[np.ndarray] = None
-                ) -> np.ndarray:
+    def process(self, rgb: np.ndarray, mask: Optional[np.ndarray] = None,
+                return_index: bool = False) -> np.ndarray:
         """One video step for all views; returns (V, H, W, NI) one-hot
-        (channel 0 = background), reference contract ``fusion.py:631-684``."""
+        (channel 0 = background), reference contract ``fusion.py:631-684``.
+
+        ``return_index=True`` returns the (V, H, W) uint8 argmax index
+        mask instead — what the eval harness writes; skips materializing
+        the full-resolution one-hot on the host."""
         imgs = self._prep_images(np.asarray(rgb))
         if mask is not None and not self.first_mask_loaded:
             masks = self._prep_masks(np.asarray(mask))
@@ -136,5 +140,7 @@ class VideoMaskTracker:
         # eval_xmem --save_scores)
         self.last_prob = up
         idx = np.asarray(jnp.argmax(up, axis=1).astype(jnp.uint8))
+        if return_index:
+            return idx
         onehot = np.stack([idx == i for i in range(O1)], axis=-1)
         return onehot.astype(np.float32)
