@@ -438,6 +438,32 @@ def sam_predict_boxes(params: Params, pixels: Array, boxes: Array,
     return sam_decode_boxes(params, image_emb, boxes, cfg, multimask_output)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+def sam_decode_points(params: Params, image_emb: Array, points: Array,
+                      labels: Array, cfg: SamConfig,
+                      multimask_output: bool = True):
+    """Point-prompt (click) decoding: points (N, P, 2) xy in model-input
+    pixels, labels (N, P) in {1 foreground, 0 background, -1 pad} ->
+    (low_res_masks (N, M, 4h, 4w), iou (N, M)).
+
+    The headless capability behind the reference GUI's click segmentation
+    (``XMem/inference/interact/`` fbrs/S2M — positive/negative clicks to a
+    mask); upstream SAM exposes the same as
+    ``predictor.predict(point_coords=..., point_labels=...)``."""
+    with jax.default_matmul_precision("float32"):
+        size = cfg.grid
+        pe = image_wide_positional_embedding(params["prompt"], size)
+        # pad=True: the extra not-a-point entry HF appends when points
+        # arrive without boxes
+        sparse = embed_points(params["prompt"], points, labels,
+                              cfg.image_size, pad=True)
+        dense = no_mask_dense_embedding(params["prompt"], size)
+        return mask_decoder(
+            params["decoder"], image_emb, pe, sparse, dense, cfg,
+            multimask_output=multimask_output,
+        )
+
+
 # ---------------------------------------------------------------------------
 # HF weight conversion
 # ---------------------------------------------------------------------------

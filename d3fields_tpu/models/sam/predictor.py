@@ -18,7 +18,7 @@ import numpy as np
 
 from d3fields_tpu.models.resize import bilinear_resize, bilinear_resize_exact
 from d3fields_tpu.models.sam.model import (
-    SamConfig, sam_decode_boxes, sam_encode_image,
+    SamConfig, sam_decode_boxes, sam_decode_points, sam_encode_image,
 )
 
 PIXEL_MEAN = (123.675, 116.28, 103.53)
@@ -88,6 +88,36 @@ class SamPredictor:
         low_res, iou = sam_decode_boxes(
             self.params, self._image_emb, jnp.asarray(boxes), self.cfg,
             multimask_output,
+        )
+        masks = self._postprocess(low_res[:n])
+        return np.asarray(masks) > 0.0, np.asarray(iou)[:n]
+
+    def predict_points(self, points_xy: np.ndarray, labels: np.ndarray,
+                       multimask_output=True):
+        """Click-prompted segmentation: points (N, P, 2) xy in
+        original-image pixels, labels (N, P) in {1 foreground click,
+        0 background click, -1 pad} -> (masks bool (N, M, H, W),
+        iou (N, M)). The headless equivalent of the reference GUI's
+        fbrs/S2M click segmentation (``XMem/inference/interact/``) and of
+        upstream ``predict(point_coords=..., point_labels=...)``."""
+        if self._pixels is None:
+            raise RuntimeError("call set_image first")
+        H, W = self._orig_hw
+        rh, rw = self._resized_hw
+        pts = np.asarray(points_xy, np.float32).copy()
+        if pts.ndim == 2:
+            pts = pts[None]
+        lbl = np.asarray(labels, np.int32).reshape(pts.shape[:2])
+        n = pts.shape[0]
+        pts[..., 0] *= rw / W
+        pts[..., 1] *= rh / H
+        nb = self._bucket(n)
+        if nb != n:
+            pts = np.concatenate([pts, np.tile(pts[-1:], (nb - n, 1, 1))])
+            lbl = np.concatenate([lbl, np.tile(lbl[-1:], (nb - n, 1))])
+        low_res, iou = sam_decode_points(
+            self.params, self._image_emb, jnp.asarray(pts),
+            jnp.asarray(lbl), self.cfg, multimask_output,
         )
         masks = self._postprocess(low_res[:n])
         return np.asarray(masks) > 0.0, np.asarray(iou)[:n]

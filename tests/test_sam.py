@@ -106,6 +106,57 @@ def test_point_prompt_parity(oracle):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_full_point_prediction_parity(oracle):
+    """Click-prompt decoding (the headless capability behind the reference
+    GUI's fbrs/S2M click segmentation) matches the HF oracle end-to-end:
+    positive + negative clicks per prompt, padded prompts too."""
+    hf, params, cfg = oracle
+    rs = np.random.RandomState(2)
+    px = rs.randn(1, 64, 64, 3).astype(np.float32)
+    # two prompts: (fg, bg) clicks and a single fg click with a pad entry
+    pts = np.array([[[8.0, 9.0], [30.0, 22.0]],
+                    [[40.0, 41.0], [0.0, 0.0]]], np.float32)
+    lbl = np.array([[1, 0], [1, -1]], np.int32)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px).permute(0, 3, 1, 2),
+            input_points=torch.from_numpy(pts)[None],
+            input_labels=torch.from_numpy(lbl)[None],
+            multimask_output=True,
+        )
+    emb = S.sam_encode_image(params, jnp.asarray(px), cfg)
+    masks, iou = S.sam_decode_points(
+        params, emb, jnp.asarray(pts), jnp.asarray(lbl), cfg, True
+    )
+    ref_iou = out.iou_scores[0].numpy()
+    ref_masks = out.pred_masks[0].numpy()
+    iou_scale = np.abs(ref_iou).max() + 1e-12
+    mask_scale = np.abs(ref_masks).max() + 1e-12
+    assert np.abs(np.asarray(iou) - ref_iou).max() / iou_scale < 2e-2
+    assert np.abs(np.asarray(masks) - ref_masks).max() / mask_scale < 2e-2
+
+
+def test_predictor_point_prompts(oracle):
+    """SamPredictor.predict_points: original-pixel clicks on a non-square
+    image flow through coordinate scaling, prompt bucketing and the
+    full-resolution postprocess."""
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+
+    _, params, cfg = oracle
+    rs = np.random.RandomState(3)
+    rgb = (rs.rand(50, 60, 3) * 255).astype(np.uint8)
+    pred = SamPredictor(params, cfg).set_image(rgb)
+    pts = np.array([[[10.0, 12.0], [40.0, 30.0]],
+                    [[25.0, 25.0], [0.0, 0.0]]], np.float32)
+    lbl = np.array([[1, 0], [1, -1]], np.int32)
+    masks, iou = pred.predict_points(pts, lbl)
+    assert masks.shape == (2, 3, 50, 60) and masks.dtype == bool
+    assert iou.shape == (2, 3)
+    # single-mask mode
+    m1, i1 = pred.predict_points(pts[:1], lbl[:1], multimask_output=False)
+    assert m1.shape == (1, 1, 50, 60) and i1.shape == (1, 1)
+
+
 def test_full_box_prediction_parity(oracle):
     hf, params, cfg = oracle
     rs = np.random.RandomState(1)
