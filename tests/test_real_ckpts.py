@@ -227,6 +227,28 @@ def test_sam_real_box_prediction_parity():
     agree = (np.asarray(masks) > 0) == (ref_masks > 0)
     assert agree.mean() > 0.999, f"binary mask agreement {agree.mean()}"
 
+    # click prompts (SamPredictor.predict_points path) through the same
+    # oracle: one fg + one bg click
+    pts = np.array([[[220.0, 280.0], [700.0, 100.0]]], np.float32)
+    lbl = np.array([[1, 0]], np.int32)
+    with torch.no_grad():
+        out_p = hf(
+            pixel_values=torch.from_numpy(px[None]).permute(0, 3, 1, 2),
+            input_points=torch.from_numpy(pts)[None],
+            input_labels=torch.from_numpy(lbl)[None],
+            multimask_output=True,
+        )
+    emb = S.sam_encode_image(params, jnp.asarray(px[None]), cfg)
+    masks_p, iou_p = S.sam_decode_points(
+        params, emb, jnp.asarray(pts), jnp.asarray(lbl), cfg, True
+    )
+    ref_masks_p = out_p.pred_masks[0].numpy()
+    scale_p = np.abs(ref_masks_p).max() + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(masks_p) / scale_p, ref_masks_p / scale_p, atol=5e-3)
+    agree_p = (np.asarray(masks_p) > 0) == (ref_masks_p > 0)
+    assert agree_p.mean() > 0.999, f"binary point-mask agreement {agree_p.mean()}"
+
 
 def test_gdino_real_forward_parity():
     """Real-weight end-to-end: Swin + BERT + deformable encoder/decoder vs
