@@ -266,6 +266,30 @@ def embed_points(params: Params, points: Array, labels: Array,
     return emb
 
 
+def embed_mask_dense(params: Params, mask_logits: Array) -> Array:
+    """Mask-prompt embedding (N, 4s, 4s) low-res logits -> (N, s, s, C)
+    per-prompt dense embeddings. HF ``SamMaskEmbedding`` / original SAM
+    ``mask_downscaling``: stride-2 conv -> LN -> GELU -> stride-2 conv ->
+    LN -> GELU -> 1x1 conv. Feeding a previous decode's low-res logits
+    back in is how upstream SAM (and the reference GUI's click loop)
+    iteratively refines a mask."""
+    p = params["mask_embed"]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(x, w, b, stride):
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "VALID", dimension_numbers=dn) + b
+
+    x = mask_logits[..., None]
+    x = conv(x, p["c1_w"], p["c1_b"], 2)
+    x = _layer_norm(x, p["ln1_w"], p["ln1_b"])
+    x = jax.nn.gelu(x, approximate=False)
+    x = conv(x, p["c2_w"], p["c2_b"], 2)
+    x = _layer_norm(x, p["ln2_w"], p["ln2_b"])
+    x = jax.nn.gelu(x, approximate=False)
+    return conv(x, p["c3_w"], p["c3_b"], 1)
+
+
 def no_mask_dense_embedding(params: Params, size: int) -> Array:
     return jnp.broadcast_to(
         params["no_mask"][None, None, :], (size, size, params["no_mask"].shape[0])
@@ -359,7 +383,8 @@ def mask_decoder(params: Params, image_emb: Array, image_pe: Array,
                  sparse_emb: Array, dense_emb: Array, cfg: SamConfig,
                  multimask_output: bool = True):
     """image_emb (h, w, C); sparse_emb (N, T, C) for N prompts;
-    dense_emb (h, w, C). Returns (masks (N, M, 4h, 4w), iou (N, M)).
+    dense_emb (h, w, C) shared, or (N, h, w, C) per-prompt (mask prompts).
+    Returns (masks (N, M, 4h, 4w), iou (N, M)).
 
     HF ``SamMaskDecoder`` with the prompt batch as the leading axis — every
     box of a view is decoded in one batched transformer call.
@@ -375,8 +400,12 @@ def mask_decoder(params: Params, image_emb: Array, image_pe: Array,
         axis=1,
     )
 
-    img = (image_emb + dense_emb).reshape(1, h * w, C)
-    img = jnp.broadcast_to(img, (N, h * w, C))
+    if dense_emb.ndim == 4:  # per-prompt dense (mask prompts), (N, h, w, C)
+        img = (image_emb[None] + dense_emb).reshape(N, h * w, C)
+    else:
+        img = jnp.broadcast_to(
+            (image_emb + dense_emb).reshape(1, h * w, C), (N, h * w, C)
+        )
     pe = jnp.broadcast_to(image_pe.reshape(1, h * w, C), (N, h * w, C))
 
     queries, keys = two_way_transformer(params["transformer"], tokens, img, pe, cfg)
@@ -441,10 +470,14 @@ def sam_predict_boxes(params: Params, pixels: Array, boxes: Array,
 @functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
 def sam_decode_points(params: Params, image_emb: Array, points: Array,
                       labels: Array, cfg: SamConfig,
-                      multimask_output: bool = True):
+                      multimask_output: bool = True,
+                      mask_input: Optional[Array] = None):
     """Point-prompt (click) decoding: points (N, P, 2) xy in model-input
     pixels, labels (N, P) in {1 foreground, 0 background, -1 pad} ->
     (low_res_masks (N, M, 4h, 4w), iou (N, M)).
+
+    ``mask_input`` (N, 4h, 4w) low-res logits from a previous decode make
+    this an iterative refinement step (upstream SAM's ``mask_input``).
 
     The headless capability behind the reference GUI's click segmentation
     (``XMem/inference/interact/`` fbrs/S2M — positive/negative clicks to a
@@ -457,7 +490,9 @@ def sam_decode_points(params: Params, image_emb: Array, points: Array,
         # arrive without boxes
         sparse = embed_points(params["prompt"], points, labels,
                               cfg.image_size, pad=True)
-        dense = no_mask_dense_embedding(params["prompt"], size)
+        dense = (embed_mask_dense(params["prompt"], mask_input)
+                 if mask_input is not None
+                 else no_mask_dense_embedding(params["prompt"], size))
         return mask_decoder(
             params["decoder"], image_emb, pe, sparse, dense, cfg,
             multimask_output=multimask_output,
@@ -527,6 +562,24 @@ def convert_hf_state_dict(sd, cfg: SamConfig) -> Params:
         ),
         "not_a_point": g("prompt_encoder.not_a_point_embed.weight")[0],
         "no_mask": g("prompt_encoder.no_mask_embed.weight")[0],
+        # mask-prompt downscaler (HF SamMaskEmbedding / original SAM
+        # mask_downscaling): conv s2 -> LN -> GELU -> conv s2 -> LN ->
+        # GELU -> 1x1; torch OIHW -> HWIO
+        "mask_embed": {
+            "c1_w": jnp.asarray(
+                sd["prompt_encoder.mask_embed.conv1.weight"].transpose(2, 3, 1, 0)),
+            "c1_b": g("prompt_encoder.mask_embed.conv1.bias"),
+            "ln1_w": g("prompt_encoder.mask_embed.layer_norm1.weight"),
+            "ln1_b": g("prompt_encoder.mask_embed.layer_norm1.bias"),
+            "c2_w": jnp.asarray(
+                sd["prompt_encoder.mask_embed.conv2.weight"].transpose(2, 3, 1, 0)),
+            "c2_b": g("prompt_encoder.mask_embed.conv2.bias"),
+            "ln2_w": g("prompt_encoder.mask_embed.layer_norm2.weight"),
+            "ln2_b": g("prompt_encoder.mask_embed.layer_norm2.bias"),
+            "c3_w": jnp.asarray(
+                sd["prompt_encoder.mask_embed.conv3.weight"].transpose(2, 3, 1, 0)),
+            "c3_b": g("prompt_encoder.mask_embed.conv3.bias"),
+        },
     }
 
     def attn_t(pre):

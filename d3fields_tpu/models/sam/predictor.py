@@ -93,13 +93,18 @@ class SamPredictor:
         return np.asarray(masks) > 0.0, np.asarray(iou)[:n]
 
     def predict_points(self, points_xy: np.ndarray, labels: np.ndarray,
-                       multimask_output=True):
+                       multimask_output=True, mask_input=None):
         """Click-prompted segmentation: points (N, P, 2) xy in
         original-image pixels, labels (N, P) in {1 foreground click,
         0 background click, -1 pad} -> (masks bool (N, M, H, W),
-        iou (N, M)). The headless equivalent of the reference GUI's
-        fbrs/S2M click segmentation (``XMem/inference/interact/``) and of
-        upstream ``predict(point_coords=..., point_labels=...)``."""
+        iou (N, M), low_res (N, M, s, s) logits). The headless equivalent
+        of the reference GUI's fbrs/S2M click segmentation
+        (``XMem/inference/interact/``) and of upstream
+        ``predict(point_coords=..., point_labels=...)``.
+
+        ``mask_input`` (N, s, s): one low-res logit map per prompt from a
+        previous call's third return — add clicks and feed it back to
+        refine iteratively."""
         if self._pixels is None:
             raise RuntimeError("call set_image first")
         H, W = self._orig_hw
@@ -115,12 +120,22 @@ class SamPredictor:
         if nb != n:
             pts = np.concatenate([pts, np.tile(pts[-1:], (nb - n, 1, 1))])
             lbl = np.concatenate([lbl, np.tile(lbl[-1:], (nb - n, 1))])
+        mi = None
+        if mask_input is not None:
+            mi = np.asarray(mask_input, np.float32)
+            if mi.ndim == 2:
+                mi = mi[None]
+            if mi.shape[0] != nb:
+                mi = np.concatenate(
+                    [mi, np.tile(mi[-1:], (nb - mi.shape[0], 1, 1))])
+            mi = jnp.asarray(mi)
         low_res, iou = sam_decode_points(
             self.params, self._image_emb, jnp.asarray(pts),
-            jnp.asarray(lbl), self.cfg, multimask_output,
+            jnp.asarray(lbl), self.cfg, multimask_output, mask_input=mi,
         )
         masks = self._postprocess(low_res[:n])
-        return np.asarray(masks) > 0.0, np.asarray(iou)[:n]
+        return (np.asarray(masks) > 0.0, np.asarray(iou)[:n],
+                np.asarray(low_res)[:n])
 
     def _postprocess(self, low_res):
         """(N, M, s, s) logits -> (N, M, H, W): upscale to model size, strip

@@ -126,8 +126,6 @@ def audit_conversion(
 #: family -> allow-list of regexes for unconsumed checkpoint keys, each with
 #: a reason documented here:
 #: - dinov2 ``mask_token``: iBOT masking token, inference never uses it;
-#: - sam ``prompt_encoder.mask_embed``: mask-prompt path — the reference
-#:   only prompts with boxes/points (``utils/grounded_sam.py:81-103``);
 #: - sam ``prompt_encoder.shared_embedding``: tied duplicate of
 #:   ``shared_image_embedding`` (verified tensor-equal);
 #: - gdino ``relative_position_index``: constant Swin index buffer,
@@ -141,7 +139,6 @@ ALLOWED_UNUSED = {
     "dinov2_hub": [r"mask_token"],
     "dinov2_hf": [r"mask_token"],
     "sam": [
-        r"^prompt_encoder\.mask_embed\.",
         r"^prompt_encoder\.shared_embedding\.",
     ],
     "gdino": [

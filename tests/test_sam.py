@@ -136,6 +136,36 @@ def test_full_point_prediction_parity(oracle):
     assert np.abs(np.asarray(masks) - ref_masks).max() / mask_scale < 2e-2
 
 
+def test_mask_prompt_parity(oracle):
+    """Mask-prompt (iterative refinement) dense embeddings and the full
+    point+mask decode match the HF oracle (SamMaskEmbedding /
+    _embed_masks)."""
+    hf, params, cfg = oracle
+    rs = np.random.RandomState(4)
+    grid = cfg.grid
+    px = rs.randn(1, 64, 64, 3).astype(np.float32)
+    mask_in = rs.randn(1, 4 * grid, 4 * grid).astype(np.float32)
+    pts = np.array([[[8.0, 9.0]]], np.float32)
+    lbl = np.array([[1]], np.int32)
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(px).permute(0, 3, 1, 2),
+            input_points=torch.from_numpy(pts)[None],
+            input_labels=torch.from_numpy(lbl)[None],
+            input_masks=torch.from_numpy(mask_in)[:, None],
+            multimask_output=True,
+        )
+    emb = S.sam_encode_image(params, jnp.asarray(px), cfg)
+    masks, iou = S.sam_decode_points(
+        params, emb, jnp.asarray(pts), jnp.asarray(lbl), cfg, True,
+        mask_input=jnp.asarray(mask_in),
+    )
+    ref_masks = out.pred_masks[0].numpy()
+    scale = np.abs(ref_masks).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(masks) / scale, ref_masks / scale,
+                               atol=5e-3)
+
+
 def test_predictor_point_prompts(oracle):
     """SamPredictor.predict_points: original-pixel clicks on a non-square
     image flow through coordinate scaling, prompt bucketing and the
@@ -149,12 +179,18 @@ def test_predictor_point_prompts(oracle):
     pts = np.array([[[10.0, 12.0], [40.0, 30.0]],
                     [[25.0, 25.0], [0.0, 0.0]]], np.float32)
     lbl = np.array([[1, 0], [1, -1]], np.int32)
-    masks, iou = pred.predict_points(pts, lbl)
+    masks, iou, low = pred.predict_points(pts, lbl)
     assert masks.shape == (2, 3, 50, 60) and masks.dtype == bool
     assert iou.shape == (2, 3)
-    # single-mask mode
-    m1, i1 = pred.predict_points(pts[:1], lbl[:1], multimask_output=False)
+    # single-mask mode, then iterative refinement feeding the low-res
+    # logits back as the mask prompt (upstream SAM's mask_input loop)
+    m1, i1, low1 = pred.predict_points(pts[:1], lbl[:1],
+                                       multimask_output=False)
     assert m1.shape == (1, 1, 50, 60) and i1.shape == (1, 1)
+    m2, i2, _ = pred.predict_points(pts[:1], lbl[:1],
+                                    multimask_output=False,
+                                    mask_input=low1[:, 0])
+    assert m2.shape == (1, 1, 50, 60) and np.isfinite(i2).all()
 
 
 def test_full_box_prediction_parity(oracle):
