@@ -69,6 +69,15 @@ class SamPredictor:
             b *= 2
         return b
 
+    @staticmethod
+    def _pad_rows(arr: np.ndarray, nb: int) -> np.ndarray:
+        """Tile the last row along axis 0 up to the bucket size."""
+        n = arr.shape[0]
+        if nb == n:
+            return arr
+        reps = (nb - n,) + (1,) * (arr.ndim - 1)
+        return np.concatenate([arr, np.tile(arr[-1:], reps)])
+
     def predict_boxes(self, boxes_xyxy: np.ndarray, multimask_output=True):
         """boxes in original-image pixels -> (masks bool (N, M, H, W),
         iou (N, M))."""
@@ -80,11 +89,7 @@ class SamPredictor:
         n = boxes.shape[0]
         boxes[:, [0, 2]] *= rw / W
         boxes[:, [1, 3]] *= rh / H
-        nb = self._bucket(n)
-        if nb != n:
-            boxes = np.concatenate(
-                [boxes, np.tile(boxes[-1:], (nb - n, 1))], axis=0
-            )
+        boxes = self._pad_rows(boxes, self._bucket(n))
         low_res, iou = sam_decode_boxes(
             self.params, self._image_emb, jnp.asarray(boxes), self.cfg,
             multimask_output,
@@ -113,22 +118,32 @@ class SamPredictor:
         if pts.ndim == 2:
             pts = pts[None]
         lbl = np.asarray(labels, np.int32).reshape(pts.shape[:2])
-        n = pts.shape[0]
+        n, P = pts.shape[:2]
         pts[..., 0] *= rw / W
         pts[..., 1] *= rh / H
+        # bucket the click count too: the iterative loop adds one point
+        # per call, and each new P would otherwise recompile the decoder.
+        # Pad entries are label -1, which embed_points maps to not_a_point.
+        Pb = self._bucket(P)
+        if Pb != P:
+            pts = np.concatenate(
+                [pts, np.zeros((n, Pb - P, 2), np.float32)], axis=1)
+            lbl = np.concatenate(
+                [lbl, -np.ones((n, Pb - P), np.int32)], axis=1)
         nb = self._bucket(n)
-        if nb != n:
-            pts = np.concatenate([pts, np.tile(pts[-1:], (nb - n, 1, 1))])
-            lbl = np.concatenate([lbl, np.tile(lbl[-1:], (nb - n, 1))])
+        pts = self._pad_rows(pts, nb)
+        lbl = self._pad_rows(lbl, nb)
         mi = None
         if mask_input is not None:
             mi = np.asarray(mask_input, np.float32)
             if mi.ndim == 2:
                 mi = mi[None]
-            if mi.shape[0] != nb:
-                mi = np.concatenate(
-                    [mi, np.tile(mi[-1:], (nb - mi.shape[0], 1, 1))])
-            mi = jnp.asarray(mi)
+            if mi.shape[0] != n:
+                raise ValueError(
+                    f"mask_input has {mi.shape[0]} rows for {n} prompts — "
+                    "pass exactly one low-res logit map per prompt"
+                )
+            mi = jnp.asarray(self._pad_rows(mi, nb))
         low_res, iou = sam_decode_points(
             self.params, self._image_emb, jnp.asarray(pts),
             jnp.asarray(lbl), self.cfg, multimask_output, mask_input=mi,

@@ -212,9 +212,11 @@ def test_sam_real_box_prediction_parity():
             input_boxes=torch.from_numpy(boxes)[None],
             multimask_output=True,
         )
-    masks, iou = S.sam_predict_boxes(
-        params, jnp.asarray(px[None]), jnp.asarray(boxes), cfg, True
-    )
+    # encode ONCE; the box and click decodes below share the embedding
+    # (the ViT-H forward dominates this tier's runtime)
+    emb = S.sam_encode_image(params, jnp.asarray(px[None]), cfg)
+    masks, iou = S.sam_decode_boxes(params, emb, jnp.asarray(boxes), cfg,
+                                    True)
     ref_iou = out.iou_scores[0].numpy()
     ref_masks = out.pred_masks[0].numpy()
     iou_scale = np.abs(ref_iou).max() + 1e-12
@@ -238,7 +240,6 @@ def test_sam_real_box_prediction_parity():
             input_labels=torch.from_numpy(lbl)[None],
             multimask_output=True,
         )
-    emb = S.sam_encode_image(params, jnp.asarray(px[None]), cfg)
     masks_p, iou_p = S.sam_decode_points(
         params, emb, jnp.asarray(pts), jnp.asarray(lbl), cfg, True
     )
