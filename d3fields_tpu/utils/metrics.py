@@ -133,12 +133,22 @@ class Tee:
 # ---------------------------------------------------------------------------
 
 def _boundary(mask: np.ndarray) -> np.ndarray:
-    """Binary boundary: mask minus its 1-px erosion."""
-    import cv2
-
-    m = mask.astype(np.uint8)
-    er = cv2.erode(m, np.ones((3, 3), np.uint8), iterations=1)
-    return (m - er) > 0
+    """Binary boundary map, exactly davis2017-evaluation's ``seg2bmap``
+    at equal input/output size: a pixel is boundary iff it differs from
+    its east, south, or south-east neighbour (with the official
+    border-row/column handling)."""
+    seg = mask.astype(bool)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
 
 
 def davis_jf(pred_idx: np.ndarray, gt_idx: np.ndarray,
@@ -167,8 +177,11 @@ def davis_jf(pred_idx: np.ndarray, gt_idx: np.ndarray,
     objects = [int(o) for o in objects]
     if not objects:
         return {"J": 1.0, "F": 1.0, "JF": 1.0}
-    rad = max(1, int(round(bound_ratio * np.sqrt(H * H + W * W))))
-    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (2 * rad + 1, 2 * rad + 1))
+    # official bound_pix: ceil(bound_th * diagonal), dilated with the
+    # skimage Euclidean disk (f_boundary.py: binary_dilation(., disk(r)))
+    rad = max(1, int(np.ceil(bound_ratio * np.sqrt(H * H + W * W))))
+    yy, xx = np.mgrid[-rad:rad + 1, -rad:rad + 1]
+    kernel = ((yy * yy + xx * xx) <= rad * rad).astype(np.uint8)
     js, fs = [], []
     for o in objects:
         p = pred_idx == o

@@ -239,6 +239,74 @@ def test_davis_jf_metric():
     assert m3["J"] == 1.0 and m3["F"] == 1.0
 
 
+def _official_f_boundary(fg, gt, bound_th=0.008):
+    """Literal transcription of davis2017-evaluation's
+    ``db_eval_boundary`` + ``seg2bmap`` (equal input/output size), the
+    scorer the reference's written masks are fed to."""
+    from scipy.ndimage import binary_dilation
+
+    def seg2bmap(seg):
+        seg = seg.astype(bool)
+        e = np.zeros_like(seg)
+        s = np.zeros_like(seg)
+        se = np.zeros_like(seg)
+        e[:, :-1] = seg[:, 1:]
+        s[:-1, :] = seg[1:, :]
+        se[:-1, :-1] = seg[1:, 1:]
+        b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+        b[-1, :] = seg[-1, :] ^ e[-1, :]
+        b[:, -1] = seg[:, -1] ^ s[:, -1]
+        b[-1, -1] = 0
+        return b
+
+    bound_pix = np.ceil(bound_th * np.linalg.norm(fg.shape))
+    r = int(bound_pix)
+    yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+    disk = (yy * yy + xx * xx) <= bound_pix * bound_pix
+    fg_b, gt_b = seg2bmap(fg), seg2bmap(gt)
+    fg_dil = binary_dilation(fg_b, disk)
+    gt_dil = binary_dilation(gt_b, disk)
+    gt_match = gt_b & fg_dil
+    fg_match = fg_b & gt_dil
+    n_fg, n_gt = fg_b.sum(), gt_b.sum()
+    if n_fg == 0 and n_gt > 0:
+        precision, recall = 1.0, 0.0
+    elif n_fg > 0 and n_gt == 0:
+        precision, recall = 0.0, 1.0
+    elif n_fg == 0 and n_gt == 0:
+        precision, recall = 1.0, 1.0
+    else:
+        precision = fg_match.sum() / float(n_fg)
+        recall = gt_match.sum() / float(n_gt)
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def test_davis_f_matches_official_scorer():
+    """The built-in boundary F equals the official davis2017-evaluation
+    F-measure (seg2bmap boundaries, ceil'd radius, Euclidean disk
+    dilation) on random blobby masks — the scorer the reference defers
+    to externally."""
+    from d3fields_tpu.utils.metrics import davis_jf
+
+    rs = np.random.RandomState(7)
+    for trial in range(6):
+        H, W = rs.randint(40, 90), rs.randint(40, 90)
+        gt = np.zeros((H, W), np.uint8)
+        pred = np.zeros((H, W), np.uint8)
+        for m in (gt, pred):
+            for _ in range(rs.randint(1, 4)):
+                cy, cx = rs.randint(H), rs.randint(W)
+                r = rs.randint(4, 14)
+                yy, xx = np.mgrid[:H, :W]
+                m[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1
+        got = davis_jf(pred, gt, num_objects=1)["F"]
+        want = _official_f_boundary(pred.astype(bool), gt.astype(bool))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12,
+                                   err_msg=f"trial {trial} ({H}x{W})")
+
+
 def test_davis_palette_matches_reference_table():
     """The generated VOC colormap must equal the reference's hardcoded
     palette bytes (spot values from XMem/util/palette.py)."""
