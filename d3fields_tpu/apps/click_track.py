@@ -1,0 +1,201 @@
+"""Headless click-to-track: seed objects with SAM point prompts, then
+propagate them through the video with XMem.
+
+The capability of the reference's interactive demo
+(``XMem/interactive_demo.py`` + ``inference/interact/`` click modules —
+fbrs/S2M positive/negative clicks to a mask, then propagation) without the
+Qt GUI: clicks come from the command line, masks go to DAVIS-palette PNGs.
+
+  python -m d3fields_tpu.apps.click_track --data_root <videos> \\
+      --clicks "120,80;200,150,0|340,200" --out out/click_track
+
+``--clicks``: object groups separated by ``|``; within a group,
+``x,y[,label]`` clicks separated by ``;`` (label 1 = foreground, the
+default; 0 = background click). Each group seeds one object.
+
+Checkpoints: ``D3F_SAM_CKPT`` / ``D3F_XMEM_CKPT`` (or ``--sam_ckpt`` /
+``--xmem_ckpt``); without them the models run at random weights — the
+pipeline executes end-to-end but masks are noise (smoke/test mode only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=None,
+                   help="video root (generic <video>/frames, DAVIS or "
+                        "YouTubeVOS checkout layout)")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--clicks", required=False, default=None,
+                   help="'x,y[,label];...|x,y...' — '|' separates objects, "
+                        "';' separates clicks, label 1=fg (default) 0=bg")
+    p.add_argument("--refine", type=int, default=0,
+                   help="iterative mask-input refinement rounds per object "
+                        "(upstream SAM's mask_input loop)")
+    p.add_argument("--frames", type=int, default=8,
+                   help="frame cap per video; <=0 = all frames")
+    p.add_argument("--size", type=int, default=480,
+                   help="XMem processing short side (-1 = native)")
+    p.add_argument("--sam_ckpt", default=None)
+    p.add_argument("--xmem_ckpt", default=None)
+    p.add_argument("--key_dim", type=int, default=64)
+    p.add_argument("--value_dim", type=int, default=512)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--out", default="out/click_track")
+    return p
+
+
+def parse_clicks(spec: str):
+    """'x,y[,label];...|...' -> list of (points (P, 2) f32, labels (P,) i32)
+    per object."""
+    groups = []
+    for grp in spec.split("|"):
+        pts, lbls = [], []
+        for c in grp.split(";"):
+            parts = [float(v) for v in c.split(",")]
+            if len(parts) not in (2, 3):
+                raise ValueError(f"bad click {c!r}: want x,y or x,y,label")
+            pts.append(parts[:2])
+            lbls.append(int(parts[2]) if len(parts) == 3 else 1)
+        groups.append((np.asarray(pts, np.float32),
+                       np.asarray(lbls, np.int32)))
+    if not groups:
+        raise ValueError("no click groups given")
+    return groups
+
+
+def _sam_predictor(args):
+    from d3fields_tpu.models.sam.model import SamConfig, random_params
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+
+    ckpt = args.sam_ckpt or os.environ.get("D3F_SAM_CKPT")
+    if ckpt and os.path.exists(ckpt):
+        from d3fields_tpu.apps._backends import _load_family_params
+
+        params, cfg = _load_family_params(ckpt, "sam", None)
+    else:
+        print("[click_track] no SAM checkpoint: random weights (smoke mode)")
+        cfg = SamConfig.tiny_test()
+        params = random_params(cfg)
+    return SamPredictor(params, cfg)
+
+
+def _xmem(args, cfg):
+    import jax
+
+    from d3fields_tpu.models.xmem import network as N
+
+    ckpt = args.xmem_ckpt or os.environ.get("D3F_XMEM_CKPT")
+    if ckpt and os.path.exists(ckpt):
+        from d3fields_tpu.apps._backends import _load_family_params
+
+        params, _ = _load_family_params(ckpt, "xmem", cfg)
+        return params
+    print("[click_track] no XMem checkpoint: random weights (smoke mode)")
+    return N.init_params(jax.random.PRNGKey(1), cfg)
+
+
+def seed_mask_from_clicks(predictor, rgb0: np.ndarray, groups,
+                          refine: int = 0) -> np.ndarray:
+    """Run each click group through SAM (best-IoU channel of the
+    multimask output, like upstream's select-best default); later objects
+    overwrite earlier ones where masks overlap. ``refine`` extra rounds
+    feed the winning low-res logits back as the mask prompt."""
+    H, W = rgb0.shape[:2]
+    predictor.set_image(rgb0)
+    mask = np.zeros((H, W), np.uint8)
+    for i, (pts, lbls) in enumerate(groups):
+        m, iou, low = predictor.predict_points(pts[None], lbls[None])
+        best = int(np.argmax(iou[0]))
+        for _ in range(refine):
+            m, iou, low = predictor.predict_points(
+                pts[None], lbls[None], mask_input=low[:, best])
+            best = int(np.argmax(iou[0]))
+        mask[m[0, best]] = i + 1
+    return mask
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.utils.profiling import Throughput
+    from d3fields_tpu.utils.visualization import save_index_mask_png
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.synthetic:
+        from d3fields_tpu.utils.synthetic import render_sphere_scene
+
+        n_frames = max(args.frames, 2)
+
+        def get_rgb(t):
+            offs = np.array([[0.008 * t, 0.004 * t, 0.0],
+                             [-0.005 * t, 0.006 * t, 0.0]])
+            sc = render_sphere_scene(num_views=1, H=120, W=160, feat_dim=4,
+                                     sphere_offsets=offs)
+            return sc["color"][0]
+
+        videos = [("synthetic_0", get_rgb, n_frames)]
+    else:
+        import cv2
+
+        from d3fields_tpu.models.xmem.data import (
+            IMAGE_EXTS, resolve_video_dirs,
+        )
+
+        if args.data_root is None:
+            raise SystemExit("need --data_root or --synthetic")
+        videos = []
+        for vid, fdir, _mdir in resolve_video_dirs(args.data_root):
+            names = sorted(n for n in os.listdir(fdir)
+                           if n.lower().endswith(IMAGE_EXTS))
+            n = len(names) if args.frames <= 0 else min(len(names),
+                                                        args.frames)
+
+            def get_rgb(t, names=names, fdir=fdir):
+                return cv2.imread(os.path.join(fdir, names[t]))[..., ::-1]
+
+            videos.append((vid, get_rgb, n))
+
+    if args.clicks is None:
+        raise SystemExit("need --clicks 'x,y[,label];...|...'")
+    groups = parse_clicks(args.clicks)
+    predictor = _sam_predictor(args)
+    xcfg = XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
+                      hidden_dim=args.hidden_dim)
+    xparams = _xmem(args, xcfg)
+
+    tp = Throughput()
+    for vid, get_rgb, n_frames in videos:
+        rgb0 = np.ascontiguousarray(get_rgb(0))
+        mask0 = seed_mask_from_clicks(predictor, rgb0, groups,
+                                      refine=args.refine)
+        vdir = os.path.join(args.out, vid)
+        os.makedirs(vdir, exist_ok=True)
+        save_index_mask_png(os.path.join(vdir, "00000.png"), mask0)
+        tracker = VideoMaskTracker(
+            xparams, xcfg, num_views=1, num_objects=len(groups),
+            image_hw=rgb0.shape[:2], size=args.size,
+        )
+        tracker.process(rgb0[None], mask0[None], return_index=True)
+        for t in range(1, n_frames):
+            rgb = np.ascontiguousarray(get_rgb(t))
+            tp.start()
+            idx = tracker.process(rgb[None], return_index=True)
+            tp.stop(units=1, result_tree=None)
+            save_index_mask_png(os.path.join(vdir, f"{t:05d}.png"), idx[0])
+        print(f"[click_track] {vid}: seeded {len(groups)} object(s) from "
+              f"clicks, propagated {n_frames - 1} frames")
+    print(f"[click_track] FPS: {tp.per_second:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

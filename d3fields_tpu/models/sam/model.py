@@ -499,6 +499,46 @@ def sam_decode_points(params: Params, image_emb: Array, points: Array,
         )
 
 
+def random_params(cfg: SamConfig, seed: int = 0) -> Params:
+    """Random-weight params for smoke/test runs (no checkpoint): a
+    randomly-initialized HF ``SamModel`` at ``cfg``'s scale, converted
+    through the same audited path real checkpoints take."""
+    import torch
+    from transformers import (
+        SamConfig as HFSamConfig, SamMaskDecoderConfig, SamModel,
+        SamPromptEncoderConfig, SamVisionConfig,
+    )
+
+    grid = cfg.image_size // cfg.patch_size
+    vis = SamVisionConfig(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        global_attn_indexes=list(cfg.global_attn_indexes),
+        mlp_ratio=cfg.mlp_dim / cfg.hidden_size,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        output_channels=cfg.output_channels, window_size=cfg.window_size,
+        num_pos_feats=cfg.prompt_hidden // 2,
+    )
+    prm = SamPromptEncoderConfig(
+        hidden_size=cfg.prompt_hidden, image_embedding_size=grid,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+    )
+    dec = SamMaskDecoderConfig(
+        hidden_size=cfg.prompt_hidden, num_attention_heads=cfg.decoder_heads,
+        mlp_dim=cfg.decoder_mlp_dim, iou_head_hidden_dim=cfg.iou_head_hidden,
+    )
+    torch.manual_seed(seed)
+    hf = SamModel(HFSamConfig(vision_config=vis, prompt_encoder_config=prm,
+                              mask_decoder_config=dec)).eval()
+    with torch.no_grad():  # _init_weights zeroes these; randomize them
+        for layer in hf.vision_encoder.layers:
+            layer.attn.rel_pos_h.normal_(0, 0.02)
+            layer.attn.rel_pos_w.normal_(0, 0.02)
+        hf.vision_encoder.pos_embed.normal_(0, 0.02)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    return convert_hf_state_dict(sd, cfg)
+
+
 # ---------------------------------------------------------------------------
 # HF weight conversion
 # ---------------------------------------------------------------------------

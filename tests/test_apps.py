@@ -457,6 +457,44 @@ def test_directory_video_source_davis_layout(tmp_path):
         src.load("bear", [2])
 
 
+def test_parse_clicks():
+    from d3fields_tpu.apps.click_track import parse_clicks
+
+    groups = parse_clicks("120,80;200,150,0|340.5,200")
+    assert len(groups) == 2
+    pts, lbls = groups[0]
+    np.testing.assert_allclose(pts, [[120, 80], [200, 150]])
+    assert lbls.tolist() == [1, 0]
+    pts1, lbls1 = groups[1]
+    np.testing.assert_allclose(pts1, [[340.5, 200]])
+    assert lbls1.tolist() == [1]
+    with pytest.raises(ValueError, match="bad click"):
+        parse_clicks("1,2,3,4")
+
+
+@pytest.mark.slow
+def test_click_track_synthetic(tmp_path):
+    """End-to-end click-to-track smoke: SAM point prompts seed objects on
+    frame 0 (random tiny weights), XMem propagates, index PNGs land."""
+    from PIL import Image
+
+    from d3fields_tpu.apps.click_track import main as ct_main
+
+    out = str(tmp_path / "ct")
+    rc = ct_main([
+        "--synthetic", "--frames", "3", "--size", "-1",
+        "--clicks", "40,60;100,30,0|120,90", "--refine", "1",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+        "--out", out,
+    ])
+    assert rc == 0
+    vdir = os.path.join(out, "synthetic_0")
+    outs = sorted(os.listdir(vdir))
+    assert outs == ["00000.png", "00001.png", "00002.png"]
+    seed = np.array(Image.open(os.path.join(vdir, "00000.png")))
+    assert seed.shape == (120, 160) and seed.max() <= 2
+
+
 @pytest.mark.slow
 def test_eval_xmem_davis_layout(tmp_path):
     """End-to-end eval over a real DAVIS-style checkout: .jpg frames under
