@@ -52,10 +52,18 @@ def build_parser():
 
 
 def parse_clicks(spec: str):
-    """'x,y[,label];...|...' -> list of (points (P, 2) f32, labels (P,) i32)
-    per object."""
+    """'[@T:]x,y[,label];...|...' -> list of (frame T, points (P, 2) f32,
+    labels (P,) i32) per object. ``@T:`` seeds that object at frame T
+    (default 0) — mid-video entry, like drawing a new object partway
+    through an interactive session."""
     groups = []
     for grp in spec.split("|"):
+        at = 0
+        if grp.startswith("@"):
+            head, _, grp = grp.partition(":")
+            if not _:
+                raise ValueError(f"bad group {grp!r}: want '@T:clicks'")
+            at = int(head[1:])
         pts, lbls = [], []
         for c in grp.split(";"):
             parts = [float(v) for v in c.split(",")]
@@ -63,7 +71,7 @@ def parse_clicks(spec: str):
                 raise ValueError(f"bad click {c!r}: want x,y or x,y,label")
             pts.append(parts[:2])
             lbls.append(int(parts[2]) if len(parts) == 3 else 1)
-        groups.append((np.asarray(pts, np.float32),
+        groups.append((at, np.asarray(pts, np.float32),
                        np.asarray(lbls, np.int32)))
     if not groups:
         raise ValueError("no click groups given")
@@ -101,23 +109,24 @@ def _xmem(args, cfg):
     return N.init_params(jax.random.PRNGKey(1), cfg)
 
 
-def seed_mask_from_clicks(predictor, rgb0: np.ndarray, groups,
+def seed_mask_from_clicks(predictor, rgb: np.ndarray, groups,
                           refine: int = 0) -> np.ndarray:
-    """Run each click group through SAM (best-IoU channel of the
-    multimask output, like upstream's select-best default); later objects
-    overwrite earlier ones where masks overlap. ``refine`` extra rounds
-    feed the winning low-res logits back as the mask prompt."""
-    H, W = rgb0.shape[:2]
-    predictor.set_image(rgb0)
+    """Run each click group (object_id, points, labels) through SAM
+    (best-IoU channel of the multimask output, like upstream's
+    select-best default); later objects overwrite earlier ones where
+    masks overlap. ``refine`` extra rounds feed the winning low-res
+    logits back as the mask prompt."""
+    H, W = rgb.shape[:2]
+    predictor.set_image(rgb)
     mask = np.zeros((H, W), np.uint8)
-    for i, (pts, lbls) in enumerate(groups):
+    for obj_id, pts, lbls in groups:
         m, iou, low = predictor.predict_points(pts[None], lbls[None])
         best = int(np.argmax(iou[0]))
         for _ in range(refine):
             m, iou, low = predictor.predict_points(
                 pts[None], lbls[None], mask_input=low[:, best])
             best = int(np.argmax(iou[0]))
-        mask[m[0, best]] = i + 1
+        mask[m[0, best]] = obj_id
     return mask
 
 
@@ -172,27 +181,51 @@ def main(argv=None):
                       hidden_dim=args.hidden_dim)
     xparams = _xmem(args, xcfg)
 
+    # group clicks by seed frame; object ids follow the group order
+    by_frame = {}
+    for i, (at, pts, lbls) in enumerate(groups):
+        by_frame.setdefault(at, []).append((i + 1, pts, lbls))
+    start = min(by_frame)
+    multi_group = len(by_frame) > 1
+    if multi_group and xcfg.enable_long_term:
+        import dataclasses
+
+        # mid-video entry needs the bounded working memory (see
+        # eval_xmem / models/xmem/memory.py)
+        xcfg = dataclasses.replace(xcfg, enable_long_term=False)
+        print("[click_track] objects enter mid-video -> long-term memory "
+              "disabled")
+
     tp = Throughput()
     for vid, get_rgb, n_frames in videos:
-        rgb0 = np.ascontiguousarray(get_rgb(0))
-        mask0 = seed_mask_from_clicks(predictor, rgb0, groups,
+        rgb0 = np.ascontiguousarray(get_rgb(start))
+        mask0 = seed_mask_from_clicks(predictor, rgb0, by_frame[start],
                                       refine=args.refine)
         vdir = os.path.join(args.out, vid)
         os.makedirs(vdir, exist_ok=True)
-        save_index_mask_png(os.path.join(vdir, "00000.png"), mask0)
+        save_index_mask_png(os.path.join(vdir, f"{start:05d}.png"), mask0)
         tracker = VideoMaskTracker(
             xparams, xcfg, num_views=1, num_objects=len(groups),
             image_hw=rgb0.shape[:2], size=args.size,
+            multi_group=multi_group,
         )
         tracker.process(rgb0[None], mask0[None], return_index=True)
-        for t in range(1, n_frames):
+        for t in range(start + 1, n_frames):
             rgb = np.ascontiguousarray(get_rgb(t))
             tp.start()
-            idx = tracker.process(rgb[None], return_index=True)
+            if t in by_frame:
+                # new objects enter: SAM-decode their clicks on this
+                # frame, feed the entering mask to the tracker
+                mt = seed_mask_from_clicks(predictor, rgb, by_frame[t],
+                                           refine=args.refine)
+                idx = tracker.process(rgb[None], mt[None],
+                                      return_index=True)
+            else:
+                idx = tracker.process(rgb[None], return_index=True)
             tp.stop(units=1, result_tree=None)
             save_index_mask_png(os.path.join(vdir, f"{t:05d}.png"), idx[0])
         print(f"[click_track] {vid}: seeded {len(groups)} object(s) from "
-              f"clicks, propagated {n_frames - 1} frames")
+              f"clicks, propagated {n_frames - start - 1} frames")
     print(f"[click_track] FPS: {tp.per_second:.2f}")
     return 0
 

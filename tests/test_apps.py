@@ -460,16 +460,20 @@ def test_directory_video_source_davis_layout(tmp_path):
 def test_parse_clicks():
     from d3fields_tpu.apps.click_track import parse_clicks
 
-    groups = parse_clicks("120,80;200,150,0|340.5,200")
+    groups = parse_clicks("120,80;200,150,0|@3:340.5,200")
     assert len(groups) == 2
-    pts, lbls = groups[0]
+    at, pts, lbls = groups[0]
+    assert at == 0
     np.testing.assert_allclose(pts, [[120, 80], [200, 150]])
     assert lbls.tolist() == [1, 0]
-    pts1, lbls1 = groups[1]
+    at1, pts1, lbls1 = groups[1]
+    assert at1 == 3  # mid-video entry frame
     np.testing.assert_allclose(pts1, [[340.5, 200]])
     assert lbls1.tolist() == [1]
     with pytest.raises(ValueError, match="bad click"):
         parse_clicks("1,2,3,4")
+    with pytest.raises(ValueError, match="bad group"):
+        parse_clicks("@3")
 
 
 @pytest.mark.slow
@@ -482,17 +486,21 @@ def test_click_track_synthetic(tmp_path):
 
     out = str(tmp_path / "ct")
     rc = ct_main([
-        "--synthetic", "--frames", "3", "--size", "-1",
-        "--clicks", "40,60;100,30,0|120,90", "--refine", "1",
+        "--synthetic", "--frames", "4", "--size", "-1",
+        # object 1 at frame 0 (fg + bg click, 1 refine round); object 2
+        # enters mid-video at frame 2 via its own clicks
+        "--clicks", "40,60;100,30,0|@2:120,90", "--refine", "1",
         "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
         "--out", out,
     ])
     assert rc == 0
     vdir = os.path.join(out, "synthetic_0")
     outs = sorted(os.listdir(vdir))
-    assert outs == ["00000.png", "00001.png", "00002.png"]
+    assert outs == [f"{t:05d}.png" for t in range(4)]
     seed = np.array(Image.open(os.path.join(vdir, "00000.png")))
     assert seed.shape == (120, 160) and seed.max() <= 2
+    last = np.array(Image.open(os.path.join(vdir, "00003.png")))
+    assert last.max() <= 2 and np.isfinite(last).all()
 
 
 @pytest.mark.slow
