@@ -47,6 +47,11 @@ def build_parser():
     p.add_argument("--key_dim", type=int, default=64)
     p.add_argument("--value_dim", type=int, default=512)
     p.add_argument("--hidden_dim", type=int, default=64)
+    # memory sizing (mid-video entry runs with long-term memory off, so
+    # size the bounded working memory to the video — see eval_xmem)
+    p.add_argument("--mem_every", type=int, default=5)
+    p.add_argument("--top_k", type=int, default=30)
+    p.add_argument("--max_mid_term_frames", type=int, default=10)
     p.add_argument("--out", default="out/click_track")
     return p
 
@@ -56,34 +61,50 @@ def parse_clicks(spec: str):
     labels (P,) i32) per object. ``@T:`` seeds that object at frame T
     (default 0) — mid-video entry, like drawing a new object partway
     through an interactive session."""
+    if not spec or not spec.strip():
+        raise ValueError("no click groups given")
     groups = []
-    for grp in spec.split("|"):
-        at = 0
+    for raw in spec.split("|"):
+        grp, at = raw, 0
         if grp.startswith("@"):
-            head, _, grp = grp.partition(":")
-            if not _:
-                raise ValueError(f"bad group {grp!r}: want '@T:clicks'")
+            head, sep, grp = grp.partition(":")
+            if not sep or not grp:
+                raise ValueError(f"bad group {raw!r}: want '@T:clicks'")
             at = int(head[1:])
         pts, lbls = [], []
         for c in grp.split(";"):
-            parts = [float(v) for v in c.split(",")]
+            parts = [float(v) for v in c.split(",")] if c.strip() else []
             if len(parts) not in (2, 3):
                 raise ValueError(f"bad click {c!r}: want x,y or x,y,label")
+            lab = int(parts[2]) if len(parts) == 3 else 1
+            if lab not in (0, 1):
+                raise ValueError(
+                    f"bad click label {lab} in {c!r}: 1 = foreground, "
+                    "0 = background"
+                )
             pts.append(parts[:2])
-            lbls.append(int(parts[2]) if len(parts) == 3 else 1)
+            lbls.append(lab)
         groups.append((at, np.asarray(pts, np.float32),
                        np.asarray(lbls, np.int32)))
-    if not groups:
-        raise ValueError("no click groups given")
     return groups
+
+
+def _resolve_ckpt(explicit, env_var, what):
+    """A configured-but-missing checkpoint path fails loudly (a typo must
+    not silently produce random-weight noise); only a fully unset one
+    falls back to smoke mode (returns None)."""
+    ckpt = explicit or os.environ.get(env_var)
+    if ckpt and not os.path.exists(ckpt):
+        raise FileNotFoundError(f"{what} checkpoint not found: {ckpt}")
+    return ckpt
 
 
 def _sam_predictor(args):
     from d3fields_tpu.models.sam.model import SamConfig, random_params
     from d3fields_tpu.models.sam.predictor import SamPredictor
 
-    ckpt = args.sam_ckpt or os.environ.get("D3F_SAM_CKPT")
-    if ckpt and os.path.exists(ckpt):
+    ckpt = _resolve_ckpt(args.sam_ckpt, "D3F_SAM_CKPT", "SAM")
+    if ckpt:
         from d3fields_tpu.apps._backends import _load_family_params
 
         params, cfg = _load_family_params(ckpt, "sam", None)
@@ -99,8 +120,8 @@ def _xmem(args, cfg):
 
     from d3fields_tpu.models.xmem import network as N
 
-    ckpt = args.xmem_ckpt or os.environ.get("D3F_XMEM_CKPT")
-    if ckpt and os.path.exists(ckpt):
+    ckpt = _resolve_ckpt(args.xmem_ckpt, "D3F_XMEM_CKPT", "XMem")
+    if ckpt:
         from d3fields_tpu.apps._backends import _load_family_params
 
         params, _ = _load_family_params(ckpt, "xmem", cfg)
@@ -142,7 +163,8 @@ def main(argv=None):
     if args.synthetic:
         from d3fields_tpu.utils.synthetic import render_sphere_scene
 
-        n_frames = max(args.frames, 2)
+        # synthetic videos have no natural end: <=0 picks a default run
+        n_frames = 8 if args.frames <= 0 else max(args.frames, 2)
 
         def get_rgb(t):
             offs = np.array([[0.008 * t, 0.004 * t, 0.0],
@@ -178,7 +200,9 @@ def main(argv=None):
     groups = parse_clicks(args.clicks)
     predictor = _sam_predictor(args)
     xcfg = XMemConfig(key_dim=args.key_dim, value_dim=args.value_dim,
-                      hidden_dim=args.hidden_dim)
+                      hidden_dim=args.hidden_dim, mem_every=args.mem_every,
+                      top_k=args.top_k,
+                      max_mid_term_frames=args.max_mid_term_frames)
     xparams = _xmem(args, xcfg)
 
     # group clicks by seed frame; object ids follow the group order
@@ -198,6 +222,13 @@ def main(argv=None):
 
     tp = Throughput()
     for vid, get_rgb, n_frames in videos:
+        late = [t for t in by_frame if t >= n_frames]
+        if late:
+            raise SystemExit(
+                f"seed frame(s) {sorted(late)} are past the end of "
+                f"{vid!r} ({n_frames} frames; --frames caps it) — those "
+                "objects would silently never enter"
+            )
         rgb0 = np.ascontiguousarray(get_rgb(start))
         mask0 = seed_mask_from_clicks(predictor, rgb0, by_frame[start],
                                       refine=args.refine)
@@ -212,15 +243,17 @@ def main(argv=None):
         tracker.process(rgb0[None], mask0[None], return_index=True)
         for t in range(start + 1, n_frames):
             rgb = np.ascontiguousarray(get_rgb(t))
-            tp.start()
             if t in by_frame:
                 # new objects enter: SAM-decode their clicks on this
-                # frame, feed the entering mask to the tracker
+                # frame (outside the tracking-FPS clock), feed the
+                # entering mask to the tracker
                 mt = seed_mask_from_clicks(predictor, rgb, by_frame[t],
                                            refine=args.refine)
+                tp.start()
                 idx = tracker.process(rgb[None], mt[None],
                                       return_index=True)
             else:
+                tp.start()
                 idx = tracker.process(rgb[None], return_index=True)
             tp.stop(units=1, result_tree=None)
             save_index_mask_png(os.path.join(vdir, f"{t:05d}.png"), idx[0])

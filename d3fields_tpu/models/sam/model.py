@@ -499,10 +499,11 @@ def sam_decode_points(params: Params, image_emb: Array, points: Array,
         )
 
 
-def random_params(cfg: SamConfig, seed: int = 0) -> Params:
-    """Random-weight params for smoke/test runs (no checkpoint): a
-    randomly-initialized HF ``SamModel`` at ``cfg``'s scale, converted
-    through the same audited path real checkpoints take."""
+def build_random_hf(cfg: SamConfig, seed: int = 0):
+    """A randomly-initialized HF ``SamModel`` at ``cfg``'s scale — the
+    oracle/smoke-mode weight source (tests compare against it;
+    :func:`random_params` converts it). One builder so the test oracle
+    and smoke-mode weights can't drift apart."""
     import torch
     from transformers import (
         SamConfig as HFSamConfig, SamMaskDecoderConfig, SamModel,
@@ -535,6 +536,13 @@ def random_params(cfg: SamConfig, seed: int = 0) -> Params:
             layer.attn.rel_pos_h.normal_(0, 0.02)
             layer.attn.rel_pos_w.normal_(0, 0.02)
         hf.vision_encoder.pos_embed.normal_(0, 0.02)
+    return hf
+
+
+def random_params(cfg: SamConfig, seed: int = 0) -> Params:
+    """Random-weight params for smoke/test runs (no checkpoint),
+    converted through the same audited path real checkpoints take."""
+    hf = build_random_hf(cfg, seed)
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     return convert_hf_state_dict(sd, cfg)
 

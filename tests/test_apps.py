@@ -480,6 +480,9 @@ def test_parse_clicks():
 def test_click_track_synthetic(tmp_path):
     """End-to-end click-to-track smoke: SAM point prompts seed objects on
     frame 0 (random tiny weights), XMem propagates, index PNGs land."""
+    # smoke-mode SAM weights come from a random HF model
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
     from PIL import Image
 
     from d3fields_tpu.apps.click_track import main as ct_main

@@ -14,40 +14,10 @@ transformers = pytest.importorskip("transformers")
 
 @pytest.fixture(scope="module")
 def oracle():
-    from transformers import (
-        SamConfig, SamMaskDecoderConfig, SamModel, SamPromptEncoderConfig,
-        SamVisionConfig,
-    )
-
-    vis = SamVisionConfig(
-        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
-        image_size=64, patch_size=8, output_channels=16, window_size=14,
-        global_attn_indexes=[1], num_pos_feats=8, mlp_ratio=4,
-    )
-    prm = SamPromptEncoderConfig(
-        hidden_size=16, image_embedding_size=8, image_size=64, patch_size=8,
-    )
-    dec = SamMaskDecoderConfig(
-        hidden_size=16, num_attention_heads=2, mlp_dim=64,
-        iou_head_hidden_dim=16,
-    )
-    torch.manual_seed(0)
-    hf = SamModel(SamConfig(vision_config=vis, prompt_encoder_config=prm,
-                            mask_decoder_config=dec)).eval()
-    # the zero-init rel-pos/pos-embed of _init_weights make parity trivial;
-    # randomize them like a trained checkpoint would be
-    with torch.no_grad():
-        for layer in hf.vision_encoder.layers:
-            layer.attn.rel_pos_h.normal_(0, 0.02)
-            layer.attn.rel_pos_w.normal_(0, 0.02)
-        hf.vision_encoder.pos_embed.normal_(0, 0.02)
-
-    cfg = S.SamConfig(
-        hidden_size=32, num_layers=2, num_heads=2, mlp_dim=128, patch_size=8,
-        image_size=64, window_size=14, global_attn_indexes=(1,),
-        output_channels=16, prompt_hidden=16, decoder_heads=2,
-        decoder_mlp_dim=64, iou_head_hidden=16,
-    )
+    # one builder for oracle + smoke-mode weights (model.build_random_hf),
+    # so the two can't drift apart
+    cfg = S.SamConfig.tiny_test()
+    hf = S.build_random_hf(cfg, seed=0)
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     params = S.convert_hf_state_dict(sd, cfg)
     return hf, params, cfg
