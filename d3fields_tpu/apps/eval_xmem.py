@@ -191,6 +191,7 @@ def main(argv=None):
     tp = Throughput()
     ious = []
     jfs = []
+    per_video = {}
     for vid, get_rgb, get_mask, n_frames in videos():
         # Seed frames = annotations that INTRODUCE unseen object ids (the
         # YouTubeVOS first-appearance protocol the reference eval follows:
@@ -224,6 +225,7 @@ def main(argv=None):
             vcfg = dataclasses.replace(cfg, enable_long_term=False)
             print(f"[eval_xmem] {vid}: objects enter mid-video at "
                   f"{sorted(seeds)[1:]} -> long-term memory disabled")
+        vid_jfs = []
         rgb0, m0 = get_rgb(start), seeds[start]
         tracker = VideoMaskTracker(
             params, vcfg, num_views=1, num_objects=num_obj,
@@ -280,9 +282,32 @@ def main(argv=None):
                 if multi_group:
                     gt_ids = np.unique(gt)
                     gt_ids = gt_ids[gt_ids > 0].tolist()
-                jfs.append(davis_jf(pred, gt, num_obj, objects=gt_ids))
+                m = davis_jf(pred, gt, num_obj, objects=gt_ids)
+                jfs.append(m)
+                vid_jfs.append(m)
         print(f"[eval_xmem] {vid}: {n_frames - start - 1} frames propagated"
               + (f" ({len(seeds)} annotation frames)" if multi_group else ""))
+        if vid_jfs:
+            # per-sequence breakdown, like davis2017-evaluation's CSV
+            per_video[vid] = {
+                "J": float(np.mean([m["J"] for m in vid_jfs])),
+                "F": float(np.mean([m["F"] for m in vid_jfs])),
+                "frames_scored": len(vid_jfs),
+            }
+            per_video[vid]["JF"] = (per_video[vid]["J"]
+                                    + per_video[vid]["F"]) / 2
+    if per_video:
+        import json
+
+        blob = dict(per_video)
+        blob["global"] = {
+            "J": float(np.mean([m["J"] for m in jfs])),
+            "F": float(np.mean([m["F"] for m in jfs])),
+            "fg_iou": float(np.mean(ious)) if ious else None,
+            "fps": tp.per_second,
+        }
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(blob, f, indent=1)
     line = f"[eval_xmem] FPS: {tp.per_second:.2f}"
     if ious:
         line += f", fg-IoU vs GT: {np.mean(ious):.3f}"

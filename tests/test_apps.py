@@ -185,11 +185,14 @@ def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
     for t in range(T):
         img = (rs.rand(H, W, 3) * 255).astype(np.uint8)
         cv2.imwrite(str(vdir / "frames" / f"{t:05d}.png"), img)
-    m = np.zeros((H, W), np.uint8)
-    m[10:30, 20:44] = 1
-    pal_img = Image.fromarray(m, mode="P")
-    pal_img.putpalette([0, 0, 0, 128, 0, 0] + [0] * (254 * 3))
-    pal_img.save(str(vdir / "masks" / "00000.png"))
+    # densely annotated gt (DAVIS-style): every frame has a paletted mask;
+    # frame 0 seeds the tracker, frames 1..T-1 are scored
+    for t in range(T):
+        m = np.zeros((H, W), np.uint8)
+        m[10 + t : 30 + t, 20:44] = 1
+        pal_img = Image.fromarray(m, mode="P")
+        pal_img.putpalette([0, 0, 0, 128, 0, 0] + [0] * (254 * 3))
+        pal_img.save(str(vdir / "masks" / f"{t:05d}.png"))
 
     out = str(tmp_path / "out")
     rc = eval_main([
@@ -204,6 +207,15 @@ def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
     assert outs == ["00001.png", "00002.png", "00003.png"]
     pred = np.array(Image.open(os.path.join(out, "vid0", "00001.png")))
     assert pred.max() <= 1  # paletted PNG round-trips INDICES
+    # per-sequence metrics breakdown (davis2017-evaluation's CSV analogue)
+    import json
+
+    with open(os.path.join(out, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert set(metrics) == {"vid0", "global"}
+    assert metrics["vid0"]["frames_scored"] == 3
+    assert 0.0 <= metrics["vid0"]["JF"] <= 1.0
+    assert metrics["global"]["fps"] > 0
 
 
 def test_video_dirs_layouts(tmp_path):
