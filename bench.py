@@ -268,6 +268,26 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
           f"({1.0/dt:.2f} FPS; reference XMem-only claim ~20 FPS, "
           f"XMem/README.md:34)", file=sys.stderr)
 
+    # pipelined serving: defer the host fetch by one frame
+    # (serving.AsyncFrameLoop) so frame t's result crosses the host
+    # boundary while frame t+1 computes — same outputs, the per-frame
+    # sync (a full tunnel round trip on remote TPU) hides behind compute
+    from d3fields_tpu.serving import AsyncFrameLoop
+
+    fetched = []
+    sink = AsyncFrameLoop(
+        lambda fid, pts: fetched.append(pts.reshape(-1)[0]), depth=1)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        st = frame(None)
+        out = rigid_tracking_jit(st, src, kp, lo, hi, tcfg)
+        sink.submit(i, out["match_pts"])
+    sink.flush()
+    dt2 = (time.perf_counter() - t0) / frames
+    print(f"[bench] pipeline frame, pipelined depth=1 (AsyncFrameLoop): "
+          f"{dt2*1e3:.1f} ms/frame ({1.0/dt2:.2f} FPS, "
+          f"{dt/dt2:.2f}x vs synced)", file=sys.stderr)
+
 
 def main(argv=None):
     import argparse

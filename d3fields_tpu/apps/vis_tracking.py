@@ -43,14 +43,23 @@ def build_parser():
     p.add_argument("--z_upper", type=float, default=0.02)
     p.add_argument("--kypts_z_lower", type=float, default=-0.2)
     p.add_argument("--kypts_z_upper", type=float, default=-0.02)
+    p.add_argument("--pipeline_depth", type=int, default=0,
+                   help="frames of host-visible lag: device work for frame "
+                        "t+1 dispatches before frame t's video/pickle "
+                        "writes (serving.AsyncFrameLoop). 0 = the "
+                        "reference's synchronous loop; outputs are "
+                        "identical either way")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+
     from d3fields_tpu.fields.fusion import Fusion
+    from d3fields_tpu.serving import AsyncFrameLoop
     from d3fields_tpu.track.keypoints import select_keypoints
-    from d3fields_tpu.track.rigid import rigid_tracking
+    from d3fields_tpu.track.rigid import rigid_tracking_jit
     from d3fields_tpu.utils.io import save_pickle
     from d3fields_tpu.utils.visualization import TrackVis, jet_colors
 
@@ -115,9 +124,22 @@ def main(argv=None):
 
     tracker = None
     track_info = {}
-    match_pts_list = None
     cfg = TrackingConfig(iters=args.iters)
+    src_feats_dev = lo = hi = last_match = None
 
+    def consume(frame_ctx, match_pts):
+        # host side of the pipeline: video frame + per-frame pickle
+        # (reference vis_tracking.py:136-138); runs `pipeline_depth`
+        # frames behind device dispatch
+        t, color, t0 = frame_ctx
+        pts_list = [match_pts[i] for i in range(match_pts.shape[0])]
+        tracker.visualize_match_pts(pts_list, color, track_info)
+        save_pickle(os.path.join(args.out, f"match_pts_{t:06d}.pkl"),
+                    pts_list)
+        print(f"[vis_tracking] frame {t}: {time.perf_counter() - t0:.2f}s "
+              f"submit-to-consume, {sum(p.shape[0] for p in pts_list)} pts")
+
+    loop = AsyncFrameLoop(consume, depth=args.pipeline_depth)
     for t in range(frames):
         t0 = time.perf_counter()
         scene = get_frame(t)
@@ -142,24 +164,30 @@ def main(argv=None):
                 track_info[f"inst_{i}"] = {
                     "src_feats": f, "src_pts": p, "src_pts_color": colors,
                 }
-            match_pts_list = [np.array(p) for p in src_pts]
             save_pickle(os.path.join(args.out, "src_feats.pkl"), track_info)
             tracker = TrackVis(obs["pose"], obs["K"], args.out)
+            # device-side tracking chain state (stays on device across
+            # frames so the per-frame loop never host-syncs; the only
+            # fetch is the AsyncFrameLoop consumer's)
+            src_feats_dev = jnp.concatenate(
+                [jnp.asarray(np.asarray(f)) for f in src_feats], axis=0)
+            b = boundaries.as_dict()
+            lo = jnp.asarray([b["x_lower"], b["y_lower"], b["z_lower"]],
+                             jnp.float32)
+            hi = jnp.asarray([b["x_upper"], b["y_upper"], b["z_upper"]],
+                             jnp.float32)
+            last_match = jnp.asarray(
+                np.stack([np.asarray(p) for p in src_pts]), jnp.float32)
 
         # the reference optimizes at EVERY frame including t=0 (refining the
         # FPS samples onto the field surface, vis_tracking.py:130-134)
-        res = rigid_tracking(
-            fusion.state, track_info, match_pts_list, boundaries,
-            match_pts_list[0].shape[0], cfg,
+        res = rigid_tracking_jit(
+            fusion.state, src_feats_dev, last_match, lo, hi, cfg,
         )
-        match_pts_list = res["match_pts_list"]
+        last_match = res["match_pts"]
+        loop.submit((t, obs["color"], t0), last_match)
 
-        tracker.visualize_match_pts(match_pts_list, obs["color"], track_info)
-        save_pickle(os.path.join(args.out, f"match_pts_{t:06d}.pkl"),
-                    match_pts_list)
-        print(f"[vis_tracking] frame {t}: {time.perf_counter() - t0:.2f}s, "
-              f"{sum(p.shape[0] for p in match_pts_list)} pts")
-
+    loop.flush()
     tracker.close()
     print(f"[vis_tracking] wrote {args.out}/tracking.mp4 + pickles")
     return 0

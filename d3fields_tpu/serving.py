@@ -1,0 +1,145 @@
+"""Software-pipelined serving loop: overlap device compute with host I/O.
+
+The reference's per-frame loops are fully synchronous: every frame runs
+``update -> text_queries -> rigid_tracking`` and then blocks on the GPU
+result before touching the next frame (``vis_tracking.py:70-138``;
+XMem's eval harness likewise syncs per frame via CUDA events,
+``XMem/eval.py:146-250``). On TPU — especially through a remote-tunnel
+runtime where every host fetch pays a network round trip — that sync is
+pure dead time: JAX dispatch is asynchronous, so the device could already
+be executing frame ``t+1`` while the host encodes video / writes pickles
+for frame ``t``.
+
+This module provides the two halves of that overlap:
+
+- :class:`AsyncFrameLoop` — submit per-frame *device* outputs and a host
+  consumer; fetches are deferred by ``depth`` frames so the device-side
+  chain of frame ``t+1`` is enqueued before frame ``t``'s results cross
+  the host boundary. ``depth=0`` degenerates to the reference's
+  synchronous behavior.
+- :func:`prefetch_to_device` — stage upcoming host frames onto the
+  device (``jax.device_put``) ahead of consumption, hiding H2D transfer
+  behind compute (the standard input-pipeline double buffer).
+
+Results are bit-identical to the synchronous loop — only *when* the host
+copy happens changes, never what is computed (tested:
+``tests/test_serving.py``).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["AsyncFrameLoop", "prefetch_to_device"]
+
+
+def _fetch(tree: Any) -> Any:
+    """Device pytree -> host numpy pytree (one blocking copy per leaf)."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
+
+
+class AsyncFrameLoop:
+    """Deferred-fetch frame pipeline.
+
+    ``submit(frame_id, outputs)`` enqueues a frame's *device* outputs
+    (any pytree; non-array leaves pass through). Once more than ``depth``
+    frames are in flight, the oldest is fetched to host numpy and handed
+    to ``consumer(frame_id, host_outputs)``. ``flush()`` drains the
+    queue; the loop is also a context manager that flushes on exit.
+
+    The producer must NOT host-sync inside its own frame step for the
+    overlap to materialize — keep the per-frame chain on device (e.g.
+    ``rigid_tracking_jit`` instead of the numpy-returning wrapper) and
+    let this loop do the only fetch.
+
+    ``depth`` is the host-visible latency in frames. Device memory holds
+    ``depth + 1`` frames of outputs; keep outputs small (match points,
+    masks) rather than full feature volumes when deep pipelines are used.
+    """
+
+    def __init__(self, consumer: Callable[[Any, Any], None], depth: int = 1):
+        if depth < 0:
+            raise ValueError(f"depth must be >= 0, got {depth}")
+        self._consumer = consumer
+        self._depth = depth
+        self._q: collections.deque = collections.deque()
+        self.frames_consumed = 0
+
+    @property
+    def depth(self) -> int:
+        return self._depth
+
+    @property
+    def in_flight(self) -> int:
+        return len(self._q)
+
+    def submit(self, frame_id: Any, outputs: Any) -> None:
+        self._q.append((frame_id, outputs))
+        while len(self._q) > self._depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        frame_id, outputs = self._q.popleft()
+        self._consumer(frame_id, _fetch(outputs))
+        self.frames_consumed += 1
+
+    def flush(self) -> None:
+        while self._q:
+            self._drain_one()
+
+    def __enter__(self) -> "AsyncFrameLoop":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        # don't mask an in-flight exception with consumer work on partial
+        # results; drain only on clean exit
+        if exc_type is None:
+            self.flush()
+
+
+def prefetch_to_device(
+    frames: Iterable[Any],
+    size: int = 2,
+    device: Optional[jax.Device] = None,
+    transform: Optional[Callable[[Any], Any]] = None,
+) -> Iterator[Any]:
+    """Yield frames with up to ``size`` staged on device ahead of use.
+
+    ``transform`` (host-side, e.g. decode/normalize) runs before the
+    ``jax.device_put``; numpy leaves become device arrays, everything
+    else passes through. With ``size >= 1`` the H2D copy of frame
+    ``t+size`` is issued while frame ``t`` computes (device_put is
+    asynchronous), hiding transfer latency behind compute.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+
+    def stage(f: Any) -> Any:
+        if transform is not None:
+            f = transform(f)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, device)
+            if isinstance(x, (np.ndarray, jax.Array)) else x,
+            f,
+        )
+
+    it = iter(frames)
+    buf: collections.deque = collections.deque()
+    try:
+        for _ in range(size):
+            buf.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out

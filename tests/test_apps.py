@@ -22,9 +22,12 @@ def test_vis_tracking_synthetic(tmp_path):
     from d3fields_tpu.apps.vis_tracking import main
 
     out = str(tmp_path / "track")
+    # --pipeline_depth 2 drives the AsyncFrameLoop serving path (host
+    # writes lag device dispatch by 2 frames); outputs are identical to
+    # the synchronous loop (tests/test_serving.py pins the equivalence)
     assert main([
         "--synthetic", "--frames", "3", "--num_kypts", "20",
-        "--iters", "60", "--out", out,
+        "--iters", "60", "--out", out, "--pipeline_depth", "2",
     ]) == 0
     assert os.path.exists(os.path.join(out, "tracking.mp4"))
     pts = [
