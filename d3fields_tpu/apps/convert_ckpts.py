@@ -7,13 +7,13 @@ one-time offline step: each family's state dict is converted under a
 key-coverage audit (fails on silently-dropped tensors) and stored as a
 ``.npz`` pytree that the apps load without importing torch.
 
-Usage:
-    python tools/convert_ckpts.py dinov2 /path/dinov2_vitl14.pth out/
-    python tools/convert_ckpts.py --hf dinov2 /path/hf_state.pth out/
-    python tools/convert_ckpts.py sam /path/sam_hf.pth out/
-    python tools/convert_ckpts.py gdino /path/gdino_hf.pth out/
-    python tools/convert_ckpts.py xmem /path/XMem.pth out/
-    python tools/convert_ckpts.py all out/        # paths from D3F_* env vars
+Usage (also installed as the ``d3f-convert-ckpts`` console script):
+    python -m d3fields_tpu.apps.convert_ckpts dinov2 /path/dinov2_vitl14.pth out/
+    python -m d3fields_tpu.apps.convert_ckpts --hf dinov2 /path/hf_state.pth out/
+    python -m d3fields_tpu.apps.convert_ckpts sam /path/sam_hf.pth out/
+    python -m d3fields_tpu.apps.convert_ckpts gdino /path/gdino_hf.pth out/
+    python -m d3fields_tpu.apps.convert_ckpts xmem /path/XMem.pth out/
+    python -m d3fields_tpu.apps.convert_ckpts all out/   # paths from D3F_* env vars
 
 Outputs ``<family>.npz``; point ``D3F_<FAMILY>_CKPT`` at either the
 original torch file or the converted ``.npz`` — the app backends accept
@@ -25,8 +25,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from d3fields_tpu.apps._backends import _load_torch_sd
 from d3fields_tpu.utils.convert import convert_family, save_params

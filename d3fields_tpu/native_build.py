@@ -16,9 +16,38 @@ from typing import Callable, Dict, Optional
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+# installed-wheel location: setup.py's build hook copies native/*.cpp here
+PKG_SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "_native_src")
 
 _LOCK = threading.Lock()
 _cache: Dict[str, Optional[ctypes.CDLL]] = {}
+
+
+def find_source(src_name: str) -> Optional[str]:
+    """Locate a C++ source: repo checkout layout first (``native/``),
+    then the packaged copy inside an installed wheel."""
+    for d in (NATIVE_DIR, PKG_SRC_DIR):
+        p = os.path.join(d, src_name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def lib_dir_for(src_path: str) -> str:
+    """Where to write the compiled ``.so``: next to the source when that
+    directory is writable (the checkout case — keeps the mtime staleness
+    check and reuse across venvs), else a per-user cache dir (read-only
+    site-packages installs)."""
+    d = os.path.dirname(src_path)
+    if os.access(d, os.W_OK):
+        return d
+    cache = os.environ.get(
+        "D3F_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "d3fields_tpu"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return cache
 
 
 def load_native(
@@ -36,14 +65,26 @@ def load_native(
     The build writes to a temp path and ``os.replace``s it so concurrent
     processes never load a half-written library.
     """
-    src = os.path.join(NATIVE_DIR, src_name)
-    lib_path = os.path.join(NATIVE_DIR, lib_name)
+    src = find_source(src_name)
+    if src is not None:
+        lib_path = os.path.join(lib_dir_for(src), lib_name)
+    else:
+        # no source shipped (unusual): fall back to a prebuilt .so if one
+        # exists in either location
+        lib_path = os.path.join(NATIVE_DIR, lib_name)
+        if not os.path.exists(lib_path):
+            lib_path = os.path.join(PKG_SRC_DIR, lib_name)
     with _LOCK:
         if lib_name in _cache:
             return _cache[lib_name]
         try:
+            if src is None and not os.path.exists(lib_path):
+                raise FileNotFoundError(
+                    f"native source {src_name} not found in {NATIVE_DIR} or "
+                    f"{PKG_SRC_DIR}, and no prebuilt {lib_name} exists"
+                )
             if (not os.path.exists(lib_path)) or (
-                os.path.exists(src)
+                src is not None
                 and os.path.getmtime(src) > os.path.getmtime(lib_path)
             ):
                 tmp = f"{lib_path}.build.{os.getpid()}"

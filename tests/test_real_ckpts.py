@@ -66,8 +66,7 @@ def test_real_conversion_consumes_every_tensor(family, env):
 
 def test_convert_tool_npz_roundtrip(tmp_path):
     path = _ckpt("D3F_DINOV2_CKPT")
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from convert_ckpts import convert_one
+    from d3fields_tpu.apps.convert_ckpts import convert_one
 
     out = convert_one("dinov2", path, str(tmp_path))
     loaded, meta = load_params(out)
