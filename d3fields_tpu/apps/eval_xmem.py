@@ -299,13 +299,25 @@ def main(argv=None):
     if per_video:
         import json
 
-        blob = dict(per_video)
-        blob["global"] = {
-            "J": float(np.mean([m["J"] for m in jfs])),
-            "F": float(np.mean([m["F"] for m in jfs])),
-            "fg_iou": float(np.mean(ious)) if ious else None,
-            "fps": tp.per_second,
+        # global J/F follow the davis2017-evaluation convention: mean of
+        # per-SEQUENCE means (not frame-weighted — a long video must not
+        # dominate), so `global` equals the mean of the per_video rows.
+        # frame-weighted means are kept under distinct names. Namespaced
+        # so a sequence directory named "global" cannot collide.
+        blob = {
+            "per_video": per_video,
+            "global": {
+                "J": float(np.mean([v["J"] for v in per_video.values()])),
+                "F": float(np.mean([v["F"] for v in per_video.values()])),
+                "J_frame_mean": float(np.mean([m["J"] for m in jfs])),
+                "F_frame_mean": float(np.mean([m["F"] for m in jfs])),
+                "fg_iou_frame_mean": (float(np.mean(ious)) if ious
+                                      else None),
+                "fps": tp.per_second,
+            },
         }
+        g = blob["global"]
+        g["JF"] = (g["J"] + g["F"]) / 2
         with open(os.path.join(args.out, "metrics.json"), "w") as f:
             json.dump(blob, f, indent=1)
     line = f"[eval_xmem] FPS: {tp.per_second:.2f}"

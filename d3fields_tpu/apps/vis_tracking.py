@@ -54,12 +54,12 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import jax.numpy as jnp
-
     from d3fields_tpu.fields.fusion import Fusion
     from d3fields_tpu.serving import AsyncFrameLoop
     from d3fields_tpu.track.keypoints import select_keypoints
-    from d3fields_tpu.track.rigid import rigid_tracking_jit
+    from d3fields_tpu.track.rigid import (
+        boundary_vectors, rigid_tracking_jit, stack_keypoints,
+    )
     from d3fields_tpu.utils.io import save_pickle
     from d3fields_tpu.utils.visualization import TrackVis, jet_colors
 
@@ -169,15 +169,8 @@ def main(argv=None):
             # device-side tracking chain state (stays on device across
             # frames so the per-frame loop never host-syncs; the only
             # fetch is the AsyncFrameLoop consumer's)
-            src_feats_dev = jnp.concatenate(
-                [jnp.asarray(np.asarray(f)) for f in src_feats], axis=0)
-            b = boundaries.as_dict()
-            lo = jnp.asarray([b["x_lower"], b["y_lower"], b["z_lower"]],
-                             jnp.float32)
-            hi = jnp.asarray([b["x_upper"], b["y_upper"], b["z_upper"]],
-                             jnp.float32)
-            last_match = jnp.asarray(
-                np.stack([np.asarray(p) for p in src_pts]), jnp.float32)
+            src_feats_dev, last_match = stack_keypoints(src_feats, src_pts)
+            lo, hi = boundary_vectors(boundaries)
 
         # the reference optimizes at EVERY frame including t=0 (refining the
         # FPS samples onto the field surface, vis_tracking.py:130-134)

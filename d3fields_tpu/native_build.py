@@ -9,6 +9,7 @@ is plain ctypes per the framework's no-pybind11 policy.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -67,7 +68,16 @@ def load_native(
     """
     src = find_source(src_name)
     if src is not None:
-        lib_path = os.path.join(lib_dir_for(src), lib_name)
+        lib_dir = lib_dir_for(src)
+        if lib_dir != os.path.dirname(src):
+            # shared user cache: key the artifact by source content so
+            # different installed versions never collide on one filename
+            # (mtime staleness is meaningless across wheel extractions)
+            with open(src, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            stem, ext = os.path.splitext(lib_name)
+            lib_name = f"{stem}-{digest}{ext}"
+        lib_path = os.path.join(lib_dir, lib_name)
     else:
         # no source shipped (unusual): fall back to a prebuilt .so if one
         # exists in either location

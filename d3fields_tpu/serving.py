@@ -85,8 +85,12 @@ class AsyncFrameLoop:
             self._drain_one()
 
     def _drain_one(self) -> None:
-        frame_id, outputs = self._q.popleft()
+        # pop only AFTER the consumer returns: a transient consumer error
+        # (e.g. ENOSPC mid-pickle) leaves the frame queued, so a caller
+        # that handles the error can flush() again without losing it
+        frame_id, outputs = self._q[0]
         self._consumer(frame_id, _fetch(outputs))
+        self._q.popleft()
         self.frames_consumed += 1
 
     def flush(self) -> None:

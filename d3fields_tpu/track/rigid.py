@@ -120,6 +120,28 @@ def rigid_tracking_jit(
     }
 
 
+def boundary_vectors(boundaries) -> Tuple[Array, Array]:
+    """Boundaries (config object or dict) -> (lo, hi) device vectors in
+    the axis order ``rigid_tracking_jit`` expects."""
+    b = boundaries.as_dict() if hasattr(boundaries, "as_dict") else boundaries
+    lo = jnp.asarray([b["x_lower"], b["y_lower"], b["z_lower"]], jnp.float32)
+    hi = jnp.asarray([b["x_upper"], b["y_upper"], b["z_upper"]], jnp.float32)
+    return lo, hi
+
+
+def stack_keypoints(src_feats_list, src_pts_list) -> Tuple[Array, Array]:
+    """Per-instance keypoint lists -> the ``rigid_tracking_jit`` device
+    layout: (sum_P, D) concatenated source features + (I, P, 3) stacked
+    points (all instances must share P)."""
+    feats = jnp.concatenate(
+        [jnp.asarray(np.asarray(f)) for f in src_feats_list], axis=0
+    )
+    pts = jnp.asarray(
+        np.stack([np.asarray(p) for p in src_pts_list]), jnp.float32
+    )
+    return feats, pts
+
+
 def rigid_tracking(
     state: FieldState,
     src_feat_info: Dict[str, Dict],
@@ -133,18 +155,13 @@ def rigid_tracking(
     ``last_match_pts_list`` is a list of (P, 3) arrays; returns
     {'match_pts_list': list of (P, 3) numpy arrays}.
     """
-    src_feats = jnp.concatenate(
-        [jnp.asarray(np.asarray(src_feat_info[k]["src_feats"])) for k in src_feat_info],
-        axis=0,
+    src_feats, last = stack_keypoints(
+        [src_feat_info[k]["src_feats"] for k in src_feat_info],
+        last_match_pts_list,
     )
-    last = np.stack([np.asarray(p) for p in last_match_pts_list], axis=0)
     assert last.shape[1] == rand_ptcl_num
-    b = boundaries.as_dict() if hasattr(boundaries, "as_dict") else boundaries
-    lo = jnp.asarray([b["x_lower"], b["y_lower"], b["z_lower"]], jnp.float32)
-    hi = jnp.asarray([b["x_upper"], b["y_upper"], b["z_upper"]], jnp.float32)
-    out = rigid_tracking_jit(
-        state, src_feats, jnp.asarray(last, jnp.float32), lo, hi, cfg
-    )
+    lo, hi = boundary_vectors(boundaries)
+    out = rigid_tracking_jit(state, src_feats, last, lo, hi, cfg)
     match = np.asarray(out["match_pts"])
     return {
         "match_pts_list": [match[i] for i in range(match.shape[0])],

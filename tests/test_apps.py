@@ -215,9 +215,13 @@ def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
 
     with open(os.path.join(out, "metrics.json")) as f:
         metrics = json.load(f)
-    assert set(metrics) == {"vid0", "global"}
-    assert metrics["vid0"]["frames_scored"] == 3
-    assert 0.0 <= metrics["vid0"]["JF"] <= 1.0
+    assert set(metrics) == {"per_video", "global"}
+    vid = metrics["per_video"]["vid0"]
+    assert vid["frames_scored"] == 3
+    assert 0.0 <= vid["JF"] <= 1.0
+    # single video: sequence-mean global == the one per-video row
+    assert metrics["global"]["J"] == pytest.approx(vid["J"])
+    assert metrics["global"]["JF"] == pytest.approx(vid["JF"])
     assert metrics["global"]["fps"] > 0
 
 

@@ -86,6 +86,27 @@ def test_context_manager_flushes_on_clean_exit_only():
     assert seen2 == []  # no consumer work on the error path
 
 
+def test_consumer_error_keeps_frame_queued_for_retry():
+    """A transient consumer failure (e.g. ENOSPC mid-write) must not drop
+    the frame: flush() after recovery delivers it."""
+    fail = {"on": True}
+    seen = []
+
+    def consumer(fid, out):
+        if fail["on"]:
+            raise OSError("disk full")
+        seen.append(fid)
+
+    loop = AsyncFrameLoop(consumer, depth=1)
+    loop.submit(0, jnp.zeros(1))
+    with pytest.raises(OSError):
+        loop.submit(1, jnp.zeros(1))  # forces a drain of frame 0 -> fails
+    assert loop.in_flight == 2  # nothing lost
+    fail["on"] = False
+    loop.flush()
+    assert seen == [0, 1]
+
+
 def test_invalid_depth_rejected():
     with pytest.raises(ValueError):
         AsyncFrameLoop(lambda *a: None, depth=-1)
