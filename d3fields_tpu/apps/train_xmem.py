@@ -226,8 +226,15 @@ def main(argv=None):
     cur_skip = args.max_jump
     finetuning = False
     step = 0
-    while int(state.it) < total_iters:
-        it = int(state.it)
+    # Input-pipeline overlap: train_step advances state.it by exactly 1
+    # (trainer.py TrainState it+1), so track the iteration host-side and
+    # defer the loss fetch to log boundaries — the old per-step
+    # int(state.it)/float(loss) syncs made the host wait out every device
+    # step before preparing the next batch; now batch t+1 loads and
+    # uploads while step t computes (JAX async dispatch).
+    it = int(state.it)  # one sync at entry (resume-aware)
+    pending_losses = []
+    while it < total_iters:
         if schedule:
             want = skip_at(schedule, it, initial=args.max_jump)
             if want != cur_skip:
@@ -251,18 +258,22 @@ def main(argv=None):
             start_warm=args.start_warm, end_warm=args.end_warm,
         )
         step += 1
-        integ.add_dict({"loss": float(out["loss"])})
+        it += 1
+        pending_losses.append(out["loss"])  # device scalar, fetched later
         if step % args.log_every == 0:
-            stats = integ.finalize("train", int(state.it))
+            for loss in pending_losses:
+                integ.add_dict({"loss": float(loss)})
+            pending_losses.clear()
+            stats = integ.finalize("train", it)
             integ.reset()
             dt = (time.perf_counter() - t0) / args.log_every
             t0 = time.perf_counter()
-            print(f"[train_xmem] it={int(state.it)} loss={stats['loss']:.4f} "
+            print(f"[train_xmem] it={it} loss={stats['loss']:.4f} "
                   f"{dt:.2f}s/step")
         if args.dump_images_every and step % args.dump_images_every == 0:
-            _dump_train_images(args.out, state, batch, cfg, TR, int(state.it))
+            _dump_train_images(args.out, state, batch, cfg, TR, it)
         if step % args.save_every == 0:
-            TR.save_checkpoint(os.path.join(args.out, f"ckpt_{int(state.it)}.pkl"),
+            TR.save_checkpoint(os.path.join(args.out, f"ckpt_{it}.pkl"),
                                state)
     TR.save_checkpoint(os.path.join(args.out, "ckpt_final.pkl"), state)
     logger.close()
