@@ -15,11 +15,12 @@ semantic descriptors, and instance-mask probabilities), designed TPU-first:
   view/point axes, not host loops.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from d3fields_tpu.config import Boundaries, D3FieldsConfig, FusionConfig
 from d3fields_tpu.fields.state import FieldState
 from d3fields_tpu.fields.fusion import Fusion, eval_field, eval_dist, batch_eval
+from d3fields_tpu.serving import AsyncFrameLoop, prefetch_to_device
 
 __all__ = [
     "Boundaries",
@@ -30,4 +31,6 @@ __all__ = [
     "eval_field",
     "eval_dist",
     "batch_eval",
+    "AsyncFrameLoop",
+    "prefetch_to_device",
 ]
