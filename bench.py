@@ -293,6 +293,23 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
           file=sys.stderr)
 
 
+def _default_backend_alive(timeout_s=240):
+    """Probe the default JAX backend in a SUBPROCESS so a wedged remote
+    TPU tunnel cannot hang the benchmark itself (observed: jax.devices()
+    blocking indefinitely while the tunnel service is down). The probe
+    pays one interpreter spin-up + tiny compile; killed on timeout."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "print(float((x @ x)[0, 0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(argv=None):
     import argparse
 
@@ -301,9 +318,23 @@ def main(argv=None):
                    help="also bench the XMem step, DINOv2 extraction, and "
                         "the full per-frame tracking pipeline (stderr "
                         "lines; the JSON contract is unchanged)")
+    p.add_argument("--no_probe", action="store_true",
+                   help="skip the backend liveness probe (saves ~30s when "
+                        "the TPU is known healthy)")
     args = p.parse_args(argv)
+    fallback = not args.no_probe and not _default_backend_alive()
+    if fallback:
+        print("[bench] WARNING: default JAX backend unresponsive (remote "
+              "tunnel down?) — falling back to CPU so a metric row is "
+              "still produced; these are NOT TPU numbers", file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     depth, pose, K, feats, mask = _scene()
-    tpu_pps = bench_tpu(depth, pose, K, feats, mask)
+    # on the CPU fallback, a smaller point count keeps the row cheap
+    # (pts/s is size-invariant at these scales)
+    tpu_pps = bench_tpu(depth, pose, K, feats, mask,
+                        n_pts=131072 if fallback else 1024 * 1024)
     ref_pps = bench_torch_reference(depth, pose, K, feats, mask)
     if args.all:
         bench_xmem()
