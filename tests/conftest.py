@@ -34,6 +34,26 @@ def pytest_configure(config):
     )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    After ~190 tests' worth of XLA CPU compilations in one process, the
+    compiler segfaults inside ``backend_compile_and_load`` on the next
+    large module (reproducible at tests/test_xmem.py::
+    test_full_video_parity_object_enters_midvideo when the FULL suite
+    runs in one process; every <=80-test subset passes, and the test
+    passes alone). Clearing jit caches at module boundaries bounds the
+    accumulated compiler state. Costs only recompiles across module
+    boundaries, which tests don't share anyway.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
