@@ -20,7 +20,9 @@ __version__ = "0.2.0"
 from d3fields_tpu.config import Boundaries, D3FieldsConfig, FusionConfig
 from d3fields_tpu.fields.state import FieldState
 from d3fields_tpu.fields.fusion import Fusion, eval_field, eval_dist, batch_eval
-from d3fields_tpu.serving import AsyncFrameLoop, prefetch_to_device
+from d3fields_tpu.serving import (
+    AsyncFrameLoop, host_prefetch, prefetch_to_device,
+)
 
 __all__ = [
     "Boundaries",
@@ -32,5 +34,6 @@ __all__ = [
     "eval_dist",
     "batch_eval",
     "AsyncFrameLoop",
+    "host_prefetch",
     "prefetch_to_device",
 ]

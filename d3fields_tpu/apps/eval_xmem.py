@@ -129,6 +129,7 @@ def main(argv=None):
     import time
 
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.serving import host_prefetch
     from d3fields_tpu.utils.profiling import Throughput
 
     cfg = make_config(args)
@@ -238,8 +239,12 @@ def main(argv=None):
             rgb0, m0 = rgb0[:, ::-1], m0[:, ::-1]
         tracker.process(np.ascontiguousarray(rgb0[None]),
                         np.ascontiguousarray(m0[None]), return_index=True)
-        for t in range(start + 1, n_frames):
-            rgb, gt = get_rgb(t), gts.get(t)
+        # decode upcoming frames in a background thread (2 ahead) so PNG
+        # reads overlap the tracker's device compute + mask writing
+        frame_stream = host_prefetch(
+            ((t, get_rgb(t)) for t in range(start + 1, n_frames)), size=2)
+        for t, rgb in frame_stream:
+            gt = gts.get(t)
             if args.flip:
                 rgb = np.ascontiguousarray(rgb[:, ::-1])
             tp.start()

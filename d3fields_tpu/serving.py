@@ -29,12 +29,14 @@ copy happens changes, never what is computed (tested:
 from __future__ import annotations
 
 import collections
+import queue
+import threading
 from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
 
 import jax
 import numpy as np
 
-__all__ = ["AsyncFrameLoop", "prefetch_to_device"]
+__all__ = ["AsyncFrameLoop", "host_prefetch", "prefetch_to_device"]
 
 
 def _fetch(tree: Any) -> Any:
@@ -105,6 +107,58 @@ class AsyncFrameLoop:
         # results; drain only on clean exit
         if exc_type is None:
             self.flush()
+
+
+def host_prefetch(items: Iterable[Any], size: int = 2) -> Iterator[Any]:
+    """Produce ``items`` in a background thread through a bounded queue.
+
+    Overlaps host-side production (image decode, disk reads, augmentation)
+    with whatever the consumer does per item — the producer runs while the
+    consumer computes, up to ``size`` items ahead. Order is preserved; a
+    producer exception re-raises at the consumer's next pull; closing the
+    iterator early (``.close()`` / ``break`` + GC) stops the producer
+    thread promptly instead of leaking it against a full queue.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    end = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in items:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(end, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    th = threading.Thread(target=worker, daemon=True, name="host_prefetch")
+    th.start()
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(

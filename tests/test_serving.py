@@ -11,7 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from d3fields_tpu.serving import AsyncFrameLoop, prefetch_to_device
+from d3fields_tpu.serving import (
+    AsyncFrameLoop, host_prefetch, prefetch_to_device,
+)
 
 
 @jax.jit
@@ -119,6 +121,57 @@ def test_prefetch_to_device_order_and_types():
     for t, f in enumerate(out):
         assert isinstance(f["img"], jax.Array)
         np.testing.assert_array_equal(np.asarray(f["img"]), t)
+
+
+def test_host_prefetch_order_and_overlap():
+    import threading
+
+    produced = []
+
+    def gen():
+        for i in range(20):
+            produced.append(i)
+            yield i
+
+    out = list(host_prefetch(gen(), size=3))
+    assert out == list(range(20)) and produced == out
+    # no stray producer threads left behind
+    assert not [t for t in threading.enumerate()
+                if t.name == "host_prefetch" and t.is_alive()]
+
+
+def test_host_prefetch_propagates_producer_error():
+    def gen():
+        yield 1
+        raise ValueError("decode failed")
+
+    it = host_prefetch(gen(), size=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="decode failed"):
+        list(it)
+
+
+def test_host_prefetch_early_close_stops_producer():
+    import threading
+    import time
+
+    state = {"produced": 0}
+
+    def gen():
+        while True:
+            state["produced"] += 1
+            yield state["produced"]
+
+    it = host_prefetch(gen(), size=2)
+    assert next(it) == 1
+    it.close()  # consumer abandons the stream
+    time.sleep(0.5)
+    # producer stopped near the queue bound instead of running away
+    assert state["produced"] <= 8
+    assert not [t for t in threading.enumerate()
+                if t.name == "host_prefetch" and t.is_alive()]
+    with pytest.raises(ValueError):
+        list(host_prefetch([], size=0))
 
 
 def test_prefetch_transform_and_short_streams():
