@@ -241,8 +241,14 @@ def main(argv=None):
             multi_group=multi_group,
         )
         tracker.process(rgb0[None], mask0[None], return_index=True)
-        for t in range(start + 1, n_frames):
-            rgb = np.ascontiguousarray(get_rgb(t))
+        # background-decode upcoming frames (serving.host_prefetch) so
+        # disk reads overlap the tracker's device compute
+        from d3fields_tpu.serving import host_prefetch
+
+        frame_stream = host_prefetch(
+            ((t, np.ascontiguousarray(get_rgb(t)))
+             for t in range(start + 1, n_frames)), size=2)
+        for t, rgb in frame_stream:
             if t in by_frame:
                 # new objects enter: SAM-decode their clicks on this
                 # frame (outside the tracking-FPS clock), feed the
