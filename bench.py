@@ -340,11 +340,16 @@ def main(argv=None):
         bench_xmem()
         bench_dinov2()
         bench_pipeline()
+    import jax
+
     print(json.dumps({
         "metric": "batch_eval_pts_per_sec",
         "value": round(tpu_pps, 1),
         "unit": "pts/s",
         "vs_baseline": round(tpu_pps / ref_pps, 2),
+        # machine-readable fallback marker: "cpu" here means the TPU
+        # tunnel was down and this row is NOT a TPU measurement
+        "backend": jax.default_backend(),
     }))
 
 

@@ -260,6 +260,11 @@ def main(argv=None):
         step += 1
         it += 1
         pending_losses.append(out["loss"])  # device scalar, fetched later
+        if len(pending_losses) > 4:
+            # backpressure: block on the OLDEST loss so at most ~4 staged
+            # batches are ever live on device (a large --log_every must
+            # not translate into unbounded run-ahead -> HBM growth)
+            integ.add_dict({"loss": float(pending_losses.pop(0))})
         if step % args.log_every == 0:
             for loss in pending_losses:
                 integ.add_dict({"loss": float(loss)})

@@ -121,6 +121,10 @@ def host_prefetch(items: Iterable[Any], size: int = 2) -> Iterator[Any]:
     """
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}")
+    # validate + start the producer THREAD eagerly (this is a plain
+    # function returning an inner generator): prefetch begins at call
+    # time, not at the consumer's first pull, and a bad `size` raises at
+    # the call site
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = threading.Event()
     end = object()
@@ -149,16 +153,37 @@ def host_prefetch(items: Iterable[Any], size: int = 2) -> Iterator[Any]:
 
     th = threading.Thread(target=worker, daemon=True, name="host_prefetch")
     th.start()
-    try:
-        while True:
-            item = q.get()
-            if item is end:
-                if err:
-                    raise err[0]
-                return
-            yield item
-    finally:
-        stop.set()
+    return _PrefetchIter(q, stop, end, err)
+
+
+class _PrefetchIter:
+    """Consumer side of :func:`host_prefetch`. A real iterator object (not
+    a generator) so the producer thread is stopped on EVERY abandonment
+    path — explicit ``close()``, ``break`` + GC, or never iterating at
+    all (a never-started generator's ``finally`` would not run)."""
+
+    def __init__(self, q, stop, end, err):
+        self._q, self._stop, self._end, self._err = q, stop, end, err
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if item is self._end:
+            self._stop.set()
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+
+    def __del__(self):
+        self._stop.set()
 
 
 def prefetch_to_device(
