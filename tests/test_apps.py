@@ -168,6 +168,51 @@ def test_train_xmem_staged_with_finetune_tail(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_xmem_long_video_memory_churn(tmp_path):
+    """App-level long-video stress: 40 frames through eval_xmem with a
+    tiny memory configuration so the REAL eval loop (not just the memory
+    unit tests) crosses many working-memory consolidations and long-term
+    evictions (memory_manager.py:152-189,211-284 semantics under the
+    static-capacity rebuild). Every frame must still produce a valid
+    index mask and the tracked spheres must stay foreground."""
+    from d3fields_tpu.apps.eval_xmem import main as eval_main
+
+    out = str(tmp_path / "out")
+    T = 40
+    rc = eval_main([
+        "--synthetic", "--frames", str(T), "--size", "48",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+        "--mem_every", "2", "--max_mid_term_frames", "4",
+        "--min_mid_term_frames", "2", "--num_prototypes", "4",
+        "--max_long_term_elements", "64", "--top_k", "5",
+        "--out", out,
+    ])
+    assert rc == 0
+    outs = sorted(os.listdir(os.path.join(out, "synthetic_0")))
+    assert [o for o in outs if o.endswith(".png")] == [
+        f"{t:05d}.png" for t in range(1, T)
+    ]
+    from PIL import Image
+
+    # late frames (long after several consolidation/eviction cycles)
+    # still segment both objects with sane label values
+    for t in (T // 2, T - 1):
+        pred = np.array(Image.open(
+            os.path.join(out, "synthetic_0", f"{t:05d}.png")))
+        assert pred.max() <= 2
+        assert (pred > 0).sum() > 50  # objects not lost
+    import json
+
+    with open(os.path.join(out, "metrics.json")) as f:
+        g = json.load(f)["global"]
+    # random weights only track coarsely over 40 drifting frames; the
+    # stress target is the memory machinery, not quality — require the
+    # prediction stays correlated with the objects, not accurate
+    assert g["fg_iou_frame_mean"] > 0.05
+    assert 0.0 <= g["J"] <= 1.0 and g["fps"] > 0
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("long_term", [True, False],
                          ids=["long_term", "disable_long_term"])
 def test_eval_xmem_directory_palette_masks(tmp_path, long_term):
