@@ -76,6 +76,14 @@ def build_parser():
                    help="also save per-object probability maps as .npy for "
                         "multi-scale/flip merging (XMem/eval.py "
                         "--save_scores; merge with apps.merge_scores)")
+    p.add_argument("--video_batch", type=int, default=1,
+                   help="evaluate up to N same-shape, same-object-count "
+                        "videos in lockstep on the tracker's vmapped view "
+                        "axis (one batched dispatch per frame instead of N "
+                        "sequential ones — the reference eval is strictly "
+                        "per-video). Identical outputs to per-video runs; "
+                        "multi-group videos fall back to the per-video "
+                        "path")
     return p
 
 
@@ -188,18 +196,21 @@ def main(argv=None):
                 yield vid, get_rgb, get_mask, n
 
     from d3fields_tpu.utils.metrics import davis_jf
+    from d3fields_tpu.utils.visualization import save_index_mask_png
 
     tp = Throughput()
     ious = []
     jfs = []
     per_video = {}
-    for vid, get_rgb, get_mask, n_frames in videos():
-        # Seed frames = annotations that INTRODUCE unseen object ids (the
-        # YouTubeVOS first-appearance protocol the reference eval follows:
-        # XMem/eval.py feeds `msk` whenever the dataset supplies one, and
-        # YTVOS supplies each object's mask at its first appearance only).
-        # Densely-annotated layouts (DAVIS train, generic frames/masks)
-        # thus seed on frame 0 alone; the rest is ground truth for scoring.
+
+    def scan_video(vid, get_rgb, get_mask, n_frames):
+        """Seed/gt scan. Seed frames = annotations that INTRODUCE unseen
+        object ids (the YouTubeVOS first-appearance protocol the reference
+        eval follows: XMem/eval.py feeds `msk` whenever the dataset
+        supplies one, and YTVOS supplies each object's mask at its first
+        appearance only). Densely-annotated layouts (DAVIS train, generic
+        frames/masks) thus seed on frame 0 alone; the rest is ground
+        truth for scoring."""
         seeds, seen, gts = {}, set(), {}
         for t in range(n_frames):
             m = get_mask(t)
@@ -212,41 +223,98 @@ def main(argv=None):
                 seen |= new_ids
         if not seeds:
             print(f"[eval_xmem] {vid}: no annotated objects, skipped")
-            continue
-        start = min(seeds)
-        num_obj = max(seen)
-        multi_group = len(seeds) > 1
+            return None
+        return {
+            "vid": vid, "get_rgb": get_rgb, "n": n_frames,
+            "seeds": seeds, "gts": gts, "start": min(seeds),
+            "num_obj": max(seen), "multi_group": len(seeds) > 1,
+        }
+
+    def emit_frame(rec, vdir, t, pred, prob, vid_jfs):
+        """Per-frame host output: paletted PNG with the DAVIS palette
+        (what the reference eval writes for davis2017-evaluation; indices
+        survive round-trip), optional soft scores, and J&F scoring."""
+        if args.flip:
+            pred = pred[:, ::-1]
+        pred = np.ascontiguousarray(pred)  # (H, W) uint8
+        save_index_mask_png(os.path.join(vdir, f"{t:05d}.png"), pred)
+        if args.save_scores:
+            # SOFT per-object probabilities (reference --save_scores
+            # semantics), not the argmaxed one-hot — merging runs
+            # averages real confidences
+            p = prob.transpose(1, 2, 0)
+            if args.flip:
+                p = p[:, ::-1]
+            np.save(os.path.join(vdir, f"{t:05d}.npy"), p.astype(np.float16))
+        # Seed frames are excluded from scoring: a first-appearance
+        # annotation was fed to the tracker (trivially right for the
+        # entering object) and leaves already-tracked objects as
+        # background (falsely zeroing their J/F). On sparse
+        # first-appearance datasets (multi_group) remaining annotations
+        # are partial too — score only the ids they contain; densely
+        # annotated gt (DAVIS) scores every object, absent = empty.
+        gt = rec["gts"].get(t)
+        if t not in rec["seeds"] and gt is not None and gt.max() > 0:
+            inter = ((pred > 0) & (gt > 0)).sum()
+            union = ((pred > 0) | (gt > 0)).sum()
+            ious.append(inter / max(union, 1))
+            gt_ids = None
+            if rec["multi_group"]:
+                gt_ids = np.unique(gt)
+                gt_ids = gt_ids[gt_ids > 0].tolist()
+            m = davis_jf(pred, gt, rec["num_obj"], objects=gt_ids)
+            jfs.append(m)
+            vid_jfs.append(m)
+
+    def finish_video(rec, vid_jfs):
+        print(f"[eval_xmem] {rec['vid']}: {rec['n'] - rec['start'] - 1} "
+              "frames propagated"
+              + (f" ({len(rec['seeds'])} annotation frames)"
+                 if rec["multi_group"] else ""))
+        if vid_jfs:
+            # per-sequence breakdown, like davis2017-evaluation's CSV
+            row = {
+                "J": float(np.mean([m["J"] for m in vid_jfs])),
+                "F": float(np.mean([m["F"] for m in vid_jfs])),
+                "frames_scored": len(vid_jfs),
+            }
+            row["JF"] = (row["J"] + row["F"]) / 2
+            per_video[rec["vid"]] = row
+
+    def flip_rgb(rgb):
+        return np.ascontiguousarray(rgb[:, ::-1]) if args.flip else rgb
+
+    def run_single(rec):
         vcfg = cfg
-        if multi_group and cfg.enable_long_term:
+        if rec["multi_group"] and cfg.enable_long_term:
             import dataclasses
 
             # mid-video entry needs the bounded working memory (the
             # reference's own multi-group + long-term path is broken:
             # kv_memory_store.py:146-151 raises on >1 group eviction)
             vcfg = dataclasses.replace(cfg, enable_long_term=False)
-            print(f"[eval_xmem] {vid}: objects enter mid-video at "
-                  f"{sorted(seeds)[1:]} -> long-term memory disabled")
+            print(f"[eval_xmem] {rec['vid']}: objects enter mid-video at "
+                  f"{sorted(rec['seeds'])[1:]} -> long-term memory disabled")
         vid_jfs = []
-        rgb0, m0 = get_rgb(start), seeds[start]
-        tracker = VideoMaskTracker(
-            params, vcfg, num_views=1, num_objects=num_obj,
-            image_hw=rgb0.shape[:2], size=args.size,
-            multi_group=multi_group,
-        )
-        vdir = os.path.join(args.out, vid)
-        os.makedirs(vdir, exist_ok=True)
+        seeds, start = rec["seeds"], rec["start"]
+        rgb0, m0 = flip_rgb(rec["get_rgb"](start)), seeds[start]
         if args.flip:
-            rgb0, m0 = rgb0[:, ::-1], m0[:, ::-1]
+            m0 = m0[:, ::-1]
+        tracker = VideoMaskTracker(
+            params, vcfg, num_views=1, num_objects=rec["num_obj"],
+            image_hw=rgb0.shape[:2], size=args.size,
+            multi_group=rec["multi_group"],
+        )
+        vdir = os.path.join(args.out, rec["vid"])
+        os.makedirs(vdir, exist_ok=True)
         tracker.process(np.ascontiguousarray(rgb0[None]),
                         np.ascontiguousarray(m0[None]), return_index=True)
         # decode upcoming frames in a background thread (2 ahead) so PNG
         # reads overlap the tracker's device compute + mask writing
         frame_stream = host_prefetch(
-            ((t, get_rgb(t)) for t in range(start + 1, n_frames)), size=2)
+            ((t, flip_rgb(rec["get_rgb"](t)))
+             for t in range(start + 1, rec["n"])), size=2)
         for t, rgb in frame_stream:
-            gt = gts.get(t)
-            if args.flip:
-                rgb = np.ascontiguousarray(rgb[:, ::-1])
             tp.start()
             if t in seeds:
                 m = seeds[t][:, ::-1] if args.flip else seeds[t]
@@ -256,51 +324,83 @@ def main(argv=None):
             else:
                 idx = tracker.process(rgb[None], return_index=True)
             tp.stop(units=1, result_tree=None)
-            pred = np.ascontiguousarray(
-                idx[0][:, ::-1] if args.flip else idx[0])  # (H, W) uint8
-            from d3fields_tpu.utils.visualization import save_index_mask_png
+            prob = (np.asarray(tracker.last_prob)[0]
+                    if args.save_scores else None)
+            emit_frame(rec, vdir, t, idx[0], prob, vid_jfs)
+        finish_video(rec, vid_jfs)
 
-            # paletted PNG with the DAVIS palette (what the reference eval
-            # writes for davis2017-evaluation; indices survive round-trip)
-            save_index_mask_png(os.path.join(vdir, f"{t:05d}.png"), pred)
-            if args.save_scores:
-                # SOFT per-object probabilities (reference --save_scores
-                # semantics), not the argmaxed one-hot — merging runs
-                # averages real confidences
-                prob = np.asarray(tracker.last_prob)[0].transpose(1, 2, 0)
-                if args.flip:
-                    prob = prob[:, ::-1]
-                np.save(os.path.join(vdir, f"{t:05d}.npy"),
-                        prob.astype(np.float16))
-            # Seed frames are excluded from scoring: a first-appearance
-            # annotation was fed to the tracker (trivially right for the
-            # entering object) and leaves already-tracked objects as
-            # background (falsely zeroing their J/F). On sparse
-            # first-appearance datasets (multi_group) remaining annotations
-            # are partial too — score only the ids they contain; densely
-            # annotated gt (DAVIS) scores every object, absent = empty.
-            if t not in seeds and gt is not None and gt.max() > 0:
-                inter = ((pred > 0) & (gt > 0)).sum()
-                union = ((pred > 0) | (gt > 0)).sum()
-                ious.append(inter / max(union, 1))
-                gt_ids = None
-                if multi_group:
-                    gt_ids = np.unique(gt)
-                    gt_ids = gt_ids[gt_ids > 0].tolist()
-                m = davis_jf(pred, gt, num_obj, objects=gt_ids)
-                jfs.append(m)
-                vid_jfs.append(m)
-        print(f"[eval_xmem] {vid}: {n_frames - start - 1} frames propagated"
-              + (f" ({len(seeds)} annotation frames)" if multi_group else ""))
-        if vid_jfs:
-            # per-sequence breakdown, like davis2017-evaluation's CSV
-            per_video[vid] = {
-                "J": float(np.mean([m["J"] for m in vid_jfs])),
-                "F": float(np.mean([m["F"] for m in vid_jfs])),
-                "frames_scored": len(vid_jfs),
-            }
-            per_video[vid]["JF"] = (per_video[vid]["J"]
-                                    + per_video[vid]["F"]) / 2
+    def run_batch(recs):
+        """Cross-video batching: videos of one (H, W, num_obj) group ride
+        the tracker's vmapped view axis (models/xmem/core.py — per-view
+        memories are independent stacked pytrees), so B ResNet encodes and
+        memory reads fuse into one dispatch. The reference eval is
+        strictly per-video (XMem/eval.py); lockstep propagation with
+        last-frame clamping for shorter videos is output-identical to
+        running each video alone (clamped steps only touch that video's
+        own memory, which is never read again)."""
+        B = len(recs)
+        max_n = max(r["n"] for r in recs)
+        rgb0 = np.stack([flip_rgb(r["get_rgb"](0)) for r in recs])
+        m0 = np.stack([r["seeds"][0] for r in recs])
+        if args.flip:
+            m0 = m0[:, :, ::-1]
+        tracker = VideoMaskTracker(
+            params, cfg, num_views=B, num_objects=recs[0]["num_obj"],
+            image_hw=rgb0.shape[1:3], size=args.size,
+        )
+        vdirs = []
+        for r in recs:
+            vdir = os.path.join(args.out, r["vid"])
+            os.makedirs(vdir, exist_ok=True)
+            vdirs.append(vdir)
+        tracker.process(np.ascontiguousarray(rgb0),
+                        np.ascontiguousarray(m0), return_index=True)
+        vid_jfs = [[] for _ in recs]
+
+        def stacked_frames():
+            for t in range(1, max_n):
+                yield t, np.stack([
+                    flip_rgb(r["get_rgb"](min(t, r["n"] - 1))) for r in recs
+                ])
+
+        for t, rgb in host_prefetch(stacked_frames(), size=2):
+            live = [i for i, r in enumerate(recs) if t < r["n"]]
+            tp.start()
+            idx = tracker.process(rgb, return_index=True)
+            tp.stop(units=len(live), result_tree=None)
+            prob = (np.asarray(tracker.last_prob)
+                    if args.save_scores else None)
+            for i in live:
+                emit_frame(recs[i], vdirs[i], t, idx[i],
+                           prob[i] if prob is not None else None, vid_jfs[i])
+        for r, jfl in zip(recs, vid_jfs):
+            finish_video(r, jfl)
+
+    records = [r for v in videos() if (r := scan_video(*v)) is not None]
+    # Batchable: single-group videos seeded at frame 0 (DAVIS-style).
+    # Multi-group (YTVOS first-appearance) videos keep the per-video path
+    # (their schedules/configs diverge per video).
+    if args.video_batch > 1:
+        batchable = [r for r in records
+                     if not r["multi_group"] and r["start"] == 0]
+        singles = [r for r in records if r["multi_group"] or r["start"] != 0]
+        groups = {}
+        for r in batchable:
+            h, w = r["get_rgb"](0).shape[:2]
+            groups.setdefault((h, w, r["num_obj"]), []).append(r)
+        for key, recs in sorted(groups.items(), key=str):
+            recs.sort(key=lambda r: r["n"])  # minimize clamped tail steps
+            for i in range(0, len(recs), args.video_batch):
+                chunk = recs[i : i + args.video_batch]
+                print(f"[eval_xmem] batching {len(chunk)} videos "
+                      f"(hw={key[0]}x{key[1]}, {key[2]} objects): "
+                      + ", ".join(r["vid"] for r in chunk))
+                run_batch(chunk)
+        for rec in singles:
+            run_single(rec)
+    else:
+        for rec in records:
+            run_single(rec)
     if per_video:
         import json
 

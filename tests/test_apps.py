@@ -168,6 +168,63 @@ def test_train_xmem_staged_with_finetune_tail(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_xmem_video_batch_matches_sequential(tmp_path):
+    """--video_batch rides the tracker's vmapped view axis across videos
+    (one dispatch per frame for the whole batch); predictions must match
+    the per-video runs, including a shorter video that finishes early
+    (last-frame clamping) and a differently-shaped group that batches
+    separately."""
+    import cv2
+    from PIL import Image
+
+    from d3fields_tpu.apps.eval_xmem import main as eval_main
+
+    rs = np.random.RandomState(3)
+    lengths = {"vid_a": 5, "vid_b": 3, "vid_c": 4}  # a,b batch; c alone
+    shapes = {"vid_a": (48, 64), "vid_b": (48, 64), "vid_c": (48, 48)}
+    for vid, T in lengths.items():
+        H, W = shapes[vid]
+        vdir = tmp_path / "data" / vid
+        (vdir / "frames").mkdir(parents=True)
+        (vdir / "masks").mkdir()
+        for t in range(T):
+            img = (rs.rand(H, W, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(vdir / "frames" / f"{t:05d}.png"), img)
+            m = np.zeros((H, W), np.uint8)
+            m[8 + t : 24 + t, 10:34] = 1
+            p = Image.fromarray(m, mode="P")
+            p.putpalette([0, 0, 0, 128, 0, 0] + [0] * (254 * 3))
+            p.save(str(vdir / "masks" / f"{t:05d}.png"))
+
+    common = ["--data_root", str(tmp_path / "data"), "--frames", "0",
+              "--size", "48", "--key_dim", "8", "--value_dim", "16",
+              "--hidden_dim", "8"]
+    out_seq = str(tmp_path / "seq")
+    out_bat = str(tmp_path / "bat")
+    assert eval_main(common + ["--out", out_seq]) == 0
+    assert eval_main(common + ["--out", out_bat, "--video_batch", "2"]) == 0
+
+    import json
+
+    for vid, T in lengths.items():
+        for t in range(1, T):
+            a = np.array(Image.open(os.path.join(out_seq, vid, f"{t:05d}.png")))
+            b = np.array(Image.open(os.path.join(out_bat, vid, f"{t:05d}.png")))
+            np.testing.assert_array_equal(a, b, err_msg=f"{vid} frame {t}")
+        # no clamped-tail frames written past the video's real end
+        assert not os.path.exists(
+            os.path.join(out_bat, vid, f"{T:05d}.png"))
+    with open(os.path.join(out_seq, "metrics.json")) as f:
+        seq = json.load(f)
+    with open(os.path.join(out_bat, "metrics.json")) as f:
+        bat = json.load(f)
+    assert seq["per_video"].keys() == bat["per_video"].keys()
+    for vid in seq["per_video"]:
+        assert seq["per_video"][vid]["J"] == pytest.approx(
+            bat["per_video"][vid]["J"], abs=1e-12), vid
+
+
+@pytest.mark.slow
 def test_eval_xmem_long_video_memory_churn(tmp_path):
     """App-level long-video stress: 40 frames through eval_xmem with a
     tiny memory configuration so the REAL eval loop (not just the memory
