@@ -73,10 +73,16 @@ def initialize_distributed(
         for k in (
             "JAX_COORDINATOR_ADDRESS",
             "COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",
             "MEGASCALE_COORDINATOR_ADDRESS",
         )
     )
+    # TPU_WORKER_HOSTNAMES signals multi-host only with >1 hostname:
+    # single-chip tunnel runtimes set it to just "localhost", and
+    # initializing the distributed runtime there fails (no coordinator)
+    tpu_hosts = [h for h in
+                 os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+                 if h.strip()]
+    auto = auto or len(tpu_hosts) > 1
     # SLURM: a bare SLURM_JOB_ID (any sbatch/salloc shell) is NOT a
     # multi-process launch; require an srun step with >1 task before
     # handing off to jax's SlurmCluster auto-detection.

@@ -168,6 +168,28 @@ def test_train_xmem_staged_with_finetune_tail(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_xmem_dp_app_path(tmp_path):
+    """The app's --dp wiring end-to-end on the virtual 8-device CPU mesh
+    (mesh build, param replication, shard_leading of batches, checkpoint
+    save of replicated state) — the DDP-launch equivalent of
+    XMem/train.py run through the actual CLI."""
+    from d3fields_tpu.apps.train_xmem import main as train_main
+    from d3fields_tpu.models.xmem import trainer as TR
+
+    out = str(tmp_path / "train")
+    rc = train_main([
+        "--synthetic", "--steps", "2", "--batch", "8", "--dp", "8",
+        "--num_frames", "3", "--size", "48", "64",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+        "--save_every", "100", "--log_every", "1", "--out", out,
+    ])
+    assert rc == 0
+    state = TR.load_checkpoint(os.path.join(out, "ckpt_final.pkl"),
+                               TR.make_optimizer())
+    assert int(state.it) == 2
+
+
+@pytest.mark.slow
 def test_eval_xmem_video_batch_matches_sequential(tmp_path):
     """--video_batch rides the tracker's vmapped view axis across videos
     (one dispatch per frame for the whole batch); predictions must match
