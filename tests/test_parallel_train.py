@@ -284,6 +284,10 @@ def test_initialize_distributed_single_process_noop(monkeypatch):
     monkeypatch.setenv("SLURM_STEP_NODELIST", "node01")
     monkeypatch.setenv("SLURM_NTASKS", "1")
     assert initialize_distributed() is False
+    # single-hostname TPU_WORKER_HOSTNAMES (single-chip tunnel runtimes
+    # set it to "localhost") is NOT a multi-host signal
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize_distributed() is False
 
 
 def test_video_clip_loader_filters_short_videos():
