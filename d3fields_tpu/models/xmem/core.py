@@ -247,7 +247,11 @@ seed_step_jit = jax.jit(seed_step, static_argnames=("compute_dtype",))
 # vmapped multi-camera variants (params shared, memory/images stacked)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"))
+# mem is donated: the caller (XMemCore.step) always replaces self.mem
+# with the returned pytree, so XLA may alias the large memory slabs
+# in-place instead of double-buffering them every frame
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"),
+                   donate_argnames=("mem",))
 def reseed_step_views(params, mem, images, mask_prob, provided,
                       compute_dtype: str = "float32",
                       adopt_deep: Optional[Array] = None, sync: bool = True):
@@ -257,7 +261,8 @@ def reseed_step_views(params, mem, images, mask_prob, provided,
     )(mem, images, mask_prob)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype",),
+                   donate_argnames=("mem",))
 def seed_step_views(params, mem, images, mask_prob,
                     compute_dtype: str = "float32"):
     return jax.vmap(
@@ -265,7 +270,8 @@ def seed_step_views(params, mem, images, mask_prob,
     )(mem, images, mask_prob)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "sync"),
+                   donate_argnames=("mem",))
 def propagate_step_views(params, mem, images, is_mem_frame: Array,
                          compute_dtype: str = "float32", sync: bool = True,
                          is_deep_update: Optional[Array] = None):
