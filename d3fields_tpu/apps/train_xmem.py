@@ -253,7 +253,8 @@ def main(argv=None):
             from d3fields_tpu.parallel.mesh import shard_leading
 
             jbatch = {k: shard_leading(mesh, v) for k, v in jbatch.items()}
-        state, out = TR.train_step(
+        # donating variant: params/opt state alias in place across steps
+        state, out = TR.train_step_donated(
             state, jbatch, cfg, opt, num_ref_frames=args.num_ref_frames,
             start_warm=args.start_warm, end_warm=args.end_warm,
         )

@@ -226,12 +226,10 @@ def init_train_state(params, optimizer) -> TrainState:
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "cfg", "optimizer", "num_ref_frames", "start_warm", "end_warm"))
-def train_step(state: TrainState, batch: Dict[str, Array],
-               cfg: XMemConfig, optimizer, *, num_ref_frames: int = 0,
-               start_warm: int = 20000,
-               end_warm: int = 70000) -> Tuple[TrainState, Dict]:
+def _train_step(state: TrainState, batch: Dict[str, Array],
+                cfg: XMemConfig, optimizer, *, num_ref_frames: int = 0,
+                start_warm: int = 20000,
+                end_warm: int = 70000) -> Tuple[TrainState, Dict]:
     """One DP step: batch axes lead every array; lay them out over a mesh
     'dp' axis (NamedSharding) and XLA all-reduces the vmapped grads over
     ICI — the DDP equivalent (``XMem/train.py:25``, ``trainer.py:27-31``)."""
@@ -257,6 +255,19 @@ def train_step(state: TrainState, batch: Dict[str, Array],
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.it + 1), {"loss": loss}
+
+
+_STEP_STATICS = ("cfg", "optimizer", "num_ref_frames", "start_warm",
+                 "end_warm")
+train_step = functools.partial(jax.jit, static_argnames=_STEP_STATICS)(
+    _train_step)
+# donating variant for training LOOPS (apps/train_xmem.py): params +
+# optimizer state update in place instead of double-buffering every step.
+# The non-donating train_step stays for callers that keep the input state
+# alive after the call (equivalence tests, one-shot probes).
+train_step_donated = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS, donate_argnames=("state",)
+)(_train_step)
 
 
 # ---------------------------------------------------------------------------
