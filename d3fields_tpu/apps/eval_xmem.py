@@ -81,7 +81,10 @@ def build_parser():
                         "videos in lockstep on the tracker's vmapped view "
                         "axis (one batched dispatch per frame instead of N "
                         "sequential ones — the reference eval is strictly "
-                        "per-video). Identical outputs to per-video runs; "
+                        "per-video). Outputs match per-video runs "
+                        "(bit-identical on CPU; on TPU, compiler tilings "
+                        "may differ across batch widths, so boundary "
+                        "pixels can flip within float tolerance); "
                         "multi-group videos fall back to the per-video "
                         "path")
     return p
@@ -211,12 +214,12 @@ def main(argv=None):
         appearance only). Densely-annotated layouts (DAVIS train, generic
         frames/masks) thus seed on frame 0 alone; the rest is ground
         truth for scoring."""
-        seeds, seen, gts = {}, set(), {}
+        seeds, seen, gt_frames = {}, set(), set()
         for t in range(n_frames):
             m = get_mask(t)
             if m is None:
                 continue
-            gts[t] = m  # decoded once; reused for scoring below
+            gt_frames.add(t)
             new_ids = set(np.unique(m).tolist()) - {0} - seen
             if new_ids:
                 seeds[t] = m
@@ -225,9 +228,14 @@ def main(argv=None):
             print(f"[eval_xmem] {vid}: no annotated objects, skipped")
             return None
         return {
-            "vid": vid, "get_rgb": get_rgb, "n": n_frames,
-            "seeds": seeds, "gts": gts, "start": min(seeds),
-            "num_obj": max(seen), "multi_group": len(seeds) > 1,
+            # gt masks are re-decoded lazily at scoring time (get_gt):
+            # records for the WHOLE dataset are alive at once, so caching
+            # every decoded mask here would hold the full annotation set
+            # in RAM; only the (few) seed frames stay decoded
+            "vid": vid, "get_rgb": get_rgb, "get_gt": get_mask,
+            "n": n_frames, "seeds": seeds, "gt_frames": gt_frames,
+            "start": min(seeds), "num_obj": max(seen),
+            "multi_group": len(seeds) > 1,
         }
 
     def emit_frame(rec, vdir, t, pred, prob, vid_jfs):
@@ -253,7 +261,7 @@ def main(argv=None):
         # first-appearance datasets (multi_group) remaining annotations
         # are partial too — score only the ids they contain; densely
         # annotated gt (DAVIS) scores every object, absent = empty.
-        gt = rec["gts"].get(t)
+        gt = rec["get_gt"](t) if t in rec["gt_frames"] else None
         if t not in rec["seeds"] and gt is not None and gt.max() > 0:
             inter = ((pred > 0) & (gt > 0)).sum()
             union = ((pred > 0) | (gt > 0)).sum()
@@ -329,7 +337,7 @@ def main(argv=None):
             emit_frame(rec, vdir, t, idx[0], prob, vid_jfs)
         finish_video(rec, vid_jfs)
 
-    def run_batch(recs):
+    def run_batch(recs, pad_to=None):
         """Cross-video batching: videos of one (H, W, num_obj) group ride
         the tracker's vmapped view axis (models/xmem/core.py — per-view
         memories are independent stacked pytrees), so B ResNet encodes and
@@ -338,6 +346,14 @@ def main(argv=None):
         last-frame clamping for shorter videos is output-identical to
         running each video alone (clamped steps only touch that video's
         own memory, which is never read again)."""
+        real = len(recs)
+        if pad_to and real < pad_to:
+            # pad the ragged final chunk with n=1 copies of the first
+            # video (never "live", outputs suppressed) so every chunk of
+            # a shape group jits ONE static view count instead of
+            # compiling a fresh executable for the remainder (30-120 s
+            # per shape through the remote compile service)
+            recs = recs + [{**recs[0], "n": 1}] * (pad_to - real)
         B = len(recs)
         max_n = max(r["n"] for r in recs)
         rgb0 = np.stack([flip_rgb(r["get_rgb"](0)) for r in recs])
@@ -373,7 +389,7 @@ def main(argv=None):
             for i in live:
                 emit_frame(recs[i], vdirs[i], t, idx[i],
                            prob[i] if prob is not None else None, vid_jfs[i])
-        for r, jfl in zip(recs, vid_jfs):
+        for r, jfl in zip(recs[:real], vid_jfs[:real]):
             finish_video(r, jfl)
 
     records = [r for v in videos() if (r := scan_video(*v)) is not None]
@@ -388,14 +404,17 @@ def main(argv=None):
         for r in batchable:
             h, w = r["get_rgb"](0).shape[:2]
             groups.setdefault((h, w, r["num_obj"]), []).append(r)
-        for key, recs in sorted(groups.items(), key=str):
+        for key, recs in sorted(groups.items(), key=lambda kv: kv[0]):
             recs.sort(key=lambda r: r["n"])  # minimize clamped tail steps
             for i in range(0, len(recs), args.video_batch):
                 chunk = recs[i : i + args.video_batch]
                 print(f"[eval_xmem] batching {len(chunk)} videos "
                       f"(hw={key[0]}x{key[1]}, {key[2]} objects): "
                       + ", ".join(r["vid"] for r in chunk))
-                run_batch(chunk)
+                # pad only when the group has already compiled the full
+                # batch width (a group smaller than --video_batch jits
+                # its own width once either way)
+                run_batch(chunk, pad_to=args.video_batch if i > 0 else None)
         for rec in singles:
             run_single(rec)
     else:

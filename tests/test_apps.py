@@ -202,8 +202,14 @@ def test_eval_xmem_video_batch_matches_sequential(tmp_path):
     from d3fields_tpu.apps.eval_xmem import main as eval_main
 
     rs = np.random.RandomState(3)
-    lengths = {"vid_a": 5, "vid_b": 3, "vid_c": 4}  # a,b batch; c alone
-    shapes = {"vid_a": (48, 64), "vid_b": (48, 64), "vid_c": (48, 48)}
+    # a,b,d share a shape group (chunks of 2: [b,d] then [a + pad], the
+    # ragged-tail padding path); c is a different shape -> own group.
+    # PNG equality is exact on the CPU backend the suite pins (vmapped
+    # per-view math is batch-elementwise there); TPU tilings may differ
+    # across batch widths, which the --video_batch help documents.
+    lengths = {"vid_a": 5, "vid_b": 3, "vid_c": 4, "vid_d": 4}
+    shapes = {"vid_a": (48, 64), "vid_b": (48, 64), "vid_c": (48, 48),
+              "vid_d": (48, 64)}
     for vid, T in lengths.items():
         H, W = shapes[vid]
         vdir = tmp_path / "data" / vid
