@@ -330,6 +330,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from d3fields_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     depth, pose, K, feats, mask = _scene()
     # on the CPU fallback, a smaller point count keeps the row cheap
     # (pts/s is size-invariant at these scales)

@@ -153,6 +153,9 @@ def seed_mask_from_clicks(predictor, rgb: np.ndarray, groups,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from d3fields_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from d3fields_tpu.config import XMemConfig
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker

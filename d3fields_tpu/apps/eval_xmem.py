@@ -137,6 +137,9 @@ def make_config(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from d3fields_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import time
 
     from d3fields_tpu.seg.video_tracker import VideoMaskTracker

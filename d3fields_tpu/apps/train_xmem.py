@@ -121,6 +121,9 @@ def resolve_stage_args(args):
 
 def main(argv=None):
     args = resolve_stage_args(build_parser().parse_args(argv))
+    from d3fields_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # Multi-host runtime init (the reference's init_process_group,
     # XMem/train.py:25) MUST precede the first JAX computation —
     # jax.distributed.initialize refuses once any backend is live.

@@ -54,6 +54,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from d3fields_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from d3fields_tpu.fields.fusion import Fusion
     from d3fields_tpu.serving import AsyncFrameLoop
     from d3fields_tpu.track.keypoints import select_keypoints

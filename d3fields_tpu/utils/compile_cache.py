@@ -1,0 +1,51 @@
+"""Persistent XLA executable cache for apps and driver surfaces.
+
+First compiles through the remote TPU tunnel's compile service cost
+30-120 s PER SHAPE (in-process re-runs are cached, new processes are
+not). JAX's persistent compilation cache
+(``jax_compilation_cache_dir``) serializes executables to disk so a new
+process reuses them; on any key mismatch (jax/runtime upgrade, flag
+change) it falls back to a normal compile, so enabling it is safe.
+
+Apps/bench/entry call :func:`enable_compilation_cache` at startup.
+Opt out with ``D3F_COMPILE_CACHE=0``; relocate with
+``D3F_COMPILE_CACHE_DIR``. Tests deliberately do NOT enable it (the
+suite measures real compilation behavior, e.g. the cache-clearing
+segfault mitigation in tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def enable_compilation_cache() -> Optional[str]:
+    """Point JAX at a persistent on-disk executable cache.
+
+    Returns the cache dir, or None when disabled via ``D3F_COMPILE_CACHE=0``
+    or when this jax build rejects the config (older versions) — callers
+    need no branch.
+    """
+    if os.environ.get("D3F_COMPILE_CACHE", "1").lower() in ("0", "false"):
+        return None
+    d = os.environ.get(
+        "D3F_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "d3fields_tpu",
+                     "xla_cache"),
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache every executable no matter how quick the compile: through
+        # the tunnel even small modules pay the round trip
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - jax version dependent
+        import warnings
+
+        warnings.warn(f"persistent compilation cache unavailable: {e}")
+        return None
+    return d
