@@ -180,6 +180,27 @@ def optax_global_norm(tree):
 
 
 @pytest.mark.slow
+def test_donated_train_step_matches_plain(tiny_train_setup):
+    """train_step_donated (the loop variant, in-place state aliasing)
+    must be numerically identical to train_step — donation only changes
+    buffer reuse, never math. Copies the shared fixture params so the
+    donated chain cannot invalidate them for other tests."""
+    cfg, params, batch = tiny_train_setup
+    opt = TR.make_optimizer(lr=3e-4)
+    s_a = TR.init_train_state(jax.tree.map(jnp.copy, params), opt)
+    s_b = TR.init_train_state(jax.tree.map(jnp.copy, params), opt)
+    for _ in range(2):
+        s_a, out_a = TR.train_step(s_a, batch, cfg, opt)
+        s_b, out_b = TR.train_step_donated(s_b, batch, cfg, opt)
+    assert float(out_a["loss"]) == float(out_b["loss"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        s_a.params, s_b.params,
+    )
+
+
+@pytest.mark.slow
 def test_train_step_decreases_loss(tiny_train_setup):
     cfg, params, batch = tiny_train_setup
     opt = TR.make_optimizer(lr=3e-4)
