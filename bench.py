@@ -202,6 +202,43 @@ def bench_dinov2(num_views=4, H=240, W=320):
           f"{min(ts)*1e3:.1f} ms", file=sys.stderr)
 
 
+def bench_train(batch=4, T=4, num_obj=2, H=96, W=128, steps=4):
+    """XMem training step throughput (reference XMem/train.py stage-like
+    shapes scaled to one chip; uses the donated loop variant the real
+    trainer runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models.xmem import network as N
+    from d3fields_tpu.models.xmem import trainer as TR
+
+    cfg = XMemConfig()
+    rs = np.random.RandomState(0)
+    batch_d = {
+        "frames": jnp.asarray(rs.rand(batch, T, H, W, 3).astype(np.float32)),
+        "first_gt": jnp.asarray(
+            (rs.rand(batch, num_obj, H, W) > 0.5).astype(np.float32)),
+        "cls_gt": jnp.asarray(rs.randint(0, num_obj + 1, (batch, T, H, W))),
+        "selector": jnp.ones((batch, num_obj), jnp.float32),
+    }
+    opt = TR.make_optimizer()
+    state = TR.init_train_state(N.init_params(jax.random.PRNGKey(0), cfg), opt)
+    state, out = TR.train_step_donated(state, batch_d, cfg, opt,
+                                       num_ref_frames=2)
+    float(out["loss"])  # compile + sync
+    ts = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        state, out = TR.train_step_donated(state, batch_d, cfg, opt,
+                                           num_ref_frames=2)
+        float(out["loss"])
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    print(f"[bench] xmem train step batch={batch} T={T} @ {H}x{W}: "
+          f"{dt*1e3:.1f} ms ({batch/dt:.1f} clips/s)", file=sys.stderr)
+
+
 def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
                    frames=5):
     """Full per-frame serving step (BASELINE configs 3-4, the
@@ -343,6 +380,7 @@ def main(argv=None):
         bench_xmem()
         bench_dinov2()
         bench_pipeline()
+        bench_train()
     import jax
 
     print(json.dumps({
