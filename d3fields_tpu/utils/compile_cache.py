@@ -20,6 +20,32 @@ import os
 from typing import Optional
 
 
+def _host_signature() -> str:
+    """Stable fingerprint of THIS host's CPU capabilities.
+
+    XLA's cache key does not cover the host CPU feature set, so a CPU AOT
+    executable compiled on one machine can be loaded on another that lacks
+    some of its ISA extensions — the loader warns "could lead to execution
+    errors such as SIGILL" (observed when a cache dir written on one driver
+    host was read on a second). Namespacing the cache dir by the host's
+    feature flags makes each machine's executables invisible to the others
+    while keeping full reuse on the same machine.
+    """
+    import hashlib
+    import platform
+
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    sig += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        sig += " " + platform.processor()
+    return hashlib.sha1(sig.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache() -> Optional[str]:
     """Point JAX at a persistent on-disk executable cache.
 
@@ -32,7 +58,7 @@ def enable_compilation_cache() -> Optional[str]:
     d = os.environ.get(
         "D3F_COMPILE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "d3fields_tpu",
-                     "xla_cache"),
+                     "xla_cache", _host_signature()),
     )
     try:
         os.makedirs(d, exist_ok=True)

@@ -386,3 +386,35 @@ def test_load_state_tracker_resume_and_warning(tmp_path):
                                                    np.asarray(b)),
         ref_mem, got_mem,
     )
+
+
+def test_compile_cache_dir_is_host_scoped(tmp_path, monkeypatch):
+    """The persistent executable cache must never hand one machine's CPU
+    AOT executables to a different machine (XLA's cache key does not
+    cover host CPU features; a mismatch risks SIGILL). The default dir is
+    namespaced by a host fingerprint; the explicit env override wins
+    verbatim; D3F_COMPILE_CACHE=0 disables."""
+    from d3fields_tpu.utils import compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    prev_t = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_b = jax.config.jax_persistent_cache_min_entry_size_bytes
+
+    sig = cc._host_signature()
+    assert sig == cc._host_signature() and len(sig) == 12  # deterministic
+
+    monkeypatch.delenv("D3F_COMPILE_CACHE_DIR", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    d = cc.enable_compilation_cache()
+    assert d is not None and os.path.basename(d) == sig and os.path.isdir(d)
+
+    monkeypatch.setenv("D3F_COMPILE_CACHE_DIR", str(tmp_path / "explicit"))
+    assert cc.enable_compilation_cache() == str(tmp_path / "explicit")
+
+    monkeypatch.setenv("D3F_COMPILE_CACHE", "0")
+    assert cc.enable_compilation_cache() is None
+
+    # restore global jax config (the suite runs cache-disabled)
+    jax.config.update("jax_compilation_cache_dir", prev)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_t)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_b)
