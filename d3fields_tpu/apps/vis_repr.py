@@ -48,6 +48,10 @@ def build_parser():
         p.add_argument(f"--{axis}_upper", type=float, default=hi)
     p.add_argument("--synthetic", action="store_true",
                    help="checkpoint-free analytic demo scene")
+    p.add_argument("--feat_dim", type=int, default=64,
+                   help="synthetic descriptor dimensionality (use 1024 to "
+                        "pair the synthetic scene with the reference's "
+                        "fitted pca_model/*.pkl pickles)")
     p.add_argument("--out", default="out/vis_repr")
     return p
 
@@ -75,7 +79,8 @@ def main(argv=None):
 
         queries = args.query_texts or ["ball", "small ball"]
         thresholds = args.query_thresholds or [0.3] * len(queries)
-        scene = render_sphere_scene(num_views=args.num_cam, feat_dim=64)
+        scene = render_sphere_scene(num_views=args.num_cam,
+                                    feat_dim=args.feat_dim)
         backend = sphere_mask_backend(scene, queries)
         obs = {k: scene[k] for k in ("color", "depth", "pose", "K")}
         obs["dino_feats"] = scene["dino_feats"]

@@ -19,7 +19,9 @@ with the reference's sampling semantics:
 Sources are pluggable: a directory layout (``<root>/<video>/frames/*.png``
 + ``<root>/<video>/masks/*.png`` index masks) or the synthetic sphere renderer
 for data-free runs. Augmentation keeps the reference's crop-and-resize core
-(the TPS warping is a CPU-side aug the curriculum can add later).
+plus a self-contained CPU-side thin-plate-spline warp (``random_tps_warp``
+below, the analogue of the reference's ``XMem/dataset/tps.py``) used by the
+static-image pseudo-video stage of the curriculum.
 """
 
 from __future__ import annotations

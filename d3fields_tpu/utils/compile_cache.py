@@ -30,11 +30,24 @@ def _host_signature() -> str:
     host was read on a second). Namespacing the cache dir by the host's
     feature flags makes each machine's executables invisible to the others
     while keeping full reuse on the same machine.
+
+    cpuinfo flags alone do NOT determine the AOT target: XLA:CPU bakes in
+    LLVM target-feature choices (e.g. ``+prefer-no-gather``) that vary with
+    the jax/jaxlib build, so the signature also folds in both versions —
+    a runtime upgrade rolls the namespace instead of loading stale
+    executables with "machine type doesn't match" loader errors.
     """
     import hashlib
     import platform
 
-    sig = platform.machine()
+    import jax
+    import jaxlib
+
+    sig = " ".join([
+        platform.machine(),
+        f"jax={getattr(jax, '__version__', '?')}",
+        f"jaxlib={getattr(jaxlib, '__version__', '?')}",
+    ])
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

@@ -400,21 +400,24 @@ def test_compile_cache_dir_is_host_scoped(tmp_path, monkeypatch):
     prev_t = jax.config.jax_persistent_cache_min_compile_time_secs
     prev_b = jax.config.jax_persistent_cache_min_entry_size_bytes
 
-    sig = cc._host_signature()
-    assert sig == cc._host_signature() and len(sig) == 12  # deterministic
+    try:
+        sig = cc._host_signature()
+        assert sig == cc._host_signature() and len(sig) == 12  # deterministic
 
-    monkeypatch.delenv("D3F_COMPILE_CACHE_DIR", raising=False)
-    monkeypatch.setenv("HOME", str(tmp_path))
-    d = cc.enable_compilation_cache()
-    assert d is not None and os.path.basename(d) == sig and os.path.isdir(d)
+        monkeypatch.delenv("D3F_COMPILE_CACHE_DIR", raising=False)
+        monkeypatch.setenv("HOME", str(tmp_path))
+        d = cc.enable_compilation_cache()
+        assert d is not None and os.path.basename(d) == sig and os.path.isdir(d)
 
-    monkeypatch.setenv("D3F_COMPILE_CACHE_DIR", str(tmp_path / "explicit"))
-    assert cc.enable_compilation_cache() == str(tmp_path / "explicit")
+        monkeypatch.setenv("D3F_COMPILE_CACHE_DIR", str(tmp_path / "explicit"))
+        assert cc.enable_compilation_cache() == str(tmp_path / "explicit")
 
-    monkeypatch.setenv("D3F_COMPILE_CACHE", "0")
-    assert cc.enable_compilation_cache() is None
-
-    # restore global jax config (the suite runs cache-disabled)
-    jax.config.update("jax_compilation_cache_dir", prev)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_t)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_b)
+        monkeypatch.setenv("D3F_COMPILE_CACHE", "0")
+        assert cc.enable_compilation_cache() is None
+    finally:
+        # restore global jax config (the suite runs cache-disabled) even on
+        # a mid-test assertion failure — a leaked tmp_path cache dir would
+        # poison every later test in the process
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_t)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_b)
