@@ -87,6 +87,89 @@ def bench_tpu(depth, pose, K, feats, mask, n_pts=1024 * 1024, repeats=3):
     return n_pts / dt
 
 
+# Numerical budgets for the fused Pallas path vs the exact XLA path ON THE
+# SAME BACKEND. dist / mask are computed in f32 in both paths (only the
+# reduction schedule differs); descriptors go through a bf16 MXU matmul on
+# TPU, whose documented budget is a 1e-3 cosine deficit
+# (fields/kernels.py:330-334). Measured on the real chip 2026-08-18:
+# dist 0.0, mask 1.19e-7, min cosine 0.999992 — thresholds sit far above
+# the measured deltas and far below anything a real kernel bug produces.
+PARITY_DIST_ATOL = 1e-5
+PARITY_MASK_ATOL = 1e-5
+PARITY_COS_MIN = 1.0 - 1e-3
+
+
+def parity_check(depth, pose, K, feats, mask, n_pts=262144, tile=65536):
+    """On-device numerical parity gate for the fused Pallas path.
+
+    The headline row times ``use_pallas=True`` (Mosaic-lowered kernels, bf16
+    MXU matmuls); this runs the SAME scene through both that path and the
+    exact XLA path (``use_pallas=False``) on the same backend and measures
+    the deltas, so every ``BENCH_r*.json`` certifies the numerics of the
+    code path that produced its speed number — not just the speed. Both
+    paths implement the reference's weighting/interp semantics
+    (``fusion.py:305-394``); their CPU-interpret-mode equivalence is pinned
+    by tests/test_fusion.py, and this closes the on-hardware gap (Mosaic
+    lowering is where hand-rolled gathers/interp matrices could silently
+    diverge).
+
+    Returns the measured deltas plus ``ok`` for the JSON ``parity`` field.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from d3fields_tpu.fields.fusion import batch_eval
+    from d3fields_tpu.fields.state import FieldState
+
+    state = FieldState(
+        depth=jnp.asarray(depth),
+        pose=jnp.asarray(pose),
+        K=jnp.asarray(K),
+        dino_feats=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+    )
+    pts = jnp.asarray(
+        np.random.RandomState(1).uniform(-0.5, 0.5, (n_pts, 3)).astype(np.float32)
+    )
+    names = ("dino_feats", "mask")
+    a = batch_eval(state, pts, names, tile=tile, use_pallas=True)
+    b = batch_eval(state, pts, names, tile=tile, use_pallas=False)
+
+    @jax.jit
+    def deltas(a, b):
+        dist = jnp.max(jnp.abs(a["dist"] - b["dist"]))
+        msk = jnp.max(jnp.abs(a["mask"] - b["mask"]))
+        fa = a["dino_feats"].astype(jnp.float32)
+        fb = b["dino_feats"].astype(jnp.float32)
+        na = jnp.linalg.norm(fa, axis=-1)
+        nb = jnp.linalg.norm(fb, axis=-1)
+        cos = (fa * fb).sum(-1) / jnp.maximum(na * nb, 1e-12)
+        # rows with no valid view fuse to exact zeros in both paths; their
+        # cosine is undefined (0/0), so compare only rows that carry signal
+        valid = (na > 1e-6) & (nb > 1e-6)
+        min_cos = jnp.min(jnp.where(valid, cos, 1.0))
+        return dist, msk, min_cos, valid.sum()
+
+    dist_d, mask_d, min_cos, nrows = (float(x) for x in deltas(a, b))
+    del a, b
+    ok = (
+        dist_d <= PARITY_DIST_ATOL
+        and mask_d <= PARITY_MASK_ATOL
+        and min_cos >= PARITY_COS_MIN
+    )
+    print(f"[bench] pallas parity over {n_pts} pts ({int(nrows)} live rows): "
+          f"dist_max_abs={dist_d:.2e} mask_max_abs={mask_d:.2e} "
+          f"desc_min_cosine={min_cos:.6f} -> {'OK' if ok else 'FAIL'}",
+          file=sys.stderr)
+    return {
+        "dist_max_abs": round(dist_d, 9),
+        "mask_max_abs": round(mask_d, 9),
+        "desc_min_cosine": round(min_cos, 6),
+        "rows_compared": int(nrows),
+        "ok": ok,
+    }
+
+
 def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072, chunk=60000):
     """The reference eval algorithm (``fusion.py:305-394,526-545``): torch
     grid_sample interpolation per view, exp distance weighting, python
@@ -375,6 +458,10 @@ def main(argv=None):
     # (pts/s is size-invariant at these scales)
     tpu_pps = bench_tpu(depth, pose, K, feats, mask,
                         n_pts=131072 if fallback else 1024 * 1024)
+    # numerics gate for the path just timed (use_pallas on TPU); on the CPU
+    # fallback this still runs (interpret-mode kernels) but certifies less
+    parity = parity_check(depth, pose, K, feats, mask,
+                          n_pts=65536 if fallback else 262144)
     ref_pps = bench_torch_reference(depth, pose, K, feats, mask)
     if args.all:
         bench_xmem()
@@ -391,6 +478,8 @@ def main(argv=None):
         # machine-readable fallback marker: "cpu" here means the TPU
         # tunnel was down and this row is NOT a TPU measurement
         "backend": jax.default_backend(),
+        # numerics certificate for the timed path (parity_check above)
+        "parity": parity,
     }))
 
 
