@@ -53,6 +53,11 @@ def build_parser():
                         "pair the synthetic scene with the reference's "
                         "fitted pca_model/*.pkl pickles)")
     p.add_argument("--out", default="out/vis_repr")
+    p.add_argument("--dump_arrays", default=None,
+                   help="also np.savez the numeric intermediates (grid dist "
+                        "field, mesh vertices/triangles, per-vertex "
+                        "mask/color/PCA-descriptor values) — the golden-"
+                        "fixture hook (tests/test_golden.py)")
     return p
 
 
@@ -64,7 +69,7 @@ def main(argv=None):
         create_color_mesh, create_descriptor_mesh, create_instance_mask_mesh,
         extract_mesh,
     )
-    from d3fields_tpu.ops.pca import PCAParams
+    from d3fields_tpu.ops.pca import PCAParams, pca_transform
 
     boundaries = Boundaries(
         x_lower=args.x_lower, x_upper=args.x_upper,
@@ -143,6 +148,18 @@ def main(argv=None):
 
     color_mesh = create_color_mesh(vertices, triangles, vout["color_tensor"])
     color_mesh.export_ply(os.path.join(args.out, "color_mesh.ply"))
+    if args.dump_arrays:
+        np.savez_compressed(
+            args.dump_arrays,
+            dist=np.asarray(out["dist"], np.float32),
+            vertices=vertices.astype(np.float32),
+            triangles=triangles.astype(np.int32),
+            mask=np.asarray(vout["mask"], np.float32),
+            color=np.asarray(vout["color_tensor"], np.float32),
+            desc_pca=np.asarray(
+                pca_transform(vout["dino_feats"], pca), np.float32),
+        )
+        print(f"[vis_repr] dumped numeric intermediates to {args.dump_arrays}")
     print(f"[vis_repr] wrote instance/descriptor/color meshes to {args.out}")
     return 0
 
