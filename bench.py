@@ -232,7 +232,15 @@ def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072, chunk=60000
     return n_pts / dt
 
 
-def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6):
+def _mfu_msg(flops, dt, peak):
+    """'; X TFLOP/s = Y% of measured peak' or '' when uncounted."""
+    if not flops or not peak:
+        return ""
+    v = flops / dt / 1e12
+    return f"; {v:.1f} TFLOP/s = {100 * v / peak:.0f}% of measured peak {peak:.0f}"
+
+
+def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6, peak=None):
     """4-camera XMem propagate step latency (the README row)."""
     import jax
     import jax.numpy as jnp
@@ -240,6 +248,7 @@ def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6):
     from d3fields_tpu.config import XMemConfig
     from d3fields_tpu.models.xmem import core as C
     from d3fields_tpu.models.xmem import network as N
+    from d3fields_tpu.utils.profiling import xla_flops
 
     cfg = XMemConfig()
     params = N.init_params(jax.random.PRNGKey(0), cfg)
@@ -256,15 +265,22 @@ def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6):
         float(p.reshape(-1)[0])
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
+    # XLA's own count for the one executable the loop runs (both lax.cond
+    # branches are in the module, so this is the compiled-in upper bound)
+    fl = xla_flops(C.propagate_step_views, core.params, core.mem, imgs,
+                   jnp.asarray(True), cfg.compute_dtype,
+                   core.deep_update_sync, None)
     print(f"[bench] xmem propagate {num_views} cams @ {H}x{W}: {dt*1e3:.1f} ms "
-          f"({num_views/dt:.1f} camera-FPS)", file=sys.stderr)
+          f"({num_views/dt:.1f} camera-FPS){_mfu_msg(fl, dt, peak)}",
+          file=sys.stderr)
 
 
-def bench_dinov2(num_views=4, H=240, W=320):
+def bench_dinov2(num_views=4, H=240, W=320, peak=None):
     """Fused DINOv2 extraction latency (the README row)."""
     import jax
 
     from d3fields_tpu.models import dinov2 as dv2
+    from d3fields_tpu.utils.profiling import xla_flops
 
     cfg = dv2.Dinov2Config.vit_large()
     params = dv2.init_params(jax.random.PRNGKey(0), cfg)
@@ -281,8 +297,14 @@ def bench_dinov2(num_views=4, H=240, W=320):
         o = bb(imgs)
         float(jnp.asarray(o).reshape(-1)[0])
         ts.append(time.perf_counter() - t0)
+    ph, pw = H // 10, W // 10
+    P = cfg.patch_size
+    fl = xla_flops(dv2._extract_patch_features, params, jnp.asarray(imgs),
+                   bb.interpolated_pos_embed(ph, pw), (ph * P, pw * P),
+                   cfg.num_heads, "bfloat16")
+    dt = min(ts)
     print(f"[bench] dinov2 extract {num_views} views @ {H}x{W} bf16: "
-          f"{min(ts)*1e3:.1f} ms", file=sys.stderr)
+          f"{dt*1e3:.1f} ms{_mfu_msg(fl, dt, peak)}", file=sys.stderr)
 
 
 def bench_train(batch=4, T=4, num_obj=2, H=96, W=128, steps=4):
@@ -322,8 +344,120 @@ def bench_train(batch=4, T=4, num_obj=2, H=96, W=128, steps=4):
           f"{dt*1e3:.1f} ms ({batch/dt:.1f} clips/s)", file=sys.stderr)
 
 
+def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
+                       repeats=3, peak=None):
+    """First-frame open-text segmentation stage — the one pipeline stage
+    the earlier rounds never measured (reference
+    ``utils/grounded_sam.py:404-442`` via ``fusion.py:1178-1236``):
+    GroundingDINO swin-t detection over all views in ONE batched forward,
+    then SAM ViT-H (the reference's checkpoint scale) per-view encode +
+    batched box decode. Random weights at REAL scale; reports ms plus
+    XLA-counted FLOPs and MFU against the chip's measured matmul peak.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from d3fields_tpu.models.groundingdino import model as gd
+    from d3fields_tpu.models.groundingdino.detector import (
+        GroundingDinoDetector, tokenize_classes,
+    )
+    from d3fields_tpu.models.sam import model as sm
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+    from d3fields_tpu.utils.profiling import (
+        measured_matmul_peak_tflops, xla_flops,
+    )
+
+    t0 = time.perf_counter()
+    gcfg = gd.GroundingDinoConfig()  # swin-t: the reference runtime default
+    gparams = gd.random_params(gcfg)
+    scfg = sm.SamConfig.vit_huge()
+    sparams = sm.random_params_direct(scfg)
+    print(f"[bench] grounded-sam setup (random real-scale weights): "
+          f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (num_views, H, W, 3), np.uint8)
+    tokenize = lambda s: [200 + (hash(w) % 1000) for w in s.split()]
+    detector = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize)
+    queries = ["mug", "red can"]
+
+    # ---- GroundingDINO: one batched forward over all views (detection
+    # counts vary with the random weights; the timed path is the full
+    # production call incl. host postprocess) ----
+    detector.predict_with_classes_batch(images, queries, 0.99)  # compile
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        detector.predict_with_classes_batch(images, queries, 0.99)
+        ts.append(time.perf_counter() - t0)
+    t_gdino = min(ts)
+
+    # ---- SAM: per-view encode (the segment_views path), batched decode of
+    # a fixed box count (bucket 4 — the d3fields regime of a few instances
+    # per view) ----
+    boxes = rs.uniform(0, min(H, W) // 2, (boxes_per_view, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]  # xyxy
+
+    def time_encode(sam):
+        sam.set_image(images[0])  # compile
+        float(jnp.asarray(sam._image_emb).reshape(-1)[0])
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for v in range(num_views):
+                sam.set_image(images[v])
+            float(jnp.asarray(sam._image_emb).reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    sam = SamPredictor(sparams, scfg)
+    t_enc = time_encode(sam)
+    # the bf16 MXU trunk (D3F_SAM_DTYPE=bfloat16; f32-agreement pinned in
+    # tests/test_sam.py::test_bf16_encoder_agreement)
+    t_enc16 = time_encode(SamPredictor(sparams, scfg,
+                                       compute_dtype="bfloat16"))
+    sam.predict_boxes(boxes)  # compile the decoder
+    ts_dec = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for v in range(num_views):
+            sam.predict_boxes(boxes)
+        ts_dec.append(time.perf_counter() - t0)
+    t_dec = min(ts_dec)
+    total = t_gdino + min(t_enc, t_enc16) + t_dec
+
+    # ---- FLOP accounting: XLA's own count per executable, MFU vs the
+    # chip's measured (not datasheet) matmul peak ----
+    enc_flops = xla_flops(sm.sam_encode_image, sparams, sam._pixels, scfg)
+    emb = sam._image_emb
+    nb = SamPredictor._bucket(boxes_per_view)
+    dec_flops = xla_flops(
+        sm.sam_decode_boxes, sparams, emb,
+        jnp.zeros((nb, 4), jnp.float32), scfg, True,
+    )
+    if peak is None:
+        peak = measured_matmul_peak_tflops()
+    msg = (f"[bench] grounded-sam first-frame ({num_views} views @ {H}x{W}, "
+           f"swin-t + vit-h): gdino {t_gdino*1e3:.0f} ms, "
+           f"sam encode f32 {t_enc*1e3:.0f} ms / bf16 {t_enc16*1e3:.0f} ms, "
+           f"sam decode {t_dec*1e3:.0f} ms -> {total*1e3:.0f} ms total")
+    if enc_flops:
+        v32 = num_views * enc_flops / t_enc / 1e12
+        v16 = num_views * enc_flops / t_enc16 / 1e12
+        msg += (f"; sam-encode f32 {v32:.1f} / bf16 {v16:.1f} TFLOP/s = "
+                f"{100 * v16 / peak:.0f}% of measured peak {peak:.0f}")
+    if dec_flops:
+        v_dec = num_views * dec_flops / t_dec / 1e12
+        msg += f"; decode {v_dec:.2f} TFLOP/s"
+    print(msg, file=sys.stderr)
+    return {"gdino_ms": t_gdino * 1e3, "sam_encode_ms": t_enc * 1e3,
+            "sam_encode_bf16_ms": t_enc16 * 1e3,
+            "sam_decode_ms": t_dec * 1e3, "total_ms": total * 1e3,
+            "measured_peak_tflops": peak}
+
+
 def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
-                   frames=5):
+                   frames=5, peak=None):
     """Full per-frame serving step (BASELINE configs 3-4, the
     ``vis_tracking.py`` stack): DINOv2 ViT-L extraction + XMem mask
     propagation + field rebuild + 100-iter rigid keypoint tracking
@@ -383,10 +517,30 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
         float(out["match_pts"].reshape(-1)[0])  # host sync (tunnel-safe)
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
+    # per-frame FLOPs = the three executables the timed loop dispatches
+    # (XLA's own counts); FieldState assembly is layout-only
+    from d3fields_tpu.utils.profiling import xla_flops
+
+    ph, pw = H // 10, W // 10
+    P = dcfg.patch_size
+    fls = [
+        xla_flops(dv2._extract_patch_features, bb.params, jnp.asarray(color),
+                  bb.interpolated_pos_embed(ph, pw), (ph * P, pw * P),
+                  dcfg.num_heads, "bfloat16"),
+        xla_flops(C.propagate_step_views, xcore.params, xcore.mem, imgs_f,
+                  jnp.asarray(True), xcfg.compute_dtype,
+                  xcore.deep_update_sync, None),
+        xla_flops(rigid_tracking_jit, st0, src, kp, lo, hi, tcfg),
+    ]
+    fl = sum(fls) if all(fls) else None
     print(f"[bench] pipeline frame ({num_views} cams @ {H}x{W}: dinov2 + "
           f"xmem + field + {tcfg.iters}-iter tracking): {dt*1e3:.1f} ms "
           f"({1.0/dt:.2f} FPS; reference XMem-only claim ~20 FPS, "
-          f"XMem/README.md:34)", file=sys.stderr)
+          f"XMem/README.md:34){_mfu_msg(fl, dt, peak)}", file=sys.stderr)
+    if fl:
+        print(f"[bench]   pipeline FLOP split: dinov2 {fls[0]/1e9:.1f} G, "
+              f"xmem {fls[1]/1e9:.1f} G, tracking {fls[2]/1e9:.1f} G",
+              file=sys.stderr)
 
     # pipelined serving: defer the host fetch by one frame
     # (serving.AsyncFrameLoop) so frame t's result crosses the host
@@ -464,10 +618,18 @@ def main(argv=None):
                           n_pts=65536 if fallback else 262144)
     ref_pps = bench_torch_reference(depth, pose, K, feats, mask)
     if args.all:
-        bench_xmem()
-        bench_dinov2()
-        bench_pipeline()
+        from d3fields_tpu.utils.profiling import measured_matmul_peak_tflops
+
+        # MFU denominator for every row: the dense-matmul peak this chip
+        # DELIVERS through this allocation/tunnel, not the datasheet
+        peak = measured_matmul_peak_tflops()
+        print(f"[bench] measured bf16 matmul peak: {peak:.1f} TFLOP/s",
+              file=sys.stderr)
+        bench_xmem(peak=peak)
+        bench_dinov2(peak=peak)
+        bench_pipeline(peak=peak)
         bench_train()
+        bench_grounded_sam(peak=peak)
     import jax
 
     print(json.dumps({

@@ -112,7 +112,12 @@ def build_mask_backend(sam_ckpt: str | None = None,
     tokenize = _wordpiece_tokenizer(vocab) if vocab else None
     return GroundedSAMBackend(
         GroundingDinoDetector(gdino_params, gcfg, tokenize=tokenize),
-        SamPredictor(sam_params, scfg),
+        # D3F_SAM_DTYPE=bfloat16 runs the ViT trunk on the MXU in bf16
+        # (~4x encode on TPU; bf16-vs-f32 mask agreement is pinned in
+        # tests/test_sam.py)
+        SamPredictor(sam_params, scfg,
+                     compute_dtype=os.environ.get("D3F_SAM_DTYPE",
+                                                  "float32")),
     )
 
 

@@ -17,6 +17,7 @@ tokenizer. Special separator ids follow BERT ([CLS]=101, [SEP]=102,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -30,6 +31,15 @@ from d3fields_tpu.models.resize import bilinear_resize
 
 from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
 CLS_ID, SEP_ID, DOT_ID = 101, 102, 1012
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _prep_jit(rgb, out_hw):
+    """uint8 (H, W, 3) -> normalized (1, rh, rw, 3) in one executable."""
+    img = rgb.astype(jnp.float32) / 255.0
+    img = bilinear_resize(img, out_hw)
+    img = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return img[None]
 
 
 @dataclasses.dataclass
@@ -73,11 +83,8 @@ class GroundingDinoDetector:
         scale = self.short_side / min(H, W)
         if max(H, W) * scale > self.max_side:
             scale = self.max_side / max(H, W)
-        rh, rw = round(H * scale), round(W * scale)
-        img = jnp.asarray(rgb, jnp.float32) / 255.0
-        img = bilinear_resize(img, (rh, rw))
-        img = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        return img[None]
+        return _prep_jit(jnp.asarray(rgb),
+                         (round(H * scale), round(W * scale)))
 
     def predict_with_classes(
         self, image: np.ndarray, classes: Sequence[str],

@@ -206,19 +206,22 @@ def deformable_attention_core(
     B, S, nh, hd = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     grids = 2.0 * sampling_locations - 1.0
+    wgt = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, L, P)
     start = 0
-    sampled = []
+    out = jnp.zeros((B, nh, Q, hd), value.dtype)
+    # accumulate the weighted sum per level instead of stacking all levels:
+    # the (B, nh, Q, L, P, hd) stack is ~1.2 GB per encoder layer at
+    # 4 views x 800x1067 (Q = S = 17.8k) and OOMed the 4-view detection
+    # batch on a 16 GB chip; the sum over (L, P) decomposes exactly
     for li, (h, w) in enumerate(spatial_shapes):
         v = value[:, start : start + h * w]        # (B, hw, nh, hd)
         v = v.transpose(0, 2, 1, 3).reshape(B * nh, h, w, hd)
         g = grids[:, :, :, li].transpose(0, 2, 1, 3, 4)  # (B, nh, Q, P, 2)
         g = g.reshape(B * nh, Q * P, 2)
         tap = jax.vmap(_bilinear_sample_nchw)(v, g[..., 0], g[..., 1])
-        sampled.append(tap.reshape(B, nh, Q, P, hd))
+        tap = tap.reshape(B, nh, Q, P, hd)
+        out = out + (tap * wgt[:, :, :, li, :, None]).sum(axis=3)
         start += h * w
-    stacked = jnp.stack(sampled, axis=3)  # (B, nh, Q, L, P, hd)
-    wgt = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, L, P)
-    out = (stacked * wgt[..., None]).sum(axis=(3, 4))  # (B, nh, Q, hd)
     return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * hd)
 
 
@@ -547,20 +550,31 @@ def groundingdino_forward(params, cfg: GroundingDinoConfig,
     discrete top-k query selection turn small numeric noise into entirely
     different detections (measured: 0.59 box drift at default precision vs
     1e-5 at f32); detection runs once per video, so precision > speed here.
+
+    The text self-attention mask derives from the DATA of input_ids
+    (special-token positions), so it is computed on the host; everything
+    downstream — BERT, Swin, input projections, transformer — is one jitted
+    executable (an eager trunk costs minutes of per-primitive remote
+    compiles through the TPU tunnel on first call and per-op dispatch
+    after).
     """
-    with jax.default_matmul_precision("float32"):
-        return _groundingdino_forward_impl(params, cfg, pixels, input_ids)
-
-
-def _groundingdino_forward_impl(params, cfg, pixels, input_ids):
     text_self_mask_np, pos_ids_np = generate_text_masks(np.asarray(input_ids))
     token_mask_np = np.ones_like(np.asarray(input_ids), bool)
+    with jax.default_matmul_precision("float32"):
+        return _groundingdino_forward_impl(
+            params, cfg, pixels, jnp.asarray(input_ids),
+            jnp.asarray(text_self_mask_np), jnp.asarray(pos_ids_np),
+            jnp.asarray(token_mask_np),
+        )
 
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _groundingdino_forward_impl(params, cfg, pixels, input_ids,
+                                text_self_mask, pos_ids, token_mask):
     # text trunk + projection
     text = B.bert_encode(
-        params["bert"], jnp.asarray(input_ids), jnp.asarray(text_self_mask_np),
-        jnp.zeros_like(jnp.asarray(input_ids)), jnp.asarray(pos_ids_np),
-        cfg.text,
+        params["bert"], input_ids, text_self_mask,
+        jnp.zeros_like(input_ids), pos_ids, cfg.text,
     )
     text = text @ params["text_proj_w"] + params["text_proj_b"]
 
@@ -592,9 +606,7 @@ def _groundingdino_forward_impl(params, cfg, pixels, input_ids):
 
     return _transformer_forward(
         params, cfg, flat, pos, spatial_shapes, text,
-        jnp.asarray(text_self_mask_np),
-        jnp.asarray(~token_mask_np),
-        jnp.asarray(pos_ids_np), jnp.asarray(token_mask_np),
+        text_self_mask, ~token_mask, pos_ids, token_mask,
     )
 
 
@@ -639,6 +651,65 @@ def _mlp_head_t(sd, pre, n_layers):
     return [
         _lin(sd, f"{pre}.layers.{i}.weight") for i in range(n_layers)
     ]
+
+
+def build_random_hf(cfg: GroundingDinoConfig, seed: int = 0):
+    """A randomly-initialized HF ``GroundingDinoForObjectDetection`` at
+    ``cfg``'s scale — the oracle/smoke-mode weight source (the test oracle
+    fixture and the bench's random-weight detector both build here so they
+    cannot drift apart). HF zero-initializes the bbox-head output layers
+    and leaves ``decoder.layer_norm`` at identity, which once masked a real
+    final-box bug — randomize them so every path is exercised."""
+    import torch
+    from transformers import (
+        BertConfig as HFBert, GroundingDinoConfig as HFGDC,
+        GroundingDinoForObjectDetection, SwinConfig as HFSwin,
+    )
+
+    sw, tx = cfg.swin, cfg.text
+    hfc = HFGDC(
+        backbone_config=HFSwin(
+            embed_dim=sw.embed_dim, depths=list(sw.depths),
+            num_heads=list(sw.num_heads), window_size=sw.window_size,
+            mlp_ratio=sw.mlp_ratio, patch_size=sw.patch_size,
+            out_features=[f"stage{i + 1}" for i in sw.out_stages],
+        ),
+        text_config=HFBert(
+            vocab_size=tx.vocab_size, hidden_size=tx.hidden_size,
+            num_hidden_layers=tx.num_layers, num_attention_heads=tx.num_heads,
+            intermediate_size=tx.intermediate_size,
+            max_position_embeddings=tx.max_position,
+            type_vocab_size=tx.type_vocab_size,
+        ),
+        d_model=cfg.d_model, encoder_layers=cfg.encoder_layers,
+        decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.encoder_heads,
+        decoder_attention_heads=cfg.decoder_heads,
+        encoder_ffn_dim=cfg.encoder_ffn_dim,
+        decoder_ffn_dim=cfg.decoder_ffn_dim,
+        num_queries=cfg.num_queries, max_text_len=cfg.max_text_len,
+        num_feature_levels=cfg.num_feature_levels,
+    )
+    torch.manual_seed(seed)
+    hf = GroundingDinoForObjectDetection(hfc).eval()
+    with torch.no_grad():
+        for head in hf.bbox_embed:
+            head.layers[-1].weight.normal_(0, 0.05)
+            head.layers[-1].bias.normal_(0, 0.05)
+        hf.model.decoder.layer_norm.weight.normal_(1.0, 0.2)
+        hf.model.decoder.layer_norm.bias.normal_(0, 0.2)
+        hf.model.encoder_output_bbox_embed.layers[-1].weight.normal_(0, 0.05)
+        hf.model.encoder_output_bbox_embed.layers[-1].bias.normal_(0, 0.05)
+    return hf
+
+
+def random_params(cfg: GroundingDinoConfig, seed: int = 0) -> Dict:
+    """Random-weight params for smoke/bench runs (no checkpoint), converted
+    through the same audited path real checkpoints take (~15 s at swin-t
+    scale for the torch construction)."""
+    hf = build_random_hf(cfg, seed)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    return convert_hf_state_dict(sd, cfg)
 
 
 def convert_hf_state_dict(sd, cfg: GroundingDinoConfig) -> Dict:

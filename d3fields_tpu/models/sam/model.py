@@ -169,20 +169,31 @@ def _window_unpartition(win: Array, ws: int, padded_hw, orig_hw):
     return x[:, :H, :W]
 
 
-def vision_encoder(params: Params, pixels: Array, cfg: SamConfig) -> Array:
+def vision_encoder(params: Params, pixels: Array, cfg: SamConfig,
+                   compute_dtype: str = "float32") -> Array:
     """pixels (B, H, W, 3) preprocessed -> image embeddings (B, h, w, Cout).
 
     HF ``SamVisionEncoder``: patch embed + abs pos + windowed/global ViT
     layers + 2-conv neck with channel layernorms.
+
+    ``compute_dtype="bfloat16"`` runs the ViT trunk matmuls on the MXU in
+    bf16 (layernorm statistics and attention softmax stay f32 as in the
+    DINOv2 trunk, dinov2.py:104-121; the neck runs f32): ~4x the f32
+    encoder on TPU for the heaviest model in the stack. Mask effect is
+    bounded by the decoder's 0-threshold — validated against the f32
+    encoder in tests/test_sam.py.
     """
+    dt = jnp.dtype(compute_dtype)
     P = cfg.patch_size
     B, H, W, _ = pixels.shape
     gh, gw = H // P, W // P
     x = pixels.reshape(B, gh, P, gw, P, 3).transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(B, gh, gw, P * P * 3) @ params["patch_w"] + params["patch_b"]
-    x = x + params["pos_embed"]
+    x = x.reshape(B, gh, gw, P * P * 3).astype(dt)
+    x = x @ params["patch_w"].astype(dt) + params["patch_b"].astype(dt)
+    x = x + params["pos_embed"].astype(dt)
 
     for i, lp in enumerate(params["layers"]):
+        lp = jax.tree.map(lambda a: a.astype(dt), lp)
         ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
         shortcut = x
         h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"])
@@ -197,7 +208,9 @@ def vision_encoder(params: Params, pixels: Array, cfg: SamConfig) -> Array:
         h = jax.nn.gelu(h @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
         x = x + (h @ lp["fc2_w"] + lp["fc2_b"])
 
-    # neck: 1x1 conv + channel LN + 3x3 conv + channel LN (channels_last here)
+    # neck: 1x1 conv + channel LN + 3x3 conv + channel LN (channels_last
+    # here); runs f32 — the embeddings feed the f32 decoder
+    x = x.astype(jnp.float32)
     x = jnp.einsum("bhwc,co->bhwo", x, params["neck"]["conv1_w"])
     x = _layer_norm(x, params["neck"]["ln1_w"], params["neck"]["ln1_b"])
     x = jax.lax.conv_general_dilated(
@@ -434,13 +447,18 @@ def mask_decoder(params: Params, image_emb: Array, image_pe: Array,
 # full forward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def sam_encode_image(params: Params, pixels: Array, cfg: SamConfig) -> Array:
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def sam_encode_image(params: Params, pixels: Array, cfg: SamConfig,
+                     compute_dtype: str = "float32") -> Array:
     """pixels (1, S, S, 3) preprocessed -> image embeddings (h, w, C).
     Split from the box decoder so one encoding serves any number of
     predict calls without re-running the ViT trunk."""
-    with jax.default_matmul_precision("float32"):
-        return vision_encoder(params["vision"], pixels, cfg)[0]
+    # the f32 precision pin only applies to the f32 trunk: with bf16
+    # operands it would force multi-pass f32 emulation, defeating the MXU
+    prec = "float32" if compute_dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
+        return vision_encoder(params["vision"], pixels, cfg,
+                              compute_dtype)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
@@ -511,6 +529,11 @@ def build_random_hf(cfg: SamConfig, seed: int = 0):
     )
 
     grid = cfg.image_size // cfg.patch_size
+    # HF's SamVisionConfig DEFAULTS initializer_range to 1e-10 (the model
+    # is always loaded pretrained upstream, so nobody noticed): weights at
+    # that scale collapse through layernorm eps floors and once made every
+    # encoder-parity assertion trivially compare ~0 vs ~0. Real-scale init
+    # keeps the oracle meaningful.
     vis = SamVisionConfig(
         hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
         num_attention_heads=cfg.num_heads,
@@ -519,6 +542,7 @@ def build_random_hf(cfg: SamConfig, seed: int = 0):
         image_size=cfg.image_size, patch_size=cfg.patch_size,
         output_channels=cfg.output_channels, window_size=cfg.window_size,
         num_pos_feats=cfg.prompt_hidden // 2,
+        initializer_range=0.02,
     )
     prm = SamPromptEncoderConfig(
         hidden_size=cfg.prompt_hidden, image_embedding_size=grid,
@@ -528,9 +552,13 @@ def build_random_hf(cfg: SamConfig, seed: int = 0):
         hidden_size=cfg.prompt_hidden, num_attention_heads=cfg.decoder_heads,
         mlp_dim=cfg.decoder_mlp_dim, iou_head_hidden_dim=cfg.iou_head_hidden,
     )
+    # the top-level config's initializer_range drives _init_weights for the
+    # prompt encoder / mask decoder modules
+    top = HFSamConfig(vision_config=vis, prompt_encoder_config=prm,
+                      mask_decoder_config=dec)
+    top.initializer_range = 0.02
     torch.manual_seed(seed)
-    hf = SamModel(HFSamConfig(vision_config=vis, prompt_encoder_config=prm,
-                              mask_decoder_config=dec)).eval()
+    hf = SamModel(top).eval()
     with torch.no_grad():  # _init_weights zeroes these; randomize them
         for layer in hf.vision_encoder.layers:
             layer.attn.rel_pos_h.normal_(0, 0.02)
@@ -545,6 +573,129 @@ def random_params(cfg: SamConfig, seed: int = 0) -> Params:
     hf = build_random_hf(cfg, seed)
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     return convert_hf_state_dict(sd, cfg)
+
+
+def random_params_direct(cfg: SamConfig, seed: int = 0) -> Params:
+    """Random-weight params built directly in numpy — no torch/HF.
+
+    :func:`random_params` routes through an HF ``SamModel`` so tests share
+    one weight source with the oracle, but at ViT-H scale the torch
+    construction alone costs ~2 minutes; this builds the identical pytree
+    STRUCTURE (asserted against the HF-converted tree in
+    tests/test_sam.py) in under a second for benchmarking and smoke runs
+    where the values only need to be finite and sanely scaled.
+    """
+    rs = np.random.default_rng(seed)
+
+    # Host numpy leaves (eager per-leaf jnp.asarray would pay a device
+    # transfer per leaf — 55 s through the remote TPU tunnel at ViT-H's
+    # 2.5 GB; the batched transfer happens once at the first jit call).
+    # Weight values are drawn from a 1M-sample gaussian pool with a
+    # rotating offset rather than 640M i.i.d. samples: this host generates
+    # ~6M normals/s, and benchmark-grade weights only need finite, sanely
+    # scaled, non-degenerate values.
+    pool = 0.02 * rs.standard_normal(1 << 20, dtype=np.float32)
+    off = [0]
+
+    def w(*shape):
+        n = int(np.prod(shape))
+        start = off[0] % pool.size
+        off[0] += 104729  # prime stride decorrelates successive leaves
+        return np.resize(np.roll(pool, -start), n).reshape(shape)
+
+    def zeros(*shape):
+        return np.zeros(shape, np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, np.float32)
+
+    D, L, NH = cfg.hidden_size, cfg.num_layers, cfg.num_heads
+    mlp, P, G = cfg.mlp_dim, cfg.patch_size, cfg.grid
+    Cout, Ch, mc = cfg.output_channels, cfg.prompt_hidden, cfg.mask_input_channels
+    nm = cfg.num_multimask_outputs + 1
+    hd = D // NH
+
+    def vis_layer(i):
+        S = G if i in cfg.global_attn_indexes else cfg.window_size
+        return {
+            "ln1_w": ones(D), "ln1_b": zeros(D),
+            "qkv_w": w(D, 3 * D), "qkv_b": zeros(3 * D),
+            "proj_w": w(D, D), "proj_b": zeros(D),
+            "rel_pos_h": w(2 * S - 1, hd), "rel_pos_w": w(2 * S - 1, hd),
+            "ln2_w": ones(D), "ln2_b": zeros(D),
+            "fc1_w": w(D, mlp), "fc1_b": zeros(mlp),
+            "fc2_w": w(mlp, D), "fc2_b": zeros(D),
+        }
+
+    vision = {
+        "patch_w": w(P * P * 3, D), "patch_b": zeros(D),
+        "pos_embed": w(G, G, D),
+        "layers": [vis_layer(i) for i in range(L)],
+        "neck": {
+            "conv1_w": w(D, Cout), "ln1_w": ones(Cout), "ln1_b": zeros(Cout),
+            "conv2_w": w(3, 3, Cout, Cout),
+            "ln2_w": ones(Cout), "ln2_b": zeros(Cout),
+        },
+    }
+
+    prompt = {
+        "pe_table": w(2, Ch // 2),
+        "point_embed": w(4, Ch),
+        "not_a_point": w(Ch), "no_mask": w(Ch),
+        "mask_embed": {
+            "c1_w": w(2, 2, 1, mc // 4), "c1_b": zeros(mc // 4),
+            "ln1_w": ones(mc // 4), "ln1_b": zeros(mc // 4),
+            "c2_w": w(2, 2, mc // 4, mc), "c2_b": zeros(mc),
+            "ln2_w": ones(mc), "ln2_b": zeros(mc),
+            "c3_w": w(1, 1, mc, Ch), "c3_b": zeros(Ch),
+        },
+    }
+
+    def attn(ci):
+        return {
+            "q_w": w(Ch, ci), "q_b": zeros(ci),
+            "k_w": w(Ch, ci), "k_b": zeros(ci),
+            "v_w": w(Ch, ci), "v_b": zeros(ci),
+            "out_w": w(ci, Ch), "out_b": zeros(Ch),
+        }
+
+    def dec_layer():
+        return {
+            "self_attn": attn(Ch), "t2i": attn(Ch // 2), "i2t": attn(Ch // 2),
+            "ln1_w": ones(Ch), "ln1_b": zeros(Ch),
+            "ln2_w": ones(Ch), "ln2_b": zeros(Ch),
+            "ln3_w": ones(Ch), "ln3_b": zeros(Ch),
+            "ln4_w": ones(Ch), "ln4_b": zeros(Ch),
+            "mlp": {
+                "lin1_w": w(Ch, cfg.decoder_mlp_dim),
+                "lin1_b": zeros(cfg.decoder_mlp_dim),
+                "lin2_w": w(cfg.decoder_mlp_dim, Ch), "lin2_b": zeros(Ch),
+            },
+        }
+
+    def feed_forward(din, dhid, dout, depth):
+        return {
+            "in_w": w(din, dhid), "in_b": zeros(dhid),
+            "mid": [(w(dhid, dhid), zeros(dhid)) for _ in range(depth - 2)],
+            "out_w": w(dhid, dout), "out_b": zeros(dout),
+        }
+
+    decoder = {
+        "iou_token": w(Ch), "mask_tokens": w(nm, Ch),
+        "transformer": {
+            "layers": [dec_layer() for _ in range(cfg.decoder_layers)],
+            "final_attn": attn(Ch // 2),
+            "final_ln_w": ones(Ch), "final_ln_b": zeros(Ch),
+        },
+        "up1_w": w(2, 2, Ch, Ch // 4), "up1_b": zeros(Ch // 4),
+        "up_ln_w": ones(Ch // 4), "up_ln_b": zeros(Ch // 4),
+        "up2_w": w(2, 2, Ch // 4, Ch // 8), "up2_b": zeros(Ch // 8),
+        "hyper": [feed_forward(Ch, Ch, Ch // 8, 3) for _ in range(nm)],
+        "iou_head": feed_forward(Ch, cfg.iou_head_hidden, nm,
+                                 cfg.iou_head_depth),
+    }
+
+    return {"vision": vision, "prompt": prompt, "decoder": decoder}
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ batched call.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -25,6 +26,34 @@ PIXEL_MEAN = (123.675, 116.28, 103.53)
 PIXEL_STD = (58.395, 57.12, 57.375)
 
 
+@functools.partial(jax.jit, static_argnames=("resized_hw", "model_size"))
+def _prep_jit(rgb, resized_hw, model_size):
+    """uint8 (H, W, 3) -> normalized padded (1, S, S, 3), one executable
+    (the eager version pays per-op dispatch through the TPU tunnel)."""
+    rh, rw = resized_hw
+    img = bilinear_resize(rgb.astype(jnp.float32), (rh, rw))
+    img = (img - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
+    img = jnp.pad(img, ((0, model_size - rh), (0, model_size - rw), (0, 0)))
+    return img[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model_size", "resized_hw", "orig_hw"))
+def _postprocess_jit(low_res, model_size, resized_hw, orig_hw):
+    """(N, M, s, s) logits -> (N, M, H, W): upscale to model size, strip the
+    bottom-right padding, resize to the original image. Exact F.interpolate
+    semantics (no antialias) like the original SAM postprocess —
+    thresholded logits are sensitive to the kernel."""
+    S = model_size
+    rh, rw = resized_hw
+    H, W = orig_hw
+    N, M = low_res.shape[:2]
+    x = low_res.reshape(N * M, *low_res.shape[2:])[..., None]
+    x = bilinear_resize_exact(x, (S, S))[:, :rh, :rw]
+    x = bilinear_resize_exact(x, (H, W))[..., 0]
+    return x.reshape(N, M, H, W)
+
+
 class SamPredictor:
     """Box-prompted segmentation over one image.
 
@@ -32,9 +61,14 @@ class SamPredictor:
     ``predict_boxes(boxes_xyxy)`` -> (masks (N, M, H, W) bool, iou (N, M)).
     """
 
-    def __init__(self, params, cfg: Optional[SamConfig] = None):
+    def __init__(self, params, cfg: Optional[SamConfig] = None,
+                 compute_dtype: str = "float32"):
+        """``compute_dtype="bfloat16"`` runs the ViT-H trunk on the MXU in
+        bf16 (~4x encode on TPU; prompt encoder/decoder stay f32 — see
+        ``vision_encoder``)."""
         self.params = params
         self.cfg = cfg or SamConfig.vit_huge()
+        self.compute_dtype = compute_dtype
         self._pixels = None
         self._image_emb = None
         self._orig_hw: Tuple[int, int] = (0, 0)
@@ -52,12 +86,10 @@ class SamPredictor:
         self._orig_hw = (H, W)
         rh, rw = self._target_hw(H, W)
         self._resized_hw = (rh, rw)
-        img = bilinear_resize(jnp.asarray(rgb, jnp.float32), (rh, rw))
-        img = (img - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
-        S = self.cfg.image_size
-        img = jnp.pad(img, ((0, S - rh), (0, S - rw), (0, 0)))
-        self._pixels = img[None]
-        self._image_emb = sam_encode_image(self.params, self._pixels, self.cfg)
+        self._pixels = _prep_jit(jnp.asarray(rgb), (rh, rw),
+                                 self.cfg.image_size)
+        self._image_emb = sam_encode_image(self.params, self._pixels,
+                                           self.cfg, self.compute_dtype)
         return self
 
     @staticmethod
@@ -153,15 +185,5 @@ class SamPredictor:
                 np.asarray(low_res)[:n])
 
     def _postprocess(self, low_res):
-        """(N, M, s, s) logits -> (N, M, H, W): upscale to model size, strip
-        the bottom-right padding, resize to the original image. Exact
-        F.interpolate semantics (no antialias) like the original SAM
-        postprocess — thresholded logits are sensitive to the kernel."""
-        S = self.cfg.image_size
-        H, W = self._orig_hw
-        rh, rw = self._resized_hw
-        N, M = low_res.shape[:2]
-        x = low_res.reshape(N * M, *low_res.shape[2:])[..., None]
-        x = bilinear_resize_exact(x, (S, S))[:, :rh, :rw]
-        x = bilinear_resize_exact(x, (H, W))[..., 0]
-        return x.reshape(N, M, H, W)
+        return _postprocess_jit(low_res, self.cfg.image_size,
+                                self._resized_hw, self._orig_hw)

@@ -71,6 +71,49 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def measured_matmul_peak_tflops(dtype="bfloat16", n=8192, chain=8,
+                                repeats=3) -> float:
+    """Delivered dense-matmul peak of the current default backend.
+
+    Times a jitted chain of ``chain`` dependent (n, n) @ (n, n) matmuls
+    (2·chain·n³ FLOPs) and returns the best TFLOP/s over ``repeats``. This
+    is the denominator for MFU statements: the peak the chip actually
+    delivers through this allocation/tunnel, not the datasheet number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.full((n, n), 1.0 / n, dtype)
+
+    @jax.jit
+    def f(x):
+        for _ in range(chain):
+            x = (x @ x) * (1.0 / n)  # rescale keeps bf16 away from inf
+        return x
+
+    float(f(x).reshape(-1)[0])  # compile + sync (tunnel-safe)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(x).reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * chain * n**3 / best / 1e12
+
+
+def xla_flops(jitted, *args, **kwargs):
+    """FLOPs XLA counts for one call of a jitted function, or None when the
+    backend exposes no cost analysis. Pair with a measured wall-clock and
+    :func:`measured_matmul_peak_tflops` for an MFU statement."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
 class Throughput:
     """XMem-eval-style FPS accounting (``XMem/eval.py:146,216,248-250``)."""
 

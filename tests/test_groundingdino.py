@@ -20,41 +20,12 @@ transformers = pytest.importorskip("transformers")
 
 @pytest.fixture(scope="module")
 def oracle():
-    from transformers import (
-        BertConfig as HFBert, GroundingDinoConfig as HFGDC,
-        GroundingDinoForObjectDetection, SwinConfig as HFSwin,
-    )
-
-    hfc = HFGDC(
-        backbone_config=HFSwin(
-            embed_dim=8, depths=[1, 1], num_heads=[2, 4], window_size=4,
-            image_size=64, patch_size=4, out_features=["stage1", "stage2"],
-        ),
-        text_config=HFBert(
-            vocab_size=2000, hidden_size=24, num_hidden_layers=2,
-            num_attention_heads=2, intermediate_size=48,
-            max_position_embeddings=64,
-        ),
-        d_model=32, encoder_layers=2, decoder_layers=2,
-        encoder_attention_heads=4, decoder_attention_heads=4,
-        encoder_ffn_dim=64, decoder_ffn_dim=64, num_queries=16,
-        max_text_len=32, num_feature_levels=3,
-    )
-    torch.manual_seed(0)
-    hf = GroundingDinoForObjectDetection(hfc).eval()
-    # HF zero-initializes the bbox-head output layers and leaves
-    # decoder.layer_norm at identity — which once masked a real final-box
-    # bug (boxes computed from un-normed hidden). Randomize them so the
-    # oracle exercises those paths.
-    with torch.no_grad():
-        for head in hf.bbox_embed:
-            head.layers[-1].weight.normal_(0, 0.05)
-            head.layers[-1].bias.normal_(0, 0.05)
-        hf.model.decoder.layer_norm.weight.normal_(1.0, 0.2)
-        hf.model.decoder.layer_norm.bias.normal_(0, 0.2)
-        hf.model.encoder_output_bbox_embed.layers[-1].weight.normal_(0, 0.05)
-        hf.model.encoder_output_bbox_embed.layers[-1].bias.normal_(0, 0.05)
+    # one weight source for oracle + port: G.build_random_hf constructs the
+    # HF model from OUR config (incl. the bbox-head/decoder-layer_norm
+    # randomization that once masked a real final-box bug) and the params
+    # are converted from its state dict
     cfg = G.GroundingDinoConfig.tiny_test()
+    hf = G.build_random_hf(cfg, seed=0)
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     params = G.convert_hf_state_dict(sd, cfg)
     return hf, params, cfg

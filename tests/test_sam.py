@@ -187,3 +187,46 @@ def test_full_box_prediction_parity(oracle):
     mask_scale = np.abs(ref_masks).max() + 1e-12
     assert np.abs(np.asarray(iou) - ref_iou).max() / iou_scale < 2e-2
     assert np.abs(np.asarray(masks) - ref_masks).max() / mask_scale < 2e-2
+
+
+def test_random_params_direct_structure(oracle):
+    """The torch-free direct initializer (used by bench — the HF route
+    costs ~2 min at ViT-H scale) must stay structurally identical to the
+    audited HF-converted pytree: same treedef, same leaf shapes, and it
+    must run through the encoder+decoder producing finite outputs."""
+    _, params, cfg = oracle
+    direct = S.random_params_direct(cfg, seed=1)
+    assert jax.tree.structure(params) == jax.tree.structure(direct)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(direct)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    px = np.random.RandomState(0).randn(1, cfg.image_size, cfg.image_size,
+                                        3).astype(np.float32)
+    emb = S.sam_encode_image(direct, jnp.asarray(px), cfg)
+    boxes = jnp.asarray([[4.0, 4.0, 40.0, 40.0]], jnp.float32)
+    masks, iou = S.sam_decode_boxes(direct, emb, boxes, cfg)
+    assert np.isfinite(np.asarray(masks)).all()
+    assert np.isfinite(np.asarray(iou)).all()
+
+
+def test_bf16_encoder_agreement(oracle):
+    """The bf16 ViT-trunk option (the TPU MXU path, ~4x encode) must stay
+    numerically close to the f32 encoder: high embedding cosine, and the
+    decoded 0-thresholded masks nearly identical."""
+    _, params, cfg = oracle
+    rs = np.random.RandomState(1)
+    px = jnp.asarray(rs.randn(1, cfg.image_size, cfg.image_size, 3)
+                     .astype(np.float32))
+    e32 = np.asarray(S.sam_encode_image(params, px, cfg))
+    e16 = np.asarray(S.sam_encode_image(params, px, cfg, "bfloat16"))
+    a, b = e32.reshape(-1, e32.shape[-1]), e16.reshape(-1, e16.shape[-1])
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+    assert cos.min() > 0.995, cos.min()
+
+    boxes = jnp.asarray([[4.0, 4.0, 40.0, 40.0]], jnp.float32)
+    m32, i32 = S.sam_decode_boxes(params, jnp.asarray(e32), boxes, cfg, True)
+    m16, i16 = S.sam_decode_boxes(params, jnp.asarray(e16), boxes, cfg, True)
+    agree = (np.asarray(m32 > 0) == np.asarray(m16 > 0)).mean()
+    assert agree > 0.98, agree  # only threshold-knife-edge pixels may flip
+    assert np.abs(np.asarray(i32) - np.asarray(i16)).max() < 0.05
