@@ -110,8 +110,22 @@ def build_mask_backend(sam_ckpt: str | None = None,
     sam_params, scfg = _load_family_params(sam_ckpt, "sam", None)
     gdino_params, gcfg = _load_family_params(gdino_ckpt, "gdino", None)
     tokenize = _wordpiece_tokenizer(vocab) if vocab else None
+    # On ONE 16 GB chip the 800-scale multi-view detection batch overflows
+    # HBM (encoder deformable-sampling temporaries) — chunk per view there;
+    # with more devices the all-views batch shards over dp. Chunking never
+    # changes numerics (tests/test_groundingdino.py::
+    # test_view_chunked_batch_matches_unchunked). D3F_GDINO_VIEW_CHUNK
+    # overrides (0 = all views in one batch).
+    import jax
+
+    chunk_env = os.environ.get("D3F_GDINO_VIEW_CHUNK")
+    if chunk_env is not None:
+        view_chunk = int(chunk_env) or None
+    else:
+        view_chunk = 1 if jax.device_count() == 1 else None
     return GroundedSAMBackend(
-        GroundingDinoDetector(gdino_params, gcfg, tokenize=tokenize),
+        GroundingDinoDetector(gdino_params, gcfg, tokenize=tokenize,
+                              view_chunk=view_chunk),
         # D3F_SAM_DTYPE=bfloat16 runs the ViT trunk on the MXU in bf16
         # (~4x encode on TPU; bf16-vs-f32 mask agreement is pinned in
         # tests/test_sam.py)

@@ -71,12 +71,26 @@ def tokenize_classes(
 class GroundingDinoDetector:
     def __init__(self, params, cfg: Optional[GroundingDinoConfig] = None,
                  tokenize: Optional[Callable[[str], List[int]]] = None,
-                 short_side: int = 800, max_side: int = 1333):
-        self.params = params
+                 short_side: int = 800, max_side: int = 1333,
+                 view_chunk: Optional[int] = None):
+        # Commit the weights to device ONCE. Host-numpy leaves would be
+        # re-transferred on EVERY jitted forward (jax converts non-Array
+        # args per call) — through the remote TPU tunnel that is tens of
+        # seconds per detection for the ~0.7 GB swin-t+BERT tree.
+        self.params = jax.device_put(params)
         self.cfg = cfg or GroundingDinoConfig()
         self.tokenize = tokenize
         self.short_side = short_side
         self.max_side = max_side
+        # Max views per forward in predict_with_classes_batch. None = all
+        # views in one batch — the multi-chip layout (views shard over the
+        # dp mesh axis, __graft_entry__.dryrun_multichip stage 5). On ONE
+        # 16 GB chip at the reference 800-scale the encoder's deformable
+        # sampling temporaries ((B, Q=17.8k, nh, L, P, 2) grids across six
+        # layers) overflow HBM at B=4; set view_chunk=1 there. Chunking
+        # changes scheduling only, never numerics (per-view math is
+        # independent; chunked==unchunked pinned in tests).
+        self.view_chunk = view_chunk
 
     def _prep(self, rgb: np.ndarray):
         H, W = rgb.shape[:2]
@@ -123,11 +137,23 @@ class GroundingDinoDetector:
                 raise ValueError("no tokenizer configured; pass input_ids")
             input_ids, spans = tokenize_classes(classes, self.tokenize)
         V, H, W = images.shape[:3]
-        pixels = jnp.concatenate([self._prep(img) for img in images], axis=0)
-        ids = np.repeat(np.asarray(input_ids), V, axis=0)
-        logits, boxes = groundingdino_forward(self.params, self.cfg, pixels, ids)
-        probs_all = np.asarray(jax.nn.sigmoid(logits))
-        boxes_all = np.asarray(boxes)
+        chunk = self.view_chunk or V
+        probs_parts, boxes_parts = [], []
+        for s in range(0, V, chunk):
+            views = [self._prep(img) for img in images[s : s + chunk]]
+            # pad a short tail chunk to the full chunk size so every
+            # iteration reuses ONE compiled executable
+            pad = chunk - len(views) if s else 0
+            pixels = jnp.concatenate(views + [views[-1]] * pad, axis=0)
+            ids = np.repeat(np.asarray(input_ids), len(views) + pad, axis=0)
+            logits, boxes = groundingdino_forward(
+                self.params, self.cfg, pixels, ids
+            )
+            n = len(views)
+            probs_parts.append(np.asarray(jax.nn.sigmoid(logits))[:n])
+            boxes_parts.append(np.asarray(boxes)[:n])
+        probs_all = np.concatenate(probs_parts, axis=0)
+        boxes_all = np.concatenate(boxes_parts, axis=0)
 
         out = []
         for v in range(V):

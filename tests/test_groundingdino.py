@@ -368,3 +368,21 @@ def test_full_forward_parity_four_stage_swin():
     np.testing.assert_allclose(
         np.asarray(boxes), out.pred_boxes.numpy(), rtol=1e-4, atol=2e-5
     )
+
+
+def test_view_chunked_batch_matches_unchunked(oracle):
+    """view_chunk changes scheduling only: chunked (incl. a padded tail
+    chunk) == one-batch detection bit-for-bit at the numpy level."""
+    _, gparams, gcfg = oracle
+    rs = np.random.RandomState(11)
+    imgs = rs.randint(0, 255, (3, 72, 96, 3), dtype=np.uint8)
+    kw = dict(tokenize=_toy_tokenizer, short_side=64, max_side=96)
+    full = GroundingDinoDetector(gparams, gcfg, **kw)
+    chunked = GroundingDinoDetector(gparams, gcfg, view_chunk=2, **kw)
+    a = full.predict_with_classes_batch(imgs, ["mug", "shoe"], 0.3)
+    b = chunked.predict_with_classes_batch(imgs, ["mug", "shoe"], 0.3)
+    assert len(a) == len(b) == 3
+    for da, db in zip(a, b):
+        np.testing.assert_allclose(da.xyxy, db.xyxy, atol=1e-5)
+        np.testing.assert_allclose(da.confidence, db.confidence, atol=1e-6)
+        np.testing.assert_array_equal(da.class_id, db.class_id)
