@@ -589,7 +589,9 @@ def random_params_direct(cfg: SamConfig, seed: int = 0) -> Params:
 
     # Host numpy leaves (eager per-leaf jnp.asarray would pay a device
     # transfer per leaf — 55 s through the remote TPU tunnel at ViT-H's
-    # 2.5 GB; the batched transfer happens once at the first jit call).
+    # 2.5 GB; SamPredictor.__init__ device_puts the whole tree in ONE
+    # batched transfer — numpy leaves passed straight to a jitted call
+    # would be re-transferred per call).
     # Weight values are drawn from a 1M-sample gaussian pool with a
     # rotating offset rather than 640M i.i.d. samples: this host generates
     # ~6M normals/s, and benchmark-grade weights only need finite, sanely

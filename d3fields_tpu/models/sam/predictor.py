@@ -66,7 +66,11 @@ class SamPredictor:
         """``compute_dtype="bfloat16"`` runs the ViT-H trunk on the MXU in
         bf16 (~4x encode on TPU; prompt encoder/decoder stay f32 — see
         ``vision_encoder``)."""
-        self.params = params
+        # Commit the weights to device ONCE. Host-numpy leaves would be
+        # re-transferred on EVERY jitted encode (jax converts non-Array
+        # args per call) — at ViT-H's ~2.5 GB through the remote TPU
+        # tunnel that turns a sub-second encode into minutes per view.
+        self.params = jax.device_put(params)
         self.cfg = cfg or SamConfig.vit_huge()
         self.compute_dtype = compute_dtype
         self._pixels = None
