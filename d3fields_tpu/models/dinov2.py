@@ -203,7 +203,10 @@ class Dinov2Backbone:
         (float triangle filter — close but not bit-identical to PIL).
         """
         assert resize_mode in ("pil", "device")
-        self.params = params
+        # Commit weights to device once: host-numpy leaves (npz-loaded
+        # checkpoints) passed to a jitted forward are re-transferred per
+        # call — ~1.2 GB/frame at ViT-L scale through the TPU tunnel.
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         self.pos_interpolate = pos_interpolate

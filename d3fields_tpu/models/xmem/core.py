@@ -303,7 +303,10 @@ class XMemCore:
         # (inference_core.py:16-17)
         self.deep_update_sync = cfg.deep_update_every < 0
         self.multi_group = multi_group
-        self.params = params
+        # Commit weights to device once: host-numpy leaves (npz-loaded
+        # checkpoints) passed to a jitted step are re-transferred per call
+        # — a full ResNet-50+decoder tree per frame through the TPU tunnel.
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.num_views = num_views
         self.num_objects = num_objects

@@ -421,3 +421,34 @@ def test_compile_cache_dir_is_host_scoped(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", prev)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_t)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_b)
+
+
+def test_model_wrappers_commit_params_to_device():
+    """Constructors device_put host-numpy weight trees ONCE. Numpy leaves
+    passed straight to a jitted forward are re-converted/re-transferred on
+    EVERY call — on the remote-tunnel TPU that is the full weight tree per
+    frame (2.5 GB/view at SAM ViT-H scale). Pin that every inference
+    wrapper stores jax.Array leaves even when fed npz-style numpy."""
+    from d3fields_tpu.models import dinov2 as d2
+    from d3fields_tpu.models.groundingdino import model as gd
+    from d3fields_tpu.models.groundingdino.detector import GroundingDinoDetector
+    from d3fields_tpu.models.sam import model as sm
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+
+    to_np = lambda tree: jax.tree.map(np.asarray, tree)
+    all_committed = lambda tree: all(
+        isinstance(leaf, jax.Array) for leaf in jax.tree.leaves(tree))
+
+    scfg = sm.SamConfig.tiny_test()
+    sam = SamPredictor(to_np(sm.random_params(scfg)), scfg)
+    assert all_committed(sam.params)
+
+    gcfg = gd.GroundingDinoConfig.tiny_test()
+    det = GroundingDinoDetector(to_np(gd.random_params(gcfg)), gcfg)
+    assert all_committed(det.params)
+
+    dcfg = d2.Dinov2Config(hidden_size=64, num_layers=2, num_heads=4,
+                           patch_size=14, image_size=56)
+    dparams = to_np(d2.init_params(jax.random.PRNGKey(0), dcfg))
+    bb = d2.Dinov2Backbone(dparams, dcfg)
+    assert all_committed(bb.params)
