@@ -296,16 +296,11 @@ def main(argv=None):
         return np.ascontiguousarray(rgb[:, ::-1]) if args.flip else rgb
 
     def run_single(rec):
+        # mid-video entry composes with long-term memory here (per-object
+        # prototype visibility, models/xmem/memory.py) — the reference has
+        # to disable long-term for such videos (its multi-group eviction
+        # raises, kv_memory_store.py:146-151); no downgrade needed
         vcfg = cfg
-        if rec["multi_group"] and cfg.enable_long_term:
-            import dataclasses
-
-            # mid-video entry needs the bounded working memory (the
-            # reference's own multi-group + long-term path is broken:
-            # kv_memory_store.py:146-151 raises on >1 group eviction)
-            vcfg = dataclasses.replace(cfg, enable_long_term=False)
-            print(f"[eval_xmem] {rec['vid']}: objects enter mid-video at "
-                  f"{sorted(rec['seeds'])[1:]} -> long-term memory disabled")
         vid_jfs = []
         seeds, start = rec["seeds"], rec["start"]
         rgb0, m0 = flip_rgb(rec["get_rgb"](start)), seeds[start]

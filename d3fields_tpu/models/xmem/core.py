@@ -293,8 +293,9 @@ class XMemCore:
                  multi_group: bool = False):
         """``multi_group=True`` preallocates ``num_objects`` slots of which
         any subset may be seeded per mask-given step — objects may enter
-        mid-video (the reference's object groups, requires
-        ``enable_long_term=False``; see ``memory.init_memory``)."""
+        mid-video (the reference's object groups; composes with long-term
+        memory via per-object prototype visibility — see
+        ``memory.py``'s module docstring)."""
         H, W = image_hw
         if H % 16 or W % 16:
             raise ValueError("image must be pre-padded to multiples of 16")

@@ -21,15 +21,33 @@ scalar, so one compiled step serves the whole video:
 Object groups: all objects entering at frame 0 is the d3fields usage
 (``fusion.py:1173-1256`` seeds every instance on the first frame) and the
 default compile path. Mid-video entry (the reference's multi-group memory,
-``kv_memory_store.py:10-16``) is supported with ``multi_group=True`` under
-``enable_long_term=False``: per-object entry offsets restrict each
-object's affinity to the key slots written since it entered — exactly the
-reference's per-group softmax over the trailing key subset
-(``memory_manager.py:120-135``). Multi-group WITH long-term stays
-unsupported by design: the reference's own path is broken there (its
-sieve keeps each group's own first HW of values against group-0's first
-HW of keys — misaligned — and its eviction raises NotImplementedError,
-``kv_memory_store.py:146-151``).
+``kv_memory_store.py:10-16``) is supported with ``multi_group=True``:
+per-object entry offsets restrict each object's affinity to the key slots
+written since it entered — exactly the reference's per-group softmax over
+the trailing key subset (``memory_manager.py:120-135``).
+
+Multi-group WITH long-term memory goes BEYOND the reference: its own path
+is broken there (the sieve keeps each group's own first HW of values
+against group-0's first HW of keys — misaligned — and its eviction raises
+NotImplementedError, ``kv_memory_store.py:146-151``). The sound semantics
+implemented here extend the per-group principle through both structural
+events:
+
+- consolidation potentiates each object's prototype values over ONLY its
+  visible candidate slots (a per-object masked softmax; an object whose
+  entry postdates the whole candidate block contributes nothing);
+- each long-term slot carries a per-object visibility bit (``l_vis``):
+  object o may attend prototype j iff o's values actually informed j —
+  the long-term generalization of the working-memory entry offset;
+- entry offsets are remapped across the consolidation compaction, and
+  eviction gathers visibility alongside the surviving slots;
+- usage is accounted once per GROUP (objects sharing an entry frame
+  compute identical affinities, so each group's attention counts once —
+  matching the reference's one-softmax-per-group accounting,
+  ``memory_manager.py:136-145``).
+
+When every object enters at frame 0 this reduces exactly to the
+single-group path (pinned by tests/test_xmem.py).
 
 Attention math is the reference's anisotropic L2 similarity with shrinkage
 and selection (``XMem/model/memory_util.py:7-40``) and top-k sparse softmax
@@ -81,9 +99,12 @@ class XMemMemory:
     hidden: Array
     # multi-group bookkeeping (only meaningful when multi_group=True):
     # w_entry[o] = first working slot whose keys object o may attend;
-    # active[o] = object o has been seeded (inactive objects read zeros)
+    # active[o] = object o has been seeded (inactive objects read zeros);
+    # l_vis[o, j] = object o's values informed long-term prototype j
+    # (the long-term continuation of the entry offset)
     w_entry: Array = None
     active: Array = None
+    l_vis: Array = None
     # static memory-plan fields
     hw: int = flax.struct.field(pytree_node=False, default=0)
     top_k: int = flax.struct.field(pytree_node=False, default=30)
@@ -128,13 +149,6 @@ def init_memory(
             "at least the newest frame (and lax.cond traces the FIFO-drop "
             "branch even before capacity is reached)"
         )
-    if multi_group and cfg.enable_long_term:
-        raise NotImplementedError(
-            "multi_group (mid-video object entry) requires "
-            "enable_long_term=False — the reference's own multi-group "
-            "long-term path is broken (value/key misalignment after "
-            "sieve_by_range; eviction raises, kv_memory_store.py:146-151)"
-        )
     h, w = key_hw
     hw = h * w
     wc = cfg.max_mid_term_frames * hw
@@ -165,6 +179,7 @@ def init_memory(
         # frame lands in
         w_entry=jnp.full((num_objects,), wc, jnp.int32),
         active=jnp.zeros((num_objects,), bool),
+        l_vis=jnp.zeros((num_objects, lc), bool),
     )
 
 
@@ -329,20 +344,25 @@ def _match_memory_multi_group(mem: XMemMemory, sim: Array, valid: Array):
     keys appended since that group entered (``memory_manager.py:120-135``);
     here each object carries its entry offset, so objects sharing an entry
     frame compute identical affinities (same masked softmax — group
-    semantics without materializing groups). Long-term slots are absent by
-    construction (multi_group requires enable_long_term=False, so lc == 1
-    and invalid). Usage accounting is inert without long-term memory
-    (the reference constructs its store with count_usage=False then,
-    ``memory_manager.py:32``), so none is recorded here.
+    semantics without materializing groups). With long-term memory enabled
+    each object additionally attends the long-term slots its values
+    informed (``l_vis``; see the module docstring — the reference's own
+    multi-group long-term path is broken, ``kv_memory_store.py:146-151``).
+
+    Usage accounting follows the single-group rule but counts each GROUP's
+    affinity once (the reference runs one softmax per group and adds its
+    row sums once, ``memory_manager.py:136-145``): objects sharing an
+    entry split their contribution by group size. Without long-term memory
+    usage is inert (the reference constructs its store with
+    count_usage=False then, ``memory_manager.py:32``), so none is
+    recorded.
     """
     lc, wc = mem.long_capacity, mem.work_capacity
     slot = jnp.arange(wc)
 
-    def per_object(entry, vals):
+    def per_object(entry, lvis_o, vals):
         # vals: (CV, Lc+Wc) — this object's value slab
-        vis = jnp.concatenate(
-            [jnp.zeros((lc,), bool), slot >= entry]
-        ) & valid
+        vis = jnp.concatenate([lvis_o, slot >= entry]) & valid
         sim_o = jnp.where(vis[:, None], sim, _NEG_INF)
         # an object with no visible slot yet (inactive) would softmax over
         # all -inf -> NaN; feed it the global sim instead and zero the
@@ -352,10 +372,27 @@ def _match_memory_multi_group(mem: XMemMemory, sim: Array, valid: Array):
         aff = topk_softmax(sim_o, mem.top_k)
         aff = jax.lax.optimization_barrier(aff)
         out = vals @ aff                               # (CV, N)
-        return jnp.where(any_vis, out, 0.0)
+        return jnp.where(any_vis, out, 0.0), jnp.where(any_vis, aff.sum(1), 0.0)
 
     values = jnp.concatenate([mem.lv, mem.wv], axis=2)  # (O, CV, Lc+Wc)
-    readout = jax.vmap(per_object)(mem.w_entry, values)
+    readout, aff_sums = jax.vmap(per_object)(mem.w_entry, mem.l_vis, values)
+
+    if not mem.long_term:
+        return readout, mem
+    # group-deduped usage: objects with the same entry form one group
+    # whose (identical) affinity counts once
+    same = mem.w_entry[:, None] == mem.w_entry[None, :]      # (O, O)
+    group_size = jnp.sum(same & mem.active[None, :], axis=1)
+    weight = jnp.where(mem.active, 1.0 / jnp.maximum(group_size, 1), 0.0)
+    usage = jnp.einsum("o,ol->l", weight.astype(aff_sums.dtype), aff_sums)
+    l_valid = jnp.arange(lc) < mem.l_size
+    w_valid = jnp.arange(wc) < mem.w_size
+    mem = mem.replace(
+        l_use=mem.l_use + jnp.where(l_valid, usage[:lc], 0.0),
+        l_life=mem.l_life + l_valid.astype(mem.l_life.dtype),
+        w_use=mem.w_use + jnp.where(w_valid, usage[lc:], 0.0),
+        w_life=mem.w_life + w_valid.astype(mem.w_life.dtype),
+    )
     return readout, mem
 
 
@@ -396,8 +433,26 @@ def _consolidate(mem: XMemMemory) -> XMemMemory:
     # potentiation: full softmax over candidates, readout values + shrinkage
     sim = similarity(cand_k, cand_s, proto_k, proto_e)   # (n_cand, P)
     aff = softmax_full(sim)
-    proto_v = jnp.einsum("ocl,lp->ocp", cand_v, aff)
     proto_s = cand_s @ aff                               # (P,)
+    if mem.multi_group:
+        # sound multi-group potentiation (the reference's sieve misaligns
+        # values against keys here, memory_manager.py:211-284 +
+        # kv_memory_store.py:58-79; see module docstring): each object's
+        # prototype values read ONLY its visible candidate slots. Keys /
+        # shrinkage are global (key-side, object-independent).
+        abs_slot = cand_lo + jnp.arange(n_cand)
+
+        def per_object(entry, vals):                    # vals (CV, n_cand)
+            vis = abs_slot >= entry
+            any_vis = jnp.any(vis)
+            sim_o = jnp.where(any_vis, jnp.where(vis[:, None], sim, _NEG_INF), sim)
+            return jnp.where(any_vis, vals @ softmax_full(sim_o), 0.0)
+
+        proto_v = jax.vmap(per_object)(mem.w_entry, cand_v)
+        # object o may attend these prototypes iff its values informed them
+        vis_new = mem.active & (mem.w_entry < cand_hi)  # (O,)
+    else:
+        proto_v = jnp.einsum("ocl,lp->ocp", cand_v, aff)
 
     # remove candidate block from working memory: keep [0, hw) + tail
     tail = minw - hw  # static
@@ -413,6 +468,24 @@ def _consolidate(mem: XMemMemory) -> XMemMemory:
         w_use=shift(mem.w_use, 0), w_life=shift(mem.w_life, 0),
         w_size=new_w_size,
     )
+    if mem.multi_group:
+        # remap entry offsets across the compaction: entries past the
+        # candidate block slide left with the tail; entries INSIDE the
+        # removed block clamp to the tail start (those keys are gone —
+        # the object keeps access to their compressed form via l_vis).
+        # Inactive objects keep the see-nothing sentinel (wc): remapping
+        # it would hand a not-yet-entered object visibility of slots
+        # appended BEFORE its entry.
+        mem = mem.replace(
+            w_entry=jnp.where(
+                mem.active,
+                jnp.where(
+                    mem.w_entry >= cand_hi, mem.w_entry - n_cand,
+                    jnp.where(mem.w_entry >= cand_lo, hw, mem.w_entry),
+                ),
+                mem.w_entry,
+            ),
+        )
 
     # append prototypes to long-term memory (capacity guaranteed by the
     # eviction that runs before consolidation)
@@ -429,6 +502,15 @@ def _consolidate(mem: XMemMemory) -> XMemMemory:
         l_life=put(mem.l_life, jnp.full((P,), 1e-7), 0),
         l_size=mem.l_size + P,
     )
+    if mem.multi_group:
+        O = mem.l_vis.shape[0]
+        mem = mem.replace(
+            l_vis=jax.lax.dynamic_update_slice(
+                mem.l_vis,
+                jnp.broadcast_to(vis_new[:, None], (O, P)),
+                (0, mem.l_size - P),
+            ),
+        )
     return mem
 
 
@@ -453,11 +535,15 @@ def _evict_long_term(mem: XMemMemory) -> XMemMemory:
         fill = jnp.full(pad_shape, 1e-7 if a is mem.l_life else 0.0, a.dtype)
         return jnp.concatenate([taken, fill], axis=axis)
 
-    return mem.replace(
+    mem = mem.replace(
         lk=take(mem.lk, 1), ls=take(mem.ls, 0), lv=take(mem.lv, 2),
         l_use=take(mem.l_use, 0), l_life=take(mem.l_life, 0),
         l_size=jnp.minimum(mem.l_size, keep),
     )
+    if mem.multi_group:
+        # visibility follows the surviving slots (bool: pad fills False)
+        mem = mem.replace(l_vis=take(mem.l_vis, 1))
+    return mem
 
 
 def add_memory(

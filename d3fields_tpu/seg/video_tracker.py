@@ -52,7 +52,8 @@ class VideoMaskTracker:
                  size: int = 480, multi_group: bool = False):
         """``multi_group=True`` preallocates ``num_objects`` slots and
         allows masks on later frames to seed objects entering mid-video
-        (requires ``enable_long_term=False``; the d3fields pipeline seeds
+        (composes with long-term memory via per-object prototype
+        visibility, ``models/xmem/memory.py``; the d3fields pipeline seeds
         everything on frame 0 and keeps the default)."""
         self.cfg = cfg
         self.image_hw = image_hw

@@ -698,9 +698,11 @@ def test_eval_xmem_davis_layout(tmp_path):
 def test_eval_xmem_ytvos_first_appearance(tmp_path, capsys):
     """YouTubeVOS protocol: object 1 is annotated at frame 0, object 2
     only at its first appearance (frame 2) — the eval must seed the second
-    object mid-video (multi-group entry, auto-disabling long-term memory)
-    and keep propagating both (reference XMem/eval.py feeds msk whenever
-    the dataset supplies one)."""
+    object mid-video (multi-group entry) and keep propagating both
+    (reference XMem/eval.py feeds msk whenever the dataset supplies one).
+    Long-term memory stays ENABLED for such videos (per-object prototype
+    visibility, models/xmem/memory.py) — the reference has to disable it
+    there (its multi-group eviction raises, kv_memory_store.py:146-151)."""
     import cv2
     from PIL import Image
 
@@ -738,7 +740,7 @@ def test_eval_xmem_ytvos_first_appearance(tmp_path, capsys):
     ])
     assert rc == 0
     text = capsys.readouterr().out
-    assert "long-term memory disabled" in text
+    assert "long-term memory disabled" not in text  # no downgrade anymore
     outs = sorted(os.listdir(os.path.join(out, "0a2f2bd294")))
     assert outs == [f"{t:05d}.png" for t in range(1, T)]
     # the frame where object 2 entered carries its given region

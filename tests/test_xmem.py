@@ -852,13 +852,177 @@ def test_midvideo_entry_respects_unsync_deep_schedule(torch_xmem):
         )
 
 
+# ---------------------------------------------------------------------------
+# multi-group x long-term memory (beyond the reference: its own path raises,
+# kv_memory_store.py:146-151; sound semantics in memory.py module docstring)
+# ---------------------------------------------------------------------------
+
+def _mg_cfg(max_lt=24):
+    return XMemConfig(key_dim=8, value_dim=10, hidden_dim=4,
+                      max_mid_term_frames=3, min_mid_term_frames=1,
+                      num_prototypes=4, max_long_term_elements=max_lt,
+                      top_k=3)
+
+
+def _rand_frame(rs, ck, cv, O, hw):
+    k = rs.randn(ck, hw).astype(np.float32)
+    s = (rs.rand(hw) + 1).astype(np.float32)
+    v = rs.randn(O, cv, hw).astype(np.float32)
+    e = rs.rand(ck, hw).astype(np.float32)
+    return k, s, v, e
+
+
+def test_multigroup_longterm_reduces_to_single_group():
+    """With every object entering at frame 0, the multi-group long-term
+    path must be numerically identical to the single-group path — through
+    consolidation AND long-term eviction (26 steps at max_lt=24 fires
+    both repeatedly): full-visibility masked softmaxes equal the global
+    ones, and group-deduped usage (2 objects sharing entry, 1/2 weight
+    each) equals the reference's one-softmax accounting."""
+    cfg = _mg_cfg()
+    ck, cv, O, hw = cfg.key_dim, cfg.value_dim, 2, 6
+    mem_s = M.init_memory(cfg, O, (2, 3))
+    mem_m = M.init_memory(cfg, O, (2, 3), multi_group=True)
+    mem_m = M.activate_objects(mem_m, jnp.ones((O,), bool))
+    rs = np.random.RandomState(11)
+    for t in range(26):
+        k, s, v, e = _rand_frame(rs, ck, cv, O, hw)
+        mem_s = M.add_memory(mem_s, jnp.asarray(k), jnp.asarray(s),
+                             jnp.asarray(v), jnp.asarray(e))
+        mem_m = M.add_memory(mem_m, jnp.asarray(k), jnp.asarray(s),
+                             jnp.asarray(v), jnp.asarray(e))
+        qk = rs.randn(ck, hw).astype(np.float32)
+        qe = rs.rand(ck, hw).astype(np.float32)
+        ro_s, mem_s = M.match_memory(mem_s, jnp.asarray(qk), jnp.asarray(qe))
+        ro_m, mem_m = M.match_memory(mem_m, jnp.asarray(qk), jnp.asarray(qe))
+        np.testing.assert_allclose(
+            np.asarray(ro_m), np.asarray(ro_s), rtol=1e-4, atol=1e-4,
+            err_msg=f"multi-group readout diverged at t={t}",
+        )
+        assert int(mem_m.w_size) == int(mem_s.w_size)
+        assert int(mem_m.l_size) == int(mem_s.l_size)
+        np.testing.assert_allclose(
+            np.asarray(mem_m.w_use), np.asarray(mem_s.w_use),
+            rtol=1e-4, atol=1e-5, err_msg=f"usage diverged at t={t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(mem_m.l_use), np.asarray(mem_s.l_use),
+            rtol=1e-4, atol=1e-5,
+        )
+        ls = int(mem_m.l_size)
+        assert bool(np.asarray(mem_m.l_vis)[:, :ls].all()), (
+            "frame-0 objects must see every prototype"
+        )
+    assert int(mem_m.l_size) > 0  # the loop really crossed consolidation
+
+
+def test_multigroup_longterm_late_entry_sound():
+    """The property the reference's broken path cannot provide: a late
+    object's output NEVER depends on memory content from before its entry.
+    Two runs differ ONLY in the late object's pre-entry value slabs
+    (garbage vs zeros); every readout, usage row, and visibility bit must
+    be identical — through consolidation (which must potentiate the late
+    object over only its visible candidates) and long-term eviction."""
+    cfg = _mg_cfg(max_lt=16)
+    ck, cv, O, hw = cfg.key_dim, cfg.value_dim, 2, 6
+    entry_t = 4
+    mems = [M.init_memory(cfg, O, (2, 3), multi_group=True)
+            for _ in range(2)]
+    mems = [M.activate_objects(m, jnp.asarray([True, False]))
+            for m in mems]
+    rs = np.random.RandomState(13)
+    rs_garbage = np.random.RandomState(99)
+    entered = False
+    saw_mixed_vis = False
+    for t in range(22):
+        k, s, v, e = _rand_frame(rs, ck, cv, O, hw)
+        if t == entry_t:
+            mems = [M.activate_objects(m, jnp.asarray([True, True]))
+                    for m in mems]
+            entered = True
+        variants = []
+        for i, m in enumerate(mems):
+            vi = v.copy()
+            if not entered:
+                # pre-entry slab: garbage in run 0, zeros in run 1
+                vi[1] = (100.0 * rs_garbage.randn(cv, hw).astype(np.float32)
+                         if i == 0 else 0.0)
+            variants.append(
+                M.add_memory(m, jnp.asarray(k), jnp.asarray(s),
+                             jnp.asarray(vi), jnp.asarray(e)))
+        mems = variants
+        qk = rs.randn(ck, hw).astype(np.float32)
+        qe = rs.rand(ck, hw).astype(np.float32)
+        ro = []
+        nxt = []
+        for m in mems:
+            r, m2 = M.match_memory(m, jnp.asarray(qk), jnp.asarray(qe))
+            ro.append(np.asarray(r))
+            nxt.append(m2)
+        mems = nxt
+        np.testing.assert_allclose(
+            ro[0], ro[1], rtol=1e-5, atol=1e-5,
+            err_msg=f"pre-entry values leaked into a readout at t={t}",
+        )
+        np.testing.assert_array_equal(np.asarray(mems[0].l_vis),
+                                      np.asarray(mems[1].l_vis))
+        np.testing.assert_allclose(np.asarray(mems[0].w_use),
+                                   np.asarray(mems[1].w_use),
+                                   rtol=1e-4, atol=1e-5)
+        ls = int(mems[0].l_size)
+        lv = np.asarray(mems[0].l_vis)
+        if ls:
+            # object 0 (entry 0) sees every prototype
+            assert lv[0, :ls].all()
+            if entered and not lv[1, :ls].all() and lv[1, :ls].any():
+                saw_mixed_vis = True
+    assert saw_mixed_vis, (
+        "scenario never produced partially-visible long-term memory — "
+        "the masking paths were not exercised"
+    )
+    assert int(mems[0].l_size) > 0
+
+
+def test_core_multigroup_longterm_video():
+    """Core-level: mid-video entry composes with long-term memory (the
+    reference must disable long-term for such videos). Object 2 enters at
+    frame 3; the video is long enough to consolidate with the small
+    working capacity. Pre-entry the extra slot stays silent; the whole
+    run is finite and the entering object's mask region is adopted."""
+    cfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=5,
+                     mem_every=1, max_mid_term_frames=3,
+                     min_mid_term_frames=1, num_prototypes=4,
+                     max_long_term_elements=32)
+    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    core = C.XMemCore(params, cfg, num_views=1, num_objects=2,
+                      image_hw=(48, 64), multi_group=True)
+    rs = np.random.RandomState(5)
+    video = rs.rand(9, 48, 64, 3).astype(np.float32)
+    m0 = np.zeros((2, 48, 64), np.float32)
+    m0[0, 8:24, 8:32] = 1.0
+    p = core.step(jnp.asarray(video[0])[None], jnp.asarray(m0)[None],
+                  provided=np.array([True, False]))
+    assert np.asarray(p)[0, 2].max() < 1e-3  # inactive slot silent
+    for t in range(1, 9):
+        if t == 3:
+            m3 = np.zeros((2, 48, 64), np.float32)
+            m3[1, 28:44, 36:60] = 1.0
+            p = core.step(jnp.asarray(video[t])[None],
+                          jnp.asarray(m3)[None],
+                          provided=np.array([False, True]))
+            assert np.asarray(p)[0, 2, 34, 48] > 0.5
+        else:
+            p = core.step(jnp.asarray(video[t])[None])
+        assert np.isfinite(np.asarray(p)).all()
+        if t < 3:
+            assert np.asarray(p)[0, 2].max() < 1e-3
+    assert int(core.mem.l_size[0]) > 0  # long-term memory really engaged
+
+
 def test_memory_config_guards():
     """Misconfigurations fail at construction with actionable messages."""
     from d3fields_tpu.models.xmem import memory as M
 
-    with pytest.raises(NotImplementedError, match="multi_group"):
-        M.init_memory(XMemConfig(enable_long_term=True), 1, (2, 2),
-                      multi_group=True)
     with pytest.raises(ValueError, match="max_mid_term_frames >= 2"):
         M.init_memory(
             XMemConfig(enable_long_term=False, max_mid_term_frames=1),
