@@ -36,6 +36,13 @@ def _host_signature() -> str:
     the jax/jaxlib build, so the signature also folds in both versions —
     a runtime upgrade rolls the namespace instead of loading stale
     executables with "machine type doesn't match" loader errors.
+
+    Versions + flags are still not enough: LLVM picks tuning features from
+    the host CPUID (vendor/family/model/stepping), so two machines with
+    identical flag sets but different microarchitectures (observed: a
+    driver-host swap between Xeon generations) produce AOT executables
+    that warn on each other. The signature therefore folds in the cpuinfo
+    identity lines too — the same signals LLVM's host detection reads.
     """
     import hashlib
     import platform
@@ -49,14 +56,26 @@ def _host_signature() -> str:
         f"jaxlib={getattr(jaxlib, '__version__', '?')}",
     ])
     try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    sig += " " + " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+        ident = _cpu_identity()
+        sig += " " + " ".join(f"{k}={v}" for k, v in sorted(ident.items()))
     except OSError:
         sig += " " + platform.processor()
     return hashlib.sha1(sig.encode()).hexdigest()[:12]
+
+
+def _cpu_identity(path: str = "/proc/cpuinfo") -> dict:
+    """ISA flags + CPUID identity lines of the first core (see
+    :func:`_host_signature` for why identity matters, not just flags)."""
+    ident = {}
+    with open(path) as f:
+        for line in f:
+            key = line.split(":", 1)[0].strip()
+            if key in ("flags", "Features") and "flags" not in ident:
+                ident["flags"] = " ".join(sorted(line.split(":", 1)[1].split()))
+            elif key in ("vendor_id", "cpu family", "model",
+                         "model name", "stepping") and key not in ident:
+                ident[key] = line.split(":", 1)[1].strip()
+    return ident
 
 
 def enable_compilation_cache() -> Optional[str]:

@@ -404,6 +404,20 @@ def test_compile_cache_dir_is_host_scoped(tmp_path, monkeypatch):
         sig = cc._host_signature()
         assert sig == cc._host_signature() and len(sig) == 12  # deterministic
 
+        # the namespace must roll on a CPUID identity change, not just a
+        # flag-set change: LLVM's tuning-feature choices (+prefer-no-gather
+        # et al.) key on vendor/family/model/stepping, and two driver hosts
+        # with IDENTICAL flags produced mutually-warning AOT executables
+        a = tmp_path / "cpu_a.txt"
+        b = tmp_path / "cpu_b.txt"
+        a.write_text("vendor_id : GenuineIntel\nmodel : 207\n"
+                     "stepping : 2\nflags : sse sse2 avx\n")
+        b.write_text("vendor_id : GenuineIntel\nmodel : 143\n"
+                     "stepping : 2\nflags : sse sse2 avx\n")
+        ia, ib = cc._cpu_identity(str(a)), cc._cpu_identity(str(b))
+        assert ia["flags"] == ib["flags"] and ia["model"] != ib["model"]
+        assert ia != ib  # -> different sha1 namespace
+
         monkeypatch.delenv("D3F_COMPILE_CACHE_DIR", raising=False)
         monkeypatch.setenv("HOME", str(tmp_path))
         d = cc.enable_compilation_cache()
