@@ -378,7 +378,13 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     rs = np.random.RandomState(0)
     images = rs.randint(0, 255, (num_views, H, W, 3), np.uint8)
     tokenize = lambda s: [200 + (hash(w) % 1000) for w in s.split()]
-    detector = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize)
+    # view_chunk=1: on the single 16 GB chip the 800-scale 4-view batch
+    # overflows HBM in the encoder's deformable sampling temporaries and
+    # CRASHES the TPU worker (observed; the all-views batch is the
+    # multi-chip layout — detector.py:85-93). Numerically identical:
+    # tests/test_groundingdino.py::test_view_chunked_batch_matches_unchunked
+    detector = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize,
+                                     view_chunk=1)
     queries = ["mug", "red can"]
 
     # ---- GroundingDINO: one batched forward over all views (detection
