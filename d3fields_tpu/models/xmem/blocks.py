@@ -35,12 +35,14 @@ Params = Dict[str, "Params | Array"]
 # ---------------------------------------------------------------------------
 
 def conv2d(x: Array, w: Array, b: Optional[Array] = None, *, stride: int = 1,
-           padding: int = 0) -> Array:
-    """NHWC conv with HWIO weights (torch Conv2d semantics, symmetric pad)."""
+           padding: int = 0, dilation: int = 1) -> Array:
+    """NHWC conv with HWIO weights (torch Conv2d semantics, symmetric pad;
+    ``dilation`` is atrous kernel dilation as in torch)."""
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if b is not None:

@@ -105,6 +105,81 @@ def test_resize_bilinear_ac_matches_torch(ref_interact):
                                    ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# S2M (scribble-to-mask)
+# ---------------------------------------------------------------------------
+
+def _torch_s2m(seed=5):
+    import torch
+
+    from inference.interact.s2m.s2m_network import deeplabv3plus_resnet50
+
+    torch.manual_seed(seed)
+    net = deeplabv3plus_resnet50(num_classes=1, output_stride=16,
+                                 pretrained_backbone=False)
+    net.eval()
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+    return net
+
+
+@pytest.mark.slow
+def test_s2m_forward_parity(ref_interact):
+    """DeepLabV3+ over the 6-channel ResNet-50 (dilated layer4, ASPP with
+    global-pool branch, low-level projection) matches the reference net —
+    s2m_network.py:7-56, _deeplab.py:30-62, s2m_resnet.py:70-170."""
+    import torch
+
+    from d3fields_tpu.models.s2m import model as s2
+
+    net = _torch_s2m()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = s2.convert_torch_state_dict(sd)
+
+    rs = np.random.RandomState(4)
+    x = rs.randn(1, 64, 96, 6).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = s2.forward(params, s2.S2mConfig(), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got)[..., 0], ref.numpy()[:, 0],
+                               atol=3e-4)
+
+
+@pytest.mark.slow
+def test_s2m_controller_parity(ref_interact):
+    """Full scribble interaction (per-object channel encoding, pad/unpad,
+    sigmoid) vs the reference S2MController — s2m_controller.py:8-38. The
+    reference loops objects; ours batches them in one forward."""
+    import torch
+
+    from inference.interact.s2m_controller import S2MController as RefCtl
+    from d3fields_tpu.models.s2m import S2MController, convert_torch_state_dict
+
+    net = _torch_s2m(seed=7)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    ctl = S2MController(convert_torch_state_dict(sd), num_objects=2)
+
+    rs = np.random.RandomState(6)
+    img = rs.rand(56, 72, 3).astype(np.float32)
+    prev = np.zeros((56, 72), np.uint8)
+    prev[10:30, 20:40] = 1
+    scr = np.full((56, 72), 255, np.uint8)
+    scr[12:18, 22:30] = 1   # positive scribble for object 1
+    scr[40:46, 50:60] = 2   # object 2 enters by scribble
+    scr[5:8, 5:10] = 0      # background correction
+
+    ref_ctl = RefCtl(net, num_objects=2, ignore_class=255, device="cpu")
+    with torch.no_grad():
+        ref = ref_ctl.interact(
+            torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(0),
+            torch.from_numpy(prev.astype(np.float32)), scr,
+        )
+    got = ctl.interact(img, prev, scr)
+    np.testing.assert_allclose(got, ref.numpy(), atol=3e-4)
+
+
 def test_fbrs_model_forward_parity(ref_interact):
     """Full DistMapsHRNetModel (click dist-maps + rgb_conv + backbone +
     align-corners upsample) vs the reference — is_hrnet_model.py:24-67,
