@@ -106,6 +106,126 @@ def test_resize_bilinear_ac_matches_torch(ref_interact):
 
 
 # ---------------------------------------------------------------------------
+# fbrs predictor / controller
+# ---------------------------------------------------------------------------
+
+def _small_fbrs(seed=11):
+    """Torch fbrs model + converted JAX params (width 6, norm_radius 20)."""
+    import torch
+
+    from inference.interact.fbrs.model.is_hrnet_model import get_hrnet_model
+    from d3fields_tpu.models.fbrs import model as fmod
+
+    torch.manual_seed(seed)
+    net = get_hrnet_model(width=6, ocr_width=8, small=True,
+                          with_aux_output=False, cpu_dist_maps=False,
+                          norm_radius=20)
+    net.eval()
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, cfg = fmod.convert_torch_state_dict(sd)
+    return net, params, fmod.FbrsConfig(backbone=cfg.backbone,
+                                        norm_radius=20.0)
+
+
+@pytest.mark.slow
+def test_nobrs_click_pipeline_parity(ref_interact):
+    """The deterministic (no-optimization) click pipeline — click tensor
+    layout, horizontal-flip TTA with logit averaging, zoom-in crop with
+    click remapping and paste-back — matches the reference BasePredictor
+    click-for-click over a 4-click sequence (predictors/base.py,
+    transforms/zoom_in.py, transforms/flip.py). This pins every
+    transform's geometry; the BRS optimizer on top is covered by
+    behavior tests (its L-BFGS trajectory is floating-point-path
+    specific)."""
+    import torch
+
+    from inference.interact.fbrs.inference import clicker as ref_clicker
+    from inference.interact.fbrs.inference.predictors import get_predictor
+    from d3fields_tpu.models.fbrs.predictor import (
+        Click, Clicker, FbrsPredictor, ZoomIn,
+    )
+
+    net, params, cfg = _small_fbrs()
+    ref_pred = get_predictor(
+        net, "NoBRS", device="cpu", with_flip=True,
+        zoom_in_params={"skip_clicks": 1, "target_size": 48,
+                        "expansion_ratio": 1.4, "min_crop_size": 20},
+        predictor_params={"max_size": 800},
+    )
+    pred = FbrsPredictor(
+        params, cfg, brs=False, with_flip=True,
+        zoom_in=ZoomIn(target_size=48, skip_clicks=1, expansion_ratio=1.4,
+                       min_crop_size=20),
+    )
+
+    rs = np.random.RandomState(8)
+    img = rs.rand(64, 80, 3).astype(np.float32)
+    ref_pred.set_input_image(torch.from_numpy(img.transpose(2, 0, 1)))
+    pred.set_input_image(img)
+
+    rc = ref_clicker.Clicker()
+    jc = Clicker()
+    seq = [(True, (20.0, 30.0)), (True, (28.0, 44.0)),
+           (False, (50.0, 70.0)), (True, (24.0, 36.0))]
+    for i, (is_pos, (y, x)) in enumerate(seq):
+        rc.add_click(ref_clicker.Click(is_positive=is_pos, coords=(y, x)))
+        jc.add_click(Click(is_pos, (y, x)))
+        with torch.no_grad():
+            # BasePredictor.get_prediction already applies SigmoidForPred
+            ref = ref_pred.get_prediction(rc)
+        got = pred.get_prediction(jc)
+        np.testing.assert_allclose(
+            got, ref.numpy()[0, 0], atol=5e-4,
+            err_msg=f"click pipeline diverged at click {i}",
+        )
+
+
+def test_fbrs_controller_brs_behavior(ref_interact):
+    """The f-BRS-B optimization must do its job regardless of weights:
+    relative to the unoptimized (NoBRS) prediction with the same clicks,
+    the scale/bias refinement pushes the clicked pixels toward their
+    click labels (brs_losses.py:11-20), and undo restores the exact
+    previous state (controller.py:29-55)."""
+    from d3fields_tpu.models.fbrs.predictor import (
+        Click, Clicker, FBRSController, FbrsPredictor,
+    )
+
+    _, params, cfg = _small_fbrs(seed=13)
+    ctl = FBRSController(params, cfg, target_size=48)
+    rs = np.random.RandomState(9)
+    img = rs.rand(64, 80, 3).astype(np.float32)
+
+    m1 = ctl.interact(img, x=30, y=20, is_positive=True)
+    assert m1.shape == (64, 80)
+    m2 = ctl.interact(img, x=60, y=45, is_positive=False)
+    p2 = ctl.probs_history[-1]
+    assert p2[20, 30] > 0.5, "positive click not honored after BRS"
+
+    # unoptimized baseline: same clicks, no BRS, no zoom (full-frame probs
+    # so both clicked pixels are comparable)
+    plain = FbrsPredictor(params, cfg, brs=False, with_flip=True,
+                          zoom_in=None)
+    plain.set_input_image(img)
+    jc = Clicker()
+    jc.add_click(Click(True, (20.0, 30.0)))
+    jc.add_click(Click(False, (45.0, 60.0)))
+    p_plain = plain.get_prediction(jc)
+    assert p2[45, 60] < p_plain[45, 60], (
+        "BRS did not move the negative click toward background "
+        f"({p2[45, 60]:.3f} vs unoptimized {p_plain[45, 60]:.3f})"
+    )
+
+    m_undo = ctl.undo()
+    np.testing.assert_array_equal(m_undo, m1)
+    m2_again = ctl.interact(img, x=60, y=45, is_positive=False)
+    np.testing.assert_array_equal(m2_again, m2)
+
+
+# ---------------------------------------------------------------------------
 # S2M (scribble-to-mask)
 # ---------------------------------------------------------------------------
 
