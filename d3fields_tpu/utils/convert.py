@@ -134,7 +134,9 @@ def audit_conversion(
 #:   ``decoder_bbox_embed_share=True`` ties every head to ``bbox_embed.0``
 #:   (verified tensor-equal);
 #: - xmem ``num_batches_tracked``: torch BN step counters, meaningless for
-#:   inference-mode BN.
+#:   inference-mode BN;
+#: - s2m / fbrs ``num_batches_tracked``: same BN counters (their trunks are
+#:   torchvision-style ResNet/HRNet with eval-mode BN folded at conversion).
 ALLOWED_UNUSED = {
     "dinov2_hub": [r"mask_token"],
     "dinov2_hf": [r"mask_token"],
@@ -148,13 +150,16 @@ ALLOWED_UNUSED = {
         r"position_ids",  # arange buffer old transformers serialized
     ],
     "xmem": [r"num_batches_tracked"],
+    "s2m": [r"num_batches_tracked"],
+    "fbrs": [r"num_batches_tracked"],
 }
 
 
 def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
     """Audited conversion for a model family; returns (params, cfg).
 
-    ``family``: dinov2_hub | dinov2_hf | sam | gdino | xmem. ``cfg``
+    ``family``: dinov2_hub | dinov2_hf | sam | gdino | xmem | s2m | fbrs.
+    ``cfg``
     defaults to the reference's production configuration for that family
     (ViT-L/14, XMem base); the SAM encoder variant (vit-b/l/h) and the
     GroundingDINO trunk (swin-t/b) are sniffed from the state dict.
@@ -213,6 +218,30 @@ def convert_family(family: str, sd: Mapping[str, np.ndarray], cfg=None):
             lambda s: xnet.convert_torch_state_dict(s, cfg), sd,
             allowed_unused=ALLOWED_UNUSED["xmem"],
         )
+    elif family == "s2m":
+        from d3fields_tpu.models.s2m import model as s2
+
+        cfg = cfg or s2.S2mConfig()
+        params, _ = audit_conversion(
+            s2.convert_torch_state_dict, sd,
+            allowed_unused=ALLOWED_UNUSED["s2m"],
+        )
+    elif family == "fbrs":
+        from d3fields_tpu.models.fbrs import model as fm
+
+        # the fbrs converter sniffs its HRNet width/ocr config from the
+        # state dict itself (is_hrnet_model.py checkpoints carry no cfg)
+        sniffed = {}
+
+        def _cv(s):
+            p, c = fm.convert_torch_state_dict(s)
+            sniffed["cfg"] = c
+            return p
+
+        params, _ = audit_conversion(
+            _cv, sd, allowed_unused=ALLOWED_UNUSED["fbrs"]
+        )
+        cfg = cfg or sniffed["cfg"]
     else:
         raise ValueError(f"unknown family {family!r}; want one of "
                          f"{sorted(ALLOWED_UNUSED)}")

@@ -751,3 +751,60 @@ def test_eval_xmem_ytvos_first_appearance(tmp_path, capsys):
     pred4 = np.array(Image.open(os.path.join(out, "0a2f2bd294",
                                              "00004.png")))
     assert pred4.max() <= 2 and np.isfinite(pred4).all()
+
+
+@pytest.mark.slow
+def test_interactive_scripted(tmp_path):
+    """End-to-end scriptable interactive session (apps/interactive.py —
+    the reference interactive_demo.py headless): workspace populated
+    from an image folder, free-draw + f-BRS click + S2M scribble +
+    propagation from a command script, DAVIS-paletted masks written, and
+    a second run resumes from the saved masks."""
+    import cv2
+    from PIL import Image
+
+    from d3fields_tpu.apps.interactive import main as ia_main
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    rs = np.random.RandomState(0)
+    base = (rs.rand(48, 64, 3) * 255).astype(np.uint8)
+    for t in range(3):
+        cv2.imwrite(str(src / f"{t:03d}.png"), np.roll(base, 3 * t, axis=1))
+
+    script = tmp_path / "script.txt"
+    script.write_text(
+        "goto 0\n"
+        "object 1\n"
+        "free 1 10,10 20,20\n"
+        "commit\n"
+        "click 30 24 +        # f-BRS refinement of object 1\n"
+        "commit\n"
+        "scribble 1 12,12 18,18\n"
+        "commit\n"
+        "propagate forward\n"
+        "save\n"
+    )
+    ws = str(tmp_path / "ws")
+    args = [
+        "--images", str(src), "--workspace", ws, "--size", "-1",
+        "--script", str(script), "--num_objects", "1",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+    ]
+    assert ia_main(args) == 0
+    mdir = os.path.join(ws, "masks")
+    outs = sorted(os.listdir(mdir))
+    assert outs == [f"{t:03d}.png" for t in range(3)]
+    m0 = Image.open(os.path.join(mdir, "000.png"))
+    assert m0.mode == "P"
+    assert np.array(m0).max() <= 1
+
+    # resume: the saved masks seed the next run (resource_manager
+    # semantics); propagate backward from the last frame
+    script2 = tmp_path / "script2.txt"
+    script2.write_text("goto 2\npropagate backward\nsave\n")
+    assert ia_main(args[:-8] + [
+        "--script", str(script2), "--num_objects", "1",
+        "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
+    ]) == 0
+    assert sorted(os.listdir(mdir)) == outs

@@ -277,7 +277,7 @@ def test_allowed_unused_registry_has_reasons():
     import re
 
     assert set(ALLOWED_UNUSED) == {"dinov2_hub", "dinov2_hf", "sam", "gdino",
-                                   "xmem"}
+                                   "xmem", "s2m", "fbrs"}
     for pats in ALLOWED_UNUSED.values():
         for p in pats:
             re.compile(p)

@@ -335,3 +335,21 @@ def test_fbrs_model_forward_parity(ref_interact):
     got = fm.forward(params, cfg, jnp.asarray(img), jnp.asarray(pts))
     np.testing.assert_allclose(np.asarray(got)[..., 0], ref.numpy()[:, 0],
                                atol=2e-4)
+
+
+@pytest.mark.slow
+def test_convert_family_s2m_fbrs_audited(ref_interact):
+    """The audited conversion registry covers the interactive models:
+    convert_family consumes every checkpoint tensor (BN step counters
+    allow-listed) and returns a working (params, cfg) pair."""
+    from d3fields_tpu.utils.convert import convert_family
+
+    net, _, _ = _small_fbrs(seed=21)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, cfg = convert_family("fbrs", sd)
+    assert cfg.backbone.width == 6 and cfg.backbone.ocr_width == 8
+
+    s2m_net = _torch_s2m(seed=22)
+    sd = {k: v.detach().numpy() for k, v in s2m_net.state_dict().items()}
+    params, cfg = convert_family("s2m", sd)
+    assert cfg.num_classes == 1

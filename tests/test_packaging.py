@@ -74,5 +74,6 @@ def test_wheel_ships_native_sources_and_scripts(tmp_path):
         eps = z.read(meta[0]).decode()
         for script in ("d3f-vis-repr", "d3f-vis-tracking", "d3f-train-xmem",
                        "d3f-eval-xmem", "d3f-convert-ckpts", "d3f-click-track",
-                       "d3f-merge-scores", "d3f-precompute-pca"):
+                       "d3f-merge-scores", "d3f-precompute-pca",
+                       "d3f-interactive"):
             assert script in eps, eps
