@@ -72,7 +72,9 @@ class GroundingDinoDetector:
     def __init__(self, params, cfg: Optional[GroundingDinoConfig] = None,
                  tokenize: Optional[Callable[[str], List[int]]] = None,
                  short_side: int = 800, max_side: int = 1333,
-                 view_chunk: Optional[int] = None):
+                 view_chunk: Optional[int] = None,
+                 compute_dtype: str = "float32",
+                 query_chunk: Optional[int] = 4096):
         # Commit the weights to device ONCE. Host-numpy leaves would be
         # re-transferred on EVERY jitted forward (jax converts non-Array
         # args per call) — through the remote TPU tunnel that is tens of
@@ -84,13 +86,20 @@ class GroundingDinoDetector:
         self.max_side = max_side
         # Max views per forward in predict_with_classes_batch. None = all
         # views in one batch — the multi-chip layout (views shard over the
-        # dp mesh axis, __graft_entry__.dryrun_multichip stage 5). On ONE
-        # 16 GB chip at the reference 800-scale the encoder's deformable
-        # sampling temporaries ((B, Q=17.8k, nh, L, P, 2) grids across six
-        # layers) overflow HBM at B=4; set view_chunk=1 there. Chunking
-        # changes scheduling only, never numerics (per-view math is
-        # independent; chunked==unchunked pinned in tests).
+        # dp mesh axis, __graft_entry__.dryrun_multichip stage 5). With the
+        # default query_chunk the 4-view 800-scale batch fits one 16 GB
+        # chip (the round-3 HBM overflow came from un-tiled deformable
+        # gather temporaries). Chunking changes scheduling only, never
+        # numerics (per-view math is independent; chunked==unchunked pinned
+        # in tests).
         self.view_chunk = view_chunk
+        # ``compute_dtype="bfloat16"``: the gated MXU trunk (Swin + encoder
+        # run bf16, selection/decoder/heads stay f32 — model.py docstring);
+        # ``query_chunk`` tiles the encoder's deformable gather so the
+        # temporaries scale with the tile, not (views x queries x levels x
+        # points).
+        self.compute_dtype = compute_dtype
+        self.query_chunk = query_chunk
 
     def _prep(self, rgb: np.ndarray):
         H, W = rgb.shape[:2]
@@ -116,7 +125,8 @@ class GroundingDinoDetector:
         H, W = image.shape[:2]
         pixels = self._prep(image)
         logits, boxes = groundingdino_forward(
-            self.params, self.cfg, pixels, input_ids
+            self.params, self.cfg, pixels, input_ids,
+            self.compute_dtype, self.query_chunk,
         )
         probs = np.asarray(jax.nn.sigmoid(logits[0]))   # (Q, max_text_len)
         boxes = np.asarray(boxes[0])                     # (Q, 4) cxcywh norm
@@ -147,7 +157,8 @@ class GroundingDinoDetector:
             pixels = jnp.concatenate(views + [views[-1]] * pad, axis=0)
             ids = np.repeat(np.asarray(input_ids), len(views) + pad, axis=0)
             logits, boxes = groundingdino_forward(
-                self.params, self.cfg, pixels, ids
+                self.params, self.cfg, pixels, ids,
+                self.compute_dtype, self.query_chunk,
             )
             n = len(views)
             probs_parts.append(np.asarray(jax.nn.sigmoid(logits))[:n])

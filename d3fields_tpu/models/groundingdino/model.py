@@ -196,11 +196,12 @@ def _bilinear_sample_nchw(img: Array, gx: Array, gy: Array) -> Array:
     return out
 
 
-def deformable_attention_core(
+def _deformable_core_tile(
     value: Array, spatial_shapes: List[Tuple[int, int]],
     sampling_locations: Array, attention_weights: Array,
 ) -> Array:
-    """value (B, S, nh, hd); sampling_locations (B, Q, nh, L, P, 2) in [0,1];
+    """One query tile of the deformable-attention gather: value
+    (B, S, nh, hd); sampling_locations (B, Q, nh, L, P, 2) in [0,1];
     attention_weights (B, Q, nh, L, P). Returns (B, Q, nh*hd).
     (``MultiScaleDeformableAttention.forward``.)"""
     B, S, nh, hd = value.shape
@@ -220,19 +221,60 @@ def deformable_attention_core(
         g = g.reshape(B * nh, Q * P, 2)
         tap = jax.vmap(_bilinear_sample_nchw)(v, g[..., 0], g[..., 1])
         tap = tap.reshape(B, nh, Q, P, hd)
-        out = out + (tap * wgt[:, :, :, li, :, None]).sum(axis=3)
+        out = out + (tap * wgt[:, :, :, li, :, None].astype(tap.dtype)).sum(
+            axis=3)
         start += h * w
     return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * hd)
+
+
+def deformable_attention_core(
+    value: Array, spatial_shapes: List[Tuple[int, int]],
+    sampling_locations: Array, attention_weights: Array,
+    query_chunk: Optional[int] = None,
+) -> Array:
+    """Deformable-attention gather, optionally tiled over the query axis.
+
+    Even with the per-level accumulation, each level's bilinear taps
+    materialize (B*nh, Q*P, hd) temporaries; at the encoder's Q = S = 17.8k
+    (4 views, 800-scale) the corner taps peak well over a GB per layer —
+    the blowup that forced ``view_chunk=1`` on a 16 GB chip. Tiling the
+    query axis with ``lax.map`` bounds the temporaries to the tile
+    (identical math: queries are independent in the gather; the pad tail is
+    sliced off). ``query_chunk=None`` or Q <= chunk keeps the single-tile
+    path.
+    """
+    B, S, nh, hd = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    if query_chunk is None or Q <= query_chunk:
+        return _deformable_core_tile(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    qc = query_chunk
+    nt = -(-Q // qc)
+    pad = nt * qc - Q
+    loc = jnp.pad(sampling_locations,
+                  ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+    wgt = jnp.pad(attention_weights,
+                  ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+    loc = loc.reshape((B, nt, qc) + loc.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
+    wgt = wgt.reshape((B, nt, qc) + wgt.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+    out = jax.lax.map(
+        lambda lw: _deformable_core_tile(value, spatial_shapes, lw[0], lw[1]),
+        (loc, wgt),
+    )  # (nt, B, qc, nh*hd)
+    return out.transpose(1, 0, 2, 3).reshape(B, nt * qc, nh * hd)[:, :Q]
 
 
 def deformable_attention(
     p: Dict, hidden: Array, encoder_hidden: Array, pos: Optional[Array],
     reference_points: Array, spatial_shapes: List[Tuple[int, int]],
-    num_heads: int, n_points: int,
+    num_heads: int, n_points: int, query_chunk: Optional[int] = None,
 ) -> Array:
     """(``GroundingDinoMultiscaleDeformableAttention``): hidden (B, Q, D)
     queries; encoder_hidden (B, S, D) values; reference_points
-    (B, Q, L, 2 or 4) normalized."""
+    (B, Q, L, 2 or 4) normalized. Sampling COORDINATES are always f32 —
+    under a bf16 compute dtype a [0,1] coordinate quantizes to ~4 px steps
+    at the 800-scale, which would wreck the gather."""
     B, Q, D = hidden.shape
     S = encoder_hidden.shape[1]
     L = len(spatial_shapes)
@@ -241,13 +283,15 @@ def deformable_attention(
     value = (encoder_hidden @ p["value_w"] + p["value_b"]).reshape(
         B, S, num_heads, D // num_heads
     )
-    offsets = (hidden @ p["offs_w"] + p["offs_b"]).reshape(
+    offsets = (hidden @ p["offs_w"] + p["offs_b"]).astype(jnp.float32).reshape(
         B, Q, num_heads, L, n_points, 2
     )
     weights = (hidden @ p["attw_w"] + p["attw_b"]).reshape(
         B, Q, num_heads, L * n_points
     )
-    weights = jax.nn.softmax(weights, -1).reshape(B, Q, num_heads, L, n_points)
+    weights = jax.nn.softmax(weights.astype(jnp.float32), -1).reshape(
+        B, Q, num_heads, L, n_points)
+    reference_points = reference_points.astype(jnp.float32)
     if reference_points.shape[-1] == 2:
         normalizer = jnp.asarray(
             [[w, h] for h, w in spatial_shapes], jnp.float32
@@ -261,8 +305,9 @@ def deformable_attention(
             reference_points[:, :, None, :, None, :2]
             + offsets / n_points * reference_points[:, :, None, :, None, 2:] * 0.5
         )
-    out = deformable_attention_core(value, spatial_shapes, loc, weights)
-    return out @ p["out_w"] + p["out_b"]
+    out = deformable_attention_core(value, spatial_shapes, loc, weights,
+                                    query_chunk)
+    return out.astype(hidden.dtype) @ p["out_w"] + p["out_b"]
 
 
 # ---------------------------------------------------------------------------
@@ -310,11 +355,12 @@ def _bi_attention(p, vision, text, text_pad_mask, embed_dim, num_heads):
     attn_t = attn_t - attn_t.max(-1, keepdims=True)
     attn_t = jnp.clip(attn_t, -50000, 50000)
 
-    # text->vision: no vision padding in this pipeline
-    t_probs = jax.nn.softmax(attn_t, -1)
+    # text->vision: no vision padding in this pipeline. Softmax always in
+    # f32 (bf16 exp/normalize would quantize the attention distribution)
+    t_probs = jax.nn.softmax(attn_t.astype(jnp.float32), -1).astype(text.dtype)
     if text_pad_mask is not None:
         attn = jnp.where(text_pad_mask[:, None, None, :], -jnp.inf, attn)
-    v_probs = jax.nn.softmax(attn, -1)
+    v_probs = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(vision.dtype)
 
     dv = (v_probs @ tv).transpose(0, 2, 1, 3).reshape(B, Tv, embed_dim)
     dt = (t_probs @ vv).transpose(0, 2, 1, 3).reshape(B, Tt, embed_dim)
@@ -323,7 +369,7 @@ def _bi_attention(p, vision, text, text_pad_mask, embed_dim, num_heads):
 
 def encoder_layer(p, cfg, vision, text, pos_embed, reference_points,
                   spatial_shapes, text_self_mask, text_pad_mask,
-                  text_position_ids):
+                  text_position_ids, query_chunk=None):
     """(``GroundingDinoEncoderLayer``): fusion -> text enhancer ->
     deformable vision self-attention."""
     # fusion (pre-LN + layer-scale residuals)
@@ -342,17 +388,18 @@ def encoder_layer(p, cfg, vision, text, pos_embed, reference_points,
         exchange_xy=False,
     )
     bias = jnp.where(text_self_mask[:, None], 0.0, -1e30)  # (B,1,Lt,Lt)
-    q = text + tp
+    q = text + tp.astype(text.dtype)
     att = _mha(p["text"]["attn"], q, q, text, cfg.encoder_heads // 2, bias)
     text = _layer_norm(text + att, p["text"]["ln1_w"], p["text"]["ln1_b"])
     h = jax.nn.relu(text @ p["text"]["fc1_w"] + p["text"]["fc1_b"])
     h = h @ p["text"]["fc2_w"] + p["text"]["fc2_b"]
     text = _layer_norm(text + h, p["text"]["ln2_w"], p["text"]["ln2_b"])
 
-    # deformable vision self-attention
+    # deformable vision self-attention (query-tiled: Q = S is the full
+    # multi-scale pixel count, where the gather temporaries blow up)
     att = deformable_attention(
         p["deform"]["attn"], vision, vision, pos_embed, reference_points,
-        spatial_shapes, cfg.encoder_heads, cfg.encoder_points,
+        spatial_shapes, cfg.encoder_heads, cfg.encoder_points, query_chunk,
     )
     vision = _layer_norm(vision + att, p["deform"]["ln1_w"], p["deform"]["ln1_b"])
     h = jax.nn.relu(vision @ p["deform"]["fc1_w"] + p["deform"]["fc1_b"])
@@ -442,13 +489,20 @@ def _grid_proposals(spatial_shapes, d_level_scale=0.05):
     return jnp.asarray(out), jnp.asarray(valid[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spatial_shapes"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "spatial_shapes", "query_chunk"))
 def _transformer_forward(params, cfg: GroundingDinoConfig,
                          vision_flat, pos_flat, spatial_shapes,
                          text_features, text_self_mask, text_pad_mask,
-                         text_position_ids, text_token_mask):
+                         text_position_ids, text_token_mask,
+                         query_chunk=None):
     """Everything after the backbones: encoder, query selection, decoder,
-    heads. Returns (logits (B, Q, max_text_len), boxes (B, Q, 4) cxcywh)."""
+    heads. Returns (logits (B, Q, max_text_len), boxes (B, Q, 4) cxcywh).
+
+    The encoder runs at the dtype of ``vision_flat`` (bf16 under the gated
+    MXU path); query selection, the decoder, and every head run f32 — the
+    discrete top-k and the box heads are where dtype noise becomes entirely
+    different detections."""
     B = vision_flat.shape[0]
     L = len(spatial_shapes)
 
@@ -467,12 +521,21 @@ def _transformer_forward(params, cfg: GroundingDinoConfig,
         ref_points[None, :, None, :], (B, ref_points.shape[0], L, 2)
     )
 
-    vision, text = vision_flat, text_features
-    for lp in params["encoder_layers"]:
+    dt = vision_flat.dtype
+    vision, text = vision_flat, text_features.astype(dt)
+    enc_params = params["encoder_layers"]
+    if dt != jnp.float32:
+        enc_params = jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, enc_params)
+    for lp in enc_params:
         vision, text = encoder_layer(
-            lp, cfg, vision, text, pos_flat, ref_points, spatial_shapes,
-            text_self_mask, text_pad_mask, text_position_ids,
+            lp, cfg, vision, text, pos_flat.astype(dt), ref_points,
+            spatial_shapes, text_self_mask, text_pad_mask,
+            text_position_ids, query_chunk,
         )
+    vision = vision.astype(jnp.float32)
+    text = text.astype(jnp.float32)
 
     # ---- language-guided query selection (two-stage) ----
     proposals, proposals_valid = _grid_proposals(spatial_shapes)
@@ -540,16 +603,29 @@ def _transformer_forward(params, cfg: GroundingDinoConfig,
 
 
 def groundingdino_forward(params, cfg: GroundingDinoConfig,
-                          pixels: Array, input_ids: np.ndarray):
+                          pixels: Array, input_ids: np.ndarray,
+                          compute_dtype: str = "float32",
+                          query_chunk: Optional[int] = None):
     """pixels (B, H, W, 3) normalized; input_ids (B, Lt) numpy.
 
     Returns (logits (B, Q, max_text_len), boxes (B, Q, 4) normalized
     cxcywh) — the contract of ``GroundingDinoForObjectDetection``.
 
-    Runs at f32 matmul precision: default-precision TPU matmuls plus the
-    discrete top-k query selection turn small numeric noise into entirely
-    different detections (measured: 0.59 box drift at default precision vs
-    1e-5 at f32); detection runs once per video, so precision > speed here.
+    The f32 default runs at f32 matmul precision: default-precision TPU
+    matmuls plus the discrete top-k query selection turn small numeric
+    noise into entirely different detections (measured: 0.59 box drift at
+    default precision vs 1e-5 at f32). ``compute_dtype="bfloat16"`` is the
+    gated MXU path (same pattern as SAM's trunk, sam/model.py:172-190): the
+    Swin backbone, input projections, and the 6 feature-enhancer encoder
+    layers run bf16 while BERT, query selection, the decoder, and all heads
+    stay f32 — the encoder is where the FLOPs and the deformable-gather
+    memory live, the f32 tail keeps the discrete selection stable.
+    Detection-level agreement vs f32 is pinned in
+    tests/test_groundingdino.py::test_bf16_trunk_agreement.
+
+    ``query_chunk`` tiles the encoder's deformable-attention gather over
+    queries (identical numerics; bounds the per-layer temporaries so a
+    multi-view 800-scale batch fits one chip's HBM).
 
     The text self-attention mask derives from the DATA of input_ids
     (special-token positions), so it is computed on the host; everything
@@ -560,34 +636,45 @@ def groundingdino_forward(params, cfg: GroundingDinoConfig,
     """
     text_self_mask_np, pos_ids_np = generate_text_masks(np.asarray(input_ids))
     token_mask_np = np.ones_like(np.asarray(input_ids), bool)
-    with jax.default_matmul_precision("float32"):
+    prec = "float32" if compute_dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
         return _groundingdino_forward_impl(
             params, cfg, pixels, jnp.asarray(input_ids),
             jnp.asarray(text_self_mask_np), jnp.asarray(pos_ids_np),
-            jnp.asarray(token_mask_np),
+            jnp.asarray(token_mask_np), compute_dtype, query_chunk,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "query_chunk"))
 def _groundingdino_forward_impl(params, cfg, pixels, input_ids,
-                                text_self_mask, pos_ids, token_mask):
-    # text trunk + projection
+                                text_self_mask, pos_ids, token_mask,
+                                compute_dtype="float32", query_chunk=None):
+    dt = jnp.dtype(compute_dtype)
+    # text trunk + projection (always f32: tiny cost, feeds the contrastive
+    # logits that gate detection directly)
     text = B.bert_encode(
         params["bert"], input_ids, text_self_mask,
         jnp.zeros_like(input_ids), pos_ids, cfg.text,
     )
     text = text @ params["text_proj_w"] + params["text_proj_b"]
 
-    # vision trunk + input projections (+ extra stride-2 level)
-    feats = SW.swin_backbone(params["swin"], pixels, cfg.swin)
+    # vision trunk + input projections (+ extra stride-2 level) at dt
+    swin_p, proj_p = params["swin"], params["input_proj"]
+    if dt != jnp.float32:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        swin_p, proj_p = cast(swin_p), cast(proj_p)
+    feats = SW.swin_backbone(swin_p, pixels.astype(dt), cfg.swin)
     maps = []
     for li, f in enumerate(feats):
-        p = params["input_proj"][li]
+        p = proj_p[li]
         m = jnp.einsum("bhwc,co->bhwo", f, p["conv_w"]) + p["conv_b"]
         m = _group_norm32(m, p["gn_w"], p["gn_b"])
         maps.append(m)
     for li in range(len(feats), cfg.num_feature_levels):
-        p = params["input_proj"][li]
+        p = proj_p[li]
         src = feats[-1] if li == len(feats) else maps[-1]
         m = jax.lax.conv_general_dilated(
             src, p["conv_w"], (2, 2), ((1, 1), (1, 1)),
@@ -606,7 +693,7 @@ def _groundingdino_forward_impl(params, cfg, pixels, input_ids,
 
     return _transformer_forward(
         params, cfg, flat, pos, spatial_shapes, text,
-        text_self_mask, ~token_mask, pos_ids, token_mask,
+        text_self_mask, ~token_mask, pos_ids, token_mask, query_chunk,
     )
 
 

@@ -386,3 +386,52 @@ def test_view_chunked_batch_matches_unchunked(oracle):
         np.testing.assert_allclose(da.xyxy, db.xyxy, atol=1e-5)
         np.testing.assert_allclose(da.confidence, db.confidence, atol=1e-6)
         np.testing.assert_array_equal(da.class_id, db.class_id)
+
+
+def test_query_chunked_deformable_matches_unchunked(oracle):
+    """query_chunk tiles the encoder's deformable gather with lax.map —
+    identical math (per-query independence), so the full forward must be
+    BITWISE equal with and without tiling, including a padded tail tile
+    (Q=145 tokens at 64x64 here, chunk 7 -> 21 tiles incl. a pad tail)."""
+    _, params, cfg = oracle
+    rs = np.random.RandomState(0)
+    px = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]], np.int64)
+    l0, b0 = G.groundingdino_forward(params, cfg, px, ids)
+    l1, b1 = G.groundingdino_forward(params, cfg, px, ids, "float32", 7)
+    fin = np.isfinite(np.asarray(l0))
+    assert (np.isfinite(np.asarray(l1)) == fin).all()
+    np.testing.assert_array_equal(np.asarray(l1)[fin], np.asarray(l0)[fin])
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+
+
+def test_bf16_trunk_agreement(oracle):
+    """The gated bf16 trunk (Swin + encoder on the MXU; BERT / selection /
+    decoder / heads stay f32 — model.py) must agree with f32 at the
+    detection level: every top-10 f32 query has a bf16 counterpart at
+    IoU > 0.9, and the score distribution is unchanged to < 0.05
+    (measured drift: IoU 1.0, sorted-score max delta 0.009)."""
+    _, params, cfg = oracle
+    rs = np.random.RandomState(0)
+    px = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]], np.int64)
+    l32, b32 = G.groundingdino_forward(params, cfg, px, ids)
+    l16, b16 = G.groundingdino_forward(params, cfg, px, ids, "bfloat16")
+    s32 = np.asarray(jax.nn.sigmoid(l32[0])).max(1)
+    s16 = np.asarray(jax.nn.sigmoid(l16[0])).max(1)
+    assert np.abs(np.sort(s32) - np.sort(s16)).max() < 0.05
+
+    def cxcywh_iou(a, b):
+        lt = np.maximum(a[:, None, :2] - a[:, None, 2:] / 2,
+                        b[None, :, :2] - b[None, :, 2:] / 2)
+        rb = np.minimum(a[:, None, :2] + a[:, None, 2:] / 2,
+                        b[None, :, :2] + b[None, :, 2:] / 2)
+        inter = np.clip(rb - lt, 0, None).prod(-1)
+        aa = a[:, 2:].prod(-1)
+        ab = b[:, 2:].prod(-1)
+        return inter / (aa[:, None] + ab[None] - inter + 1e-9)
+
+    top32 = np.argsort(-s32)[:10]
+    top16 = np.argsort(-s16)[:10]
+    m = cxcywh_iou(np.asarray(b32[0])[top32], np.asarray(b16[0])[top16])
+    assert m.max(axis=1).min() > 0.9, m.max(axis=1)
