@@ -170,10 +170,16 @@ def parity_check(depth, pose, K, feats, mask, n_pts=262144, tile=65536):
     }
 
 
-def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072, chunk=60000):
+def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072,
+                          chunk=60000, reps=3):
     """The reference eval algorithm (``fusion.py:305-394,526-545``): torch
     grid_sample interpolation per view, exp distance weighting, python
-    chunk loop at 60k points — on the host CPU."""
+    chunk loop at 60k points — on the host CPU.
+
+    Returns (best_pts_per_sec, per_rep_seconds). ``reps`` full passes,
+    best (min-time) kept — the 1-CPU driver host is noisy under load and
+    the TPU side already reports min-of-reps; recording the reps in the
+    JSON makes the ratio's variance visible (round-3 verdict weak #7)."""
     import torch
     import torch.nn.functional as F
 
@@ -220,16 +226,19 @@ def bench_torch_reference(depth, pose, K, feats, mask, n_pts=131072, chunk=60000
         dfused = (dclamp * valid).sum(0) / (valid.float().sum(0) + 1e-6)
         return dfused, outs
 
+    rep_times = []
     with torch.no_grad():
         eval_chunk(pts_all[:chunk])  # warm up
-        dt = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             for i in range(0, n_pts, chunk):
                 eval_chunk(pts_all[i : i + chunk])
-            dt = min(dt, time.perf_counter() - t0)
-    print(f"[bench] torch-cpu reference {n_pts} pts in {dt:.3f}s", file=sys.stderr)
-    return n_pts / dt
+            rep_times.append(time.perf_counter() - t0)
+    dt = min(rep_times)
+    print(f"[bench] torch-cpu reference {n_pts} pts in {dt:.3f}s "
+          f"(best of {reps}: {['%.3f' % t for t in rep_times]})",
+          file=sys.stderr)
+    return n_pts / dt, rep_times
 
 
 def _mfu_msg(flops, dt, peak):
@@ -241,7 +250,10 @@ def _mfu_msg(flops, dt, peak):
 
 
 def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6, peak=None):
-    """4-camera XMem propagate step latency (the README row)."""
+    """4-camera XMem propagate step latency, f32 AND bf16 CNN trunks (the
+    README row). The bf16 path is ``XMemConfig.compute_dtype`` — the
+    memory-attention affinity math stays f32 either way (core.py:86-107);
+    round 3 measured 28% MFU without saying which dtype ran or why."""
     import jax
     import jax.numpy as jnp
 
@@ -250,29 +262,30 @@ def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6, peak=None):
     from d3fields_tpu.models.xmem import network as N
     from d3fields_tpu.utils.profiling import xla_flops
 
-    cfg = XMemConfig()
-    params = N.init_params(jax.random.PRNGKey(0), cfg)
+    params = N.init_params(jax.random.PRNGKey(0), XMemConfig())
     rs = np.random.RandomState(0)
     imgs = jnp.asarray(rs.rand(num_views, H, W, 3).astype(np.float32))
     mask = jnp.asarray((rs.rand(num_views, num_obj, H, W) > 0.7).astype(np.float32))
-    core = C.XMemCore(params, cfg, num_views, num_obj, (H, W))
-    p = core.step(imgs, mask)
-    float(jnp.asarray(p).reshape(-1)[0])
-    ts = []
-    for _ in range(frames):
-        t0 = time.perf_counter()
-        p = core.step(imgs)
-        float(p.reshape(-1)[0])
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
-    # XLA's own count for the one executable the loop runs (both lax.cond
-    # branches are in the module, so this is the compiled-in upper bound)
-    fl = xla_flops(C.propagate_step_views, core.params, core.mem, imgs,
-                   jnp.asarray(True), cfg.compute_dtype,
-                   core.deep_update_sync, None)
-    print(f"[bench] xmem propagate {num_views} cams @ {H}x{W}: {dt*1e3:.1f} ms "
-          f"({num_views/dt:.1f} camera-FPS){_mfu_msg(fl, dt, peak)}",
-          file=sys.stderr)
+    for dtype in ("float32", "bfloat16"):
+        cfg = XMemConfig(compute_dtype=dtype)
+        core = C.XMemCore(params, cfg, num_views, num_obj, (H, W))
+        p = core.step(imgs, mask)
+        float(jnp.asarray(p).reshape(-1)[0])
+        ts = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            p = core.step(imgs)
+            float(p.reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        # XLA's own count for the one executable the loop runs (both
+        # lax.cond branches are in the module: the compiled-in upper bound)
+        fl = xla_flops(C.propagate_step_views, core.params, core.mem, imgs,
+                       jnp.asarray(True), cfg.compute_dtype,
+                       core.deep_update_sync, None)
+        print(f"[bench] xmem propagate {num_views} cams @ {H}x{W} {dtype}: "
+              f"{dt*1e3:.1f} ms ({num_views/dt:.1f} camera-FPS)"
+              f"{_mfu_msg(fl, dt, peak)}", file=sys.stderr)
 
 
 def bench_dinov2(num_views=4, H=240, W=320, peak=None):
@@ -346,13 +359,14 @@ def bench_train(batch=4, T=4, num_obj=2, H=96, W=128, steps=4):
 
 def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
                        repeats=3, peak=None):
-    """First-frame open-text segmentation stage — the one pipeline stage
-    the earlier rounds never measured (reference
+    """First-frame open-text segmentation stage (reference
     ``utils/grounded_sam.py:404-442`` via ``fusion.py:1178-1236``):
-    GroundingDINO swin-t detection over all views in ONE batched forward,
-    then SAM ViT-H (the reference's checkpoint scale) per-view encode +
-    batched box decode. Random weights at REAL scale; reports ms plus
-    XLA-counted FLOPs and MFU against the chip's measured matmul peak.
+    GroundingDINO swin-t detection (f32 AND the gated bf16 trunk, both
+    with the corner-table deformable gather + query tiling), then SAM
+    ViT-H encode of the whole rig in ONE dispatch and ONE batched
+    multi-view box decode dispatch. Random weights at REAL scale; reports
+    ms plus XLA-counted FLOPs and MFU against the chip's measured matmul
+    peak for BOTH models (round 3 only accounted SAM).
     """
     import jax
     import jax.numpy as jnp
@@ -378,85 +392,109 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     rs = np.random.RandomState(0)
     images = rs.randint(0, 255, (num_views, H, W, 3), np.uint8)
     tokenize = lambda s: [200 + (hash(w) % 1000) for w in s.split()]
-    # view_chunk=1: on the single 16 GB chip the 800-scale 4-view batch
-    # overflows HBM in the encoder's deformable sampling temporaries and
-    # CRASHES the TPU worker (observed; the all-views batch is the
-    # multi-chip layout — detector.py:85-93). Numerically identical:
-    # tests/test_groundingdino.py::test_view_chunked_batch_matches_unchunked
-    detector = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize,
-                                     view_chunk=1)
     queries = ["mug", "red can"]
 
-    # ---- GroundingDINO: one batched forward over all views (detection
-    # counts vary with the random weights; the timed path is the full
-    # production call incl. host postprocess) ----
-    detector.predict_with_classes_batch(images, queries, 0.99)  # compile
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        detector.predict_with_classes_batch(images, queries, 0.99)
-        ts.append(time.perf_counter() - t0)
-    t_gdino = min(ts)
-
-    # ---- SAM: per-view encode (the segment_views path), batched decode of
-    # a fixed box count (bucket 4 — the d3fields regime of a few instances
-    # per view) ----
-    boxes = rs.uniform(0, min(H, W) // 2, (boxes_per_view, 4)).astype(np.float32)
-    boxes[:, 2:] += boxes[:, :2]  # xyxy
-
-    def time_encode(sam):
-        sam.set_image(images[0])  # compile
-        float(jnp.asarray(sam._image_emb).reshape(-1)[0])
+    # ---- GroundingDINO: all views batched (the corner-table gather +
+    # query_chunk fit the 4-view 800-scale batch in one chip's HBM — the
+    # round-3 layout crashed the worker and forced view_chunk=1) ----
+    def time_gdino(dt, vc):
+        det = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize,
+                                    compute_dtype=dt, view_chunk=vc,
+                                    query_chunk=4096)
+        det.predict_with_classes_batch(images, queries, 0.99)  # compile
         ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            for v in range(num_views):
-                sam.set_image(images[v])
-            float(jnp.asarray(sam._image_emb).reshape(-1)[0])
+            det.predict_with_classes_batch(images, queries, 0.99)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), det
+
+    t_gd32, det32 = time_gdino("float32", num_views)
+    t_gd16, _ = time_gdino("bfloat16", num_views)
+    t_gdino = min(t_gd32, t_gd16)
+
+    # GDINO FLOPs: XLA's count of the full jitted forward at the batched
+    # shape (text-mask preprocessing reproduced host-side as the detector
+    # does)
+    ids, _spans = tokenize_classes(queries, tokenize)
+    ids_b = np.repeat(np.asarray(ids), num_views, axis=0)
+    self_mask, pos_ids = gd.generate_text_masks(ids_b)
+    token_mask = np.ones_like(ids_b, bool)
+    pixels_b = jnp.concatenate(
+        [det32._prep(im) for im in images], axis=0)
+    gd_flops = xla_flops(
+        gd._groundingdino_forward_impl, gparams, gcfg, pixels_b,
+        jnp.asarray(ids_b), jnp.asarray(self_mask), jnp.asarray(pos_ids),
+        jnp.asarray(token_mask), "float32", 4096,
+    )
+
+    # ---- SAM: whole-rig encode in ONE dispatch (sam_encode_images) and
+    # ONE batched multi-view decode dispatch (sam_decode_boxes_views) —
+    # round 3 paid a tunnel round trip per view for each ----
+    boxes = rs.uniform(0, min(H, W) // 2, (boxes_per_view, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]  # xyxy
+    boxes_views = [boxes] * num_views
+
+    def time_encode(sam):
+        sam.set_images(images)  # compile
+        float(jnp.asarray(sam._image_embs).reshape(-1)[0])
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            sam.set_images(images)
+            float(jnp.asarray(sam._image_embs).reshape(-1)[0])
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
     sam = SamPredictor(sparams, scfg)
     t_enc = time_encode(sam)
-    # the bf16 MXU trunk (D3F_SAM_DTYPE=bfloat16; f32-agreement pinned in
+    # the bf16 MXU trunk (f32-agreement pinned in
     # tests/test_sam.py::test_bf16_encoder_agreement)
     t_enc16 = time_encode(SamPredictor(sparams, scfg,
                                        compute_dtype="bfloat16"))
-    sam.predict_boxes(boxes)  # compile the decoder
+    sam.predict_boxes_views(boxes_views)  # compile the decoder
     ts_dec = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        for v in range(num_views):
-            sam.predict_boxes(boxes)
+        sam.predict_boxes_views(boxes_views)
         ts_dec.append(time.perf_counter() - t0)
     t_dec = min(ts_dec)
     total = t_gdino + min(t_enc, t_enc16) + t_dec
 
     # ---- FLOP accounting: XLA's own count per executable, MFU vs the
     # chip's measured (not datasheet) matmul peak ----
-    enc_flops = xla_flops(sm.sam_encode_image, sparams, sam._pixels, scfg)
-    emb = sam._image_emb
+    enc_flops = xla_flops(sm.sam_encode_images, sparams, sam._pixels, scfg,
+                          "float32", 1)
+    embs = sam._image_embs
     nb = SamPredictor._bucket(boxes_per_view)
     dec_flops = xla_flops(
-        sm.sam_decode_boxes, sparams, emb,
-        jnp.zeros((nb, 4), jnp.float32), scfg, True,
+        sm.sam_decode_boxes_views, sparams, embs,
+        jnp.zeros((num_views, nb, 4), jnp.float32), scfg, True,
     )
     if peak is None:
         peak = measured_matmul_peak_tflops()
     msg = (f"[bench] grounded-sam first-frame ({num_views} views @ {H}x{W}, "
-           f"swin-t + vit-h): gdino {t_gdino*1e3:.0f} ms, "
+           f"swin-t + vit-h): gdino f32 {t_gd32*1e3:.0f} ms / bf16 "
+           f"{t_gd16*1e3:.0f} ms (one batched dispatch), "
            f"sam encode f32 {t_enc*1e3:.0f} ms / bf16 {t_enc16*1e3:.0f} ms, "
            f"sam decode {t_dec*1e3:.0f} ms -> {total*1e3:.0f} ms total")
+    if gd_flops:
+        g32 = gd_flops / t_gd32 / 1e12
+        g16 = gd_flops / t_gd16 / 1e12
+        msg += (f"; gdino f32 {g32:.2f} / bf16 {g16:.2f} TFLOP/s = "
+                f"{100 * g16 / peak:.1f}% of measured peak {peak:.0f} "
+                f"(gather-bound: XLA counts {gd_flops/1e9:.0f} GFLOP)")
     if enc_flops:
-        v32 = num_views * enc_flops / t_enc / 1e12
-        v16 = num_views * enc_flops / t_enc16 / 1e12
+        v32 = enc_flops / t_enc / 1e12
+        v16 = enc_flops / t_enc16 / 1e12
         msg += (f"; sam-encode f32 {v32:.1f} / bf16 {v16:.1f} TFLOP/s = "
-                f"{100 * v16 / peak:.0f}% of measured peak {peak:.0f}")
+                f"{100 * v16 / peak:.0f}% of peak")
     if dec_flops:
-        v_dec = num_views * dec_flops / t_dec / 1e12
+        v_dec = dec_flops / t_dec / 1e12
         msg += f"; decode {v_dec:.2f} TFLOP/s"
     print(msg, file=sys.stderr)
-    return {"gdino_ms": t_gdino * 1e3, "sam_encode_ms": t_enc * 1e3,
+    return {"gdino_ms": t_gd32 * 1e3, "gdino_bf16_ms": t_gd16 * 1e3,
+            "sam_encode_ms": t_enc * 1e3,
             "sam_encode_bf16_ms": t_enc16 * 1e3,
             "sam_decode_ms": t_dec * 1e3, "total_ms": total * 1e3,
             "measured_peak_tflops": peak}
@@ -572,12 +610,76 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
           f"{dt_mean/dt2:.2f}x vs synced mean {dt_mean*1e3:.1f} ms)",
           file=sys.stderr)
 
+    # ---- fused single-dispatch step (serving.FusedFrameStep): the whole
+    # per-frame stack (dinov2 + xmem + field + tracking) as ONE executable.
+    # The 3-dispatch loop above pays a tunnel round trip per dispatch plus
+    # the host sync — at ~10 ms of actual compute that made the frame
+    # dispatch-bound (round-3 verdict weak #3) ----
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.serving import FusedFrameStep, _fused_frame
 
-def _default_backend_alive(timeout_s=240):
-    """Probe the default JAX backend in a SUBPROCESS so a wedged remote
-    TPU tunnel cannot hang the benchmark itself (observed: jax.devices()
-    blocking indefinitely while the tunnel service is down). The probe
-    pays one interpreter spin-up + tiny compile; killed on timeout."""
+    tracker = VideoMaskTracker(xcore.params, xcfg, num_views=num_views,
+                               num_objects=num_obj, image_hw=(H, W),
+                               size=-1)
+    idx_mask = np.zeros((num_views, H, W), np.uint8)
+    idx_mask[:, : H // 3, : W // 2] = 1
+    idx_mask[:, H // 2 :, W // 2 :] = 2
+    tracker.process(color, idx_mask)  # seed
+    fused = FusedFrameStep(bb, tracker, depth_j, pose_j, K_j, lo, hi, tcfg)
+    out = fused.step(color, src, kp)  # compile
+    float(out["match_pts"].reshape(-1)[0])
+    ts_f = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        out = fused.step(color, src, kp)
+        float(out["match_pts"].reshape(-1)[0])
+        ts_f.append(time.perf_counter() - t0)
+    dtf = min(ts_f)
+    fl_f = None
+    try:
+        core = tracker.core
+        V_, H_, W_ = color.shape[:3]
+        ph2, pw2 = H_ // 10, W_ // 10
+        P2 = bb.cfg.patch_size
+        fl_f = xla_flops(
+            _fused_frame, bb.params, bb.interpolated_pos_embed(ph2, pw2),
+            core.params, core.mem, jnp.asarray(color), depth_j, pose_j,
+            K_j, src, kp, lo, hi, jnp.asarray(False),
+            dv2_resize_hw=(ph2 * P2, pw2 * P2), dv2_heads=bb.cfg.num_heads,
+            dv2_dtype=bb.compute_dtype, x_dtype=xcfg.compute_dtype,
+            x_sync=core.deep_update_sync, x_resized_hw=tracker.resized_hw,
+            x_pad=tracker.pad_spec, out_hw=(H_, W_), tcfg=tcfg,
+        )
+    except Exception:
+        pass
+    print(f"[bench] pipeline frame, FUSED single dispatch: "
+          f"{dtf*1e3:.1f} ms/frame synced ({1.0/dtf:.2f} FPS, "
+          f"{dt/dtf:.2f}x vs 3-dispatch synced)"
+          f"{_mfu_msg(fl_f, dtf, peak)}", file=sys.stderr)
+
+    # fused + AsyncFrameLoop depth=2: >= 2 frames in flight through the
+    # tunnel; the host fetch of frame t overlaps frames t+1/t+2
+    sink2 = AsyncFrameLoop(
+        lambda fid, pts: fetched.append(pts.reshape(-1)[0]), depth=2)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        out = fused.step(color, src, kp)
+        sink2.submit(i, out["match_pts"])
+    sink2.flush()
+    dtf2 = (time.perf_counter() - t0) / frames
+    dtf_mean = sum(ts_f) / len(ts_f)
+    print(f"[bench] pipeline frame, FUSED pipelined depth=2: "
+          f"{dtf2*1e3:.1f} ms/frame ({1.0/dtf2:.2f} FPS, "
+          f"{dtf_mean/dtf2:.2f}x vs fused synced mean "
+          f"{dtf_mean*1e3:.1f} ms; {dt_mean/dtf2:.2f}x vs round-3-style "
+          f"3-dispatch synced mean)", file=sys.stderr)
+
+
+def _probe_subprocess(timeout_s):
+    """One backend probe in a SUBPROCESS so a wedged remote TPU tunnel
+    cannot hang the benchmark itself (observed: jax.devices() blocking
+    indefinitely while the tunnel service is down). Pays one interpreter
+    spin-up + tiny compile; killed on timeout."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
@@ -588,6 +690,24 @@ def _default_backend_alive(timeout_s=240):
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+
+
+def _default_backend_alive(timeout_s=240, attempts=3, backoff_s=90,
+                           probe=_probe_subprocess, sleep=time.sleep):
+    """Is the default JAX backend responsive? Retries with backoff before
+    giving up: the remote tunnel has transient outages of a minute or two
+    (round 3's official headline artifact fell back to CPU on a single
+    failed probe — the tunnel recovered the same day), so one failure must
+    not demote the round's record. ``probe``/``sleep`` are injectable for
+    the fallback-logic tests."""
+    for i in range(attempts):
+        if probe(timeout_s):
+            return True
+        if i + 1 < attempts:
+            print(f"[bench] backend probe failed (attempt {i + 1}/"
+                  f"{attempts}); retrying in {backoff_s}s", file=sys.stderr)
+            sleep(backoff_s)
+    return False
 
 
 def main(argv=None):
@@ -622,7 +742,7 @@ def main(argv=None):
     # fallback this still runs (interpret-mode kernels) but certifies less
     parity = parity_check(depth, pose, K, feats, mask,
                           n_pts=65536 if fallback else 262144)
-    ref_pps = bench_torch_reference(depth, pose, K, feats, mask)
+    ref_pps, ref_reps = bench_torch_reference(depth, pose, K, feats, mask)
     if args.all:
         from d3fields_tpu.utils.profiling import measured_matmul_peak_tflops
 
@@ -643,9 +763,15 @@ def main(argv=None):
         "value": round(tpu_pps, 1),
         "unit": "pts/s",
         "vs_baseline": round(tpu_pps / ref_pps, 2),
-        # machine-readable fallback marker: "cpu" here means the TPU
-        # tunnel was down and this row is NOT a TPU measurement
+        # machine-readable fallback markers: degraded=true means the TPU
+        # tunnel stayed down through every probe retry and this row is a
+        # CPU fallback, NOT a TPU measurement — it can never be mistaken
+        # for the record
         "backend": jax.default_backend(),
+        "degraded": bool(fallback),
+        # the torch-CPU baseline's per-rep seconds (best-of kept): makes
+        # the vs_baseline ratio's host-load variance visible in the record
+        "baseline_reps_s": [round(t, 3) for t in ref_reps],
         # numerics certificate for the timed path (parity_check above)
         "parity": parity,
     }))

@@ -130,15 +130,22 @@ def main(argv=None):
     cfg = TrackingConfig(iters=args.iters)
     src_feats_dev = lo = hi = last_match = None
 
-    def consume(frame_ctx, match_pts):
-        # host side of the pipeline: video frame + per-frame pickle
+    def consume(frame_ctx, out):
+        # host side of the pipeline: video frame + per-frame pickles
         # (reference vis_tracking.py:136-138); runs `pipeline_depth`
         # frames behind device dispatch
         t, color, t0 = frame_ctx
+        match_pts = out["match_pts"]
         pts_list = [match_pts[i] for i in range(match_pts.shape[0])]
         tracker.visualize_match_pts(pts_list, color, track_info)
         save_pickle(os.path.join(args.out, f"match_pts_{t:06d}.pkl"),
                     pts_list)
+        # per-iteration (feat, dist, reg, oob) losses: the directly
+        # numerics-sensitive record of the whole differentiable pipeline
+        # (Adam's argmin is scale-invariant, so match_pts alone cannot
+        # catch small loss-level regressions — the golden tier pins this)
+        save_pickle(os.path.join(args.out, f"loss_hist_{t:06d}.pkl"),
+                    out["loss_history"])
         print(f"[vis_tracking] frame {t}: {time.perf_counter() - t0:.2f}s "
               f"submit-to-consume, {sum(p.shape[0] for p in pts_list)} pts")
 
@@ -181,7 +188,9 @@ def main(argv=None):
             fusion.state, src_feats_dev, last_match, lo, hi, cfg,
         )
         last_match = res["match_pts"]
-        loop.submit((t, obs["color"], t0), last_match)
+        loop.submit((t, obs["color"], t0),
+                    {"match_pts": last_match,
+                     "loss_history": res["loss_history"]})
 
     loop.flush()
     tracker.close()

@@ -100,6 +100,23 @@ class GroundingDinoDetector:
         # points).
         self.compute_dtype = compute_dtype
         self.query_chunk = query_chunk
+        self._view_mesh = None
+
+    def shard_views(self, mesh, axis: str = "dp") -> "GroundingDinoDetector":
+        """Scale multi-camera detection across chips: params replicated,
+        the view axis of each batched forward sharded over mesh ``axis``
+        (same contract as ``Dinov2Backbone.shard_views`` /
+        ``XMemCore.shard_views``). Per-view detection is independent
+        (reference ``utils/grounded_sam.py:404-442`` loops views on one
+        GPU), so XLA partitions the batch with zero collectives. Forces
+        the all-views-one-batch layout (``view_chunk`` is ignored: the
+        single-chip HBM bound it works around does not apply when each
+        chip holds V/axis views)."""
+        from d3fields_tpu.parallel.mesh import replicate
+
+        self.params = replicate(mesh, self.params)
+        self._view_mesh = (mesh, axis)
+        return self
 
     def _prep(self, rgb: np.ndarray):
         H, W = rgb.shape[:2]
@@ -147,7 +164,7 @@ class GroundingDinoDetector:
                 raise ValueError("no tokenizer configured; pass input_ids")
             input_ids, spans = tokenize_classes(classes, self.tokenize)
         V, H, W = images.shape[:3]
-        chunk = self.view_chunk or V
+        chunk = V if self._view_mesh is not None else (self.view_chunk or V)
         probs_parts, boxes_parts = [], []
         for s in range(0, V, chunk):
             views = [self._prep(img) for img in images[s : s + chunk]]
@@ -156,6 +173,16 @@ class GroundingDinoDetector:
             pad = chunk - len(views) if s else 0
             pixels = jnp.concatenate(views + [views[-1]] * pad, axis=0)
             ids = np.repeat(np.asarray(input_ids), len(views) + pad, axis=0)
+            if self._view_mesh is not None:
+                from d3fields_tpu.parallel.mesh import shard_leading
+
+                mesh, axis = self._view_mesh
+                if pixels.shape[0] % mesh.shape[axis]:
+                    raise ValueError(
+                        f"num_views={pixels.shape[0]} not divisible by "
+                        f"mesh axis {axis!r} of size {mesh.shape[axis]}"
+                    )
+                pixels = shard_leading(mesh, pixels, axis)
             logits, boxes = groundingdino_forward(
                 self.params, self.cfg, pixels, ids,
                 self.compute_dtype, self.query_chunk,

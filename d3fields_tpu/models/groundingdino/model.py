@@ -175,7 +175,11 @@ def get_sine_pos_embed(pos: Array, num_pos_feats: int,
 
 def _bilinear_sample_nchw(img: Array, gx: Array, gy: Array) -> Array:
     """img (h, w, C); gx/gy (N,) in [-1, 1] grid coords
-    (align_corners=False, zeros padding). Returns (N, C)."""
+    (align_corners=False, zeros padding). Returns (N, C).
+
+    The readable single-image reference implementation (4 masked corner
+    gathers); the batched hot path below uses the corner-table layout —
+    equivalence is pinned by tests/test_groundingdino.py."""
     h, w, C = img.shape
     ix = ((gx + 1.0) * w - 1.0) * 0.5
     iy = ((gy + 1.0) * h - 1.0) * 0.5
@@ -196,34 +200,78 @@ def _bilinear_sample_nchw(img: Array, gx: Array, gy: Array) -> Array:
     return out
 
 
+def _corner_table(value_level: Array) -> Array:
+    """(bn, h, w, hd) level values -> (bn, (h+1)*(w+1), 4*hd) corner table.
+
+    Row (y0+1, x0+1) holds the four bilinear corner taps
+    [v[y0,x0], v[y0,x0+1], v[y0+1,x0], v[y0+1,x0+1]] with zeros-padding
+    semantics baked in (the 1-pixel zero border IS padding_mode="zeros").
+    One gathered row then serves a whole bilinear sample: 4x fewer gather
+    rows than per-corner takes, each 4*hd = 128 channels wide (a full f32
+    vector register row) — TPU gathers are row-count-bound, so this is
+    the difference between the deformable attention running at ~1/4 of
+    achievable gather throughput and at it."""
+    bn, h, w, hd = value_level.shape
+    vp = jnp.pad(value_level, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    table = jnp.concatenate(
+        [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+        axis=-1,
+    )
+    return table.reshape(bn, (h + 1) * (w + 1), 4 * hd)
+
+
+def _table_bilinear(table: Array, hw: Tuple[int, int], gx: Array,
+                    gy: Array) -> Array:
+    """table (bn, (h+1)*(w+1), 4*hd) from :func:`_corner_table`; gx/gy
+    (bn, N) in [-1, 1]. Returns (bn, N, hd) — bilinear samples with
+    align_corners=False, zeros padding (identical to
+    :func:`_bilinear_sample_nchw` per image)."""
+    h, w = hw
+    bn, N = gx.shape
+    hd = table.shape[-1] // 4
+    ix = ((gx + 1.0) * w - 1.0) * 0.5
+    iy = ((gy + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    tx, ty = ix - x0, iy - y0
+    # base corners outside [-1, size-1] have ALL four taps out of bounds
+    # (the 1-px zero border covers exactly the -1 / size-1 rows/cols)
+    x0c = jnp.clip(x0, -1.0, w - 1.0)
+    y0c = jnp.clip(y0, -1.0, h - 1.0)
+    valid = (x0 == x0c) & (y0 == y0c)
+    idx = ((y0c + 1.0) * (w + 1) + (x0c + 1.0)).astype(jnp.int32)
+    taps = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(table, idx)
+    taps = taps.reshape(bn, N, 4, hd)
+    w4 = jnp.stack(
+        [(1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty],
+        axis=-1,
+    ) * valid[..., None]
+    return (taps * w4[..., None].astype(taps.dtype)).sum(axis=2)
+
+
 def _deformable_core_tile(
-    value: Array, spatial_shapes: List[Tuple[int, int]],
-    sampling_locations: Array, attention_weights: Array,
+    tables: List[Array], spatial_shapes: List[Tuple[int, int]],
+    sampling_locations: Array, attention_weights: Array, hd: int,
 ) -> Array:
-    """One query tile of the deformable-attention gather: value
-    (B, S, nh, hd); sampling_locations (B, Q, nh, L, P, 2) in [0,1];
-    attention_weights (B, Q, nh, L, P). Returns (B, Q, nh*hd).
-    (``MultiScaleDeformableAttention.forward``.)"""
-    B, S, nh, hd = value.shape
-    _, Q, _, L, P, _ = sampling_locations.shape
+    """One query tile of the deformable-attention gather: tables are the
+    per-level corner tables (:func:`_corner_table`); sampling_locations
+    (B, Q, nh, L, P, 2) in [0,1]; attention_weights (B, Q, nh, L, P).
+    Returns (B, Q, nh*hd). (``MultiScaleDeformableAttention.forward``.)"""
+    B, Q, nh, L, P, _ = sampling_locations.shape
     grids = 2.0 * sampling_locations - 1.0
     wgt = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, L, P)
-    start = 0
-    out = jnp.zeros((B, nh, Q, hd), value.dtype)
+    out = jnp.zeros((B, nh, Q, hd), tables[0].dtype)
     # accumulate the weighted sum per level instead of stacking all levels:
     # the (B, nh, Q, L, P, hd) stack is ~1.2 GB per encoder layer at
     # 4 views x 800x1067 (Q = S = 17.8k) and OOMed the 4-view detection
     # batch on a 16 GB chip; the sum over (L, P) decomposes exactly
     for li, (h, w) in enumerate(spatial_shapes):
-        v = value[:, start : start + h * w]        # (B, hw, nh, hd)
-        v = v.transpose(0, 2, 1, 3).reshape(B * nh, h, w, hd)
         g = grids[:, :, :, li].transpose(0, 2, 1, 3, 4)  # (B, nh, Q, P, 2)
         g = g.reshape(B * nh, Q * P, 2)
-        tap = jax.vmap(_bilinear_sample_nchw)(v, g[..., 0], g[..., 1])
+        tap = _table_bilinear(tables[li], (h, w), g[..., 0], g[..., 1])
         tap = tap.reshape(B, nh, Q, P, hd)
         out = out + (tap * wgt[:, :, :, li, :, None].astype(tap.dtype)).sum(
             axis=3)
-        start += h * w
     return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * hd)
 
 
@@ -234,20 +282,32 @@ def deformable_attention_core(
 ) -> Array:
     """Deformable-attention gather, optionally tiled over the query axis.
 
-    Even with the per-level accumulation, each level's bilinear taps
-    materialize (B*nh, Q*P, hd) temporaries; at the encoder's Q = S = 17.8k
-    (4 views, 800-scale) the corner taps peak well over a GB per layer —
-    the blowup that forced ``view_chunk=1`` on a 16 GB chip. Tiling the
-    query axis with ``lax.map`` bounds the temporaries to the tile
-    (identical math: queries are independent in the gather; the pad tail is
-    sliced off). ``query_chunk=None`` or Q <= chunk keeps the single-tile
-    path.
+    value (B, S, nh, hd); sampling_locations (B, Q, nh, L, P, 2) in [0,1];
+    attention_weights (B, Q, nh, L, P). Returns (B, Q, nh*hd).
+
+    Two TPU-first structural choices vs the reference CUDA op
+    (``env.yaml:33``): (1) each level's values are laid out as a
+    zero-padded 4-corner table so ONE gathered row yields a whole bilinear
+    sample (:func:`_corner_table` — 4x fewer gather rows, full-width
+    vector rows); (2) the query axis is optionally tiled with ``lax.map``
+    so the tap temporaries scale with the tile, not the full
+    (views x queries x levels x points) product — the round-3 HBM blowup
+    that forced single-view detection batches on a 16 GB chip. The tables
+    are built ONCE per call, outside the tile loop. Identical math:
+    queries are independent in the gather; the pad tail is sliced off.
     """
     B, S, nh, hd = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
+    tables = []
+    start = 0
+    for h, w in spatial_shapes:
+        v = value[:, start : start + h * w]        # (B, hw, nh, hd)
+        v = v.transpose(0, 2, 1, 3).reshape(B * nh, h, w, hd)
+        tables.append(_corner_table(v))
+        start += h * w
     if query_chunk is None or Q <= query_chunk:
         return _deformable_core_tile(
-            value, spatial_shapes, sampling_locations, attention_weights
+            tables, spatial_shapes, sampling_locations, attention_weights, hd
         )
     qc = query_chunk
     nt = -(-Q // qc)
@@ -259,7 +319,8 @@ def deformable_attention_core(
     loc = loc.reshape((B, nt, qc) + loc.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
     wgt = wgt.reshape((B, nt, qc) + wgt.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
     out = jax.lax.map(
-        lambda lw: _deformable_core_tile(value, spatial_shapes, lw[0], lw[1]),
+        lambda lw: _deformable_core_tile(tables, spatial_shapes, lw[0],
+                                         lw[1], hd),
         (loc, wgt),
     )  # (nt, B, qc, nh*hd)
     return out.transpose(1, 0, 2, 3).reshape(B, nt * qc, nh * hd)[:, :Q]

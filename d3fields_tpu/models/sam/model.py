@@ -477,6 +477,64 @@ def sam_decode_boxes(params: Params, image_emb: Array, boxes: Array,
         )
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "view_chunk"))
+def sam_encode_images(params: Params, pixels: Array, cfg: SamConfig,
+                      compute_dtype: str = "float32",
+                      view_chunk: int = 1) -> Array:
+    """pixels (V, S, S, 3) preprocessed -> (V, h, w, C): ALL views in ONE
+    dispatched executable (the per-view ``sam_encode_image`` loop pays a
+    tunnel round trip per view — 4 sequential dispatches for the reference
+    rig, ``utils/grounded_sam.py:425-431`` scaled over ``fusion.py:
+    1116-1120``'s view loop).
+
+    ``view_chunk`` bounds how many views run concurrently inside the
+    executable (``lax.map`` over chunks): a ViT-H global-attention layer
+    materializes (c, 16, 4096, 4096) logits — 4.3 GB at c=4 f32 — so the
+    default c=1 keeps the peak at the single-view level while still paying
+    only one dispatch. Identical numerics for any chunk (views are
+    independent)."""
+    prec = "float32" if compute_dtype == "float32" else "default"
+    V = pixels.shape[0]
+    with jax.default_matmul_precision(prec):
+        if view_chunk >= V:
+            return vision_encoder(params["vision"], pixels, cfg,
+                                  compute_dtype)
+        if V % view_chunk:
+            raise ValueError(
+                f"view count {V} not divisible by view_chunk {view_chunk}")
+        groups = pixels.reshape((V // view_chunk, view_chunk)
+                                + pixels.shape[1:])
+        out = jax.lax.map(
+            lambda g: vision_encoder(params["vision"], g, cfg,
+                                     compute_dtype), groups)
+        return out.reshape((V,) + out.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+def sam_decode_boxes_views(params: Params, image_embs: Array, boxes: Array,
+                           cfg: SamConfig, multimask_output: bool = True):
+    """Multi-view batched box decode: image_embs (V, h, w, C) from
+    :func:`sam_encode_images`; boxes (V, N, 4) xyxy in model-input pixels
+    -> (low_res_masks (V, N, M, 4h, 4w), iou (V, N, M)). One dispatch for
+    the whole rig — the decoder's FLOPs are trivial (~0.09 TFLOP/s
+    measured when looped per view), so the per-view loop was pure tunnel
+    dispatch latency."""
+    with jax.default_matmul_precision("float32"):
+        size = cfg.grid
+        pe = image_wide_positional_embedding(params["prompt"], size)
+        dense = no_mask_dense_embedding(params["prompt"], size)
+
+        def one(emb, bx):
+            sparse = embed_boxes(params["prompt"], bx, cfg.image_size)
+            return mask_decoder(
+                params["decoder"], emb, pe, sparse, dense, cfg,
+                multimask_output=multimask_output,
+            )
+
+        return jax.vmap(one)(image_embs, boxes)
+
+
 def sam_predict_boxes(params: Params, pixels: Array, boxes: Array,
                       cfg: SamConfig, multimask_output: bool = True):
     """One-shot encode + decode (see the predictor for the cached-encoding

@@ -19,22 +19,33 @@ import numpy as np
 
 from d3fields_tpu.models.resize import bilinear_resize, bilinear_resize_exact
 from d3fields_tpu.models.sam.model import (
-    SamConfig, sam_decode_boxes, sam_decode_points, sam_encode_image,
+    SamConfig, sam_decode_boxes, sam_decode_boxes_views, sam_decode_points,
+    sam_encode_image, sam_encode_images,
 )
 
 PIXEL_MEAN = (123.675, 116.28, 103.53)
 PIXEL_STD = (58.395, 57.12, 57.375)
 
 
+def _prep_one(rgb, resized_hw, model_size):
+    """uint8 (H, W, 3) -> normalized padded (S, S, 3)."""
+    rh, rw = resized_hw
+    img = bilinear_resize(rgb.astype(jnp.float32), (rh, rw))
+    img = (img - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
+    return jnp.pad(img, ((0, model_size - rh), (0, model_size - rw), (0, 0)))
+
+
 @functools.partial(jax.jit, static_argnames=("resized_hw", "model_size"))
 def _prep_jit(rgb, resized_hw, model_size):
     """uint8 (H, W, 3) -> normalized padded (1, S, S, 3), one executable
     (the eager version pays per-op dispatch through the TPU tunnel)."""
-    rh, rw = resized_hw
-    img = bilinear_resize(rgb.astype(jnp.float32), (rh, rw))
-    img = (img - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
-    img = jnp.pad(img, ((0, model_size - rh), (0, model_size - rw), (0, 0)))
-    return img[None]
+    return _prep_one(rgb, resized_hw, model_size)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("resized_hw", "model_size"))
+def _prep_views_jit(rgbs, resized_hw, model_size):
+    """uint8 (V, H, W, 3) -> normalized padded (V, S, S, 3)."""
+    return jax.vmap(lambda im: _prep_one(im, resized_hw, model_size))(rgbs)
 
 
 @functools.partial(jax.jit,
@@ -75,8 +86,38 @@ class SamPredictor:
         self.compute_dtype = compute_dtype
         self._pixels = None
         self._image_emb = None
+        self._image_embs = None  # multi-view cache (set_images)
         self._orig_hw: Tuple[int, int] = (0, 0)
         self._resized_hw: Tuple[int, int] = (0, 0)
+        self._view_mesh = None
+
+    def shard_views(self, mesh, axis: str = "dp") -> "SamPredictor":
+        """Scale the rig across chips: params replicated, the view axis of
+        ``set_images``/``predict_boxes_views`` sharded over mesh ``axis``
+        (the contract of ``Dinov2Backbone.shard_views``). Each chip
+        encodes and decodes its own V/axis views with zero collectives
+        (per-view segmentation is independent — the reference loops views
+        on one GPU, ``fusion.py:1116-1120``). Forces the batched encoder
+        layout; the single-chip ``view_chunk`` HBM workaround does not
+        apply when each chip holds only its shard."""
+        from d3fields_tpu.parallel.mesh import replicate
+
+        self.params = replicate(mesh, self.params)
+        self._view_mesh = (mesh, axis)
+        return self
+
+    def _shard(self, arr):
+        if self._view_mesh is None:
+            return arr
+        from d3fields_tpu.parallel.mesh import shard_leading
+
+        mesh, axis = self._view_mesh
+        if arr.shape[0] % mesh.shape[axis]:
+            raise ValueError(
+                f"view count {arr.shape[0]} not divisible by mesh axis "
+                f"{axis!r} of size {mesh.shape[axis]}"
+            )
+        return shard_leading(mesh, arr, axis)
 
     def _target_hw(self, H: int, W: int) -> Tuple[int, int]:
         s = self.cfg.image_size / max(H, W)
@@ -95,6 +136,62 @@ class SamPredictor:
         self._image_emb = sam_encode_image(self.params, self._pixels,
                                            self.cfg, self.compute_dtype)
         return self
+
+    def set_images(self, rgbs: np.ndarray, view_chunk: int = 1):
+        """Encode a whole camera rig (V, H, W, 3) in ONE dispatch
+        (``sam_encode_images``; the per-view ``set_image`` loop pays a
+        tunnel round trip per view). All views must share (H, W) — true
+        for the d3fields rigs (``fusion.py:1116-1120``). ``view_chunk``
+        bounds encoder HBM (model.py docstring)."""
+        V, H, W = rgbs.shape[:3]
+        self._orig_hw = (H, W)
+        rh, rw = self._target_hw(H, W)
+        self._resized_hw = (rh, rw)
+        pixels = _prep_views_jit(self._shard(jnp.asarray(rgbs)), (rh, rw),
+                                 self.cfg.image_size)
+        self._pixels = pixels
+        if self._view_mesh is not None:
+            view_chunk = V  # batched layout: XLA partitions the view axis
+        self._image_embs = sam_encode_images(
+            self.params, pixels, self.cfg, self.compute_dtype, view_chunk)
+        return self
+
+    def predict_boxes_views(self, boxes_per_view, multimask_output=True):
+        """Decode every view's boxes in ONE dispatch after
+        :meth:`set_images`. ``boxes_per_view``: list of V (N_v, 4) xyxy
+        arrays in original-image pixels (N_v may differ per view; all are
+        padded to one shared bucket so varying counts reuse one
+        executable). Returns a list of V (masks bool (N_v, M, H, W),
+        iou (N_v, M)) pairs — the per-view contract of
+        :meth:`predict_boxes`."""
+        if getattr(self, "_image_embs", None) is None:
+            raise RuntimeError("call set_images first")
+        V = self._image_embs.shape[0]
+        if len(boxes_per_view) != V:
+            raise ValueError(
+                f"{len(boxes_per_view)} box lists for {V} encoded views")
+        H, W = self._orig_hw
+        rh, rw = self._resized_hw
+        counts = [np.asarray(b).reshape(-1, 4).shape[0]
+                  for b in boxes_per_view]
+        nb = self._bucket(max(max(counts), 1))
+        batch = np.zeros((V, nb, 4), np.float32)
+        for v, b in enumerate(boxes_per_view):
+            b = np.asarray(b, np.float32).reshape(-1, 4).copy()
+            b[:, [0, 2]] *= rw / W
+            b[:, [1, 3]] *= rh / H
+            if b.shape[0]:
+                batch[v] = self._pad_rows(b, nb)
+        low_res, iou = sam_decode_boxes_views(
+            self.params, self._image_embs, self._shard(jnp.asarray(batch)),
+            self.cfg, multimask_output,
+        )
+        M = low_res.shape[2]
+        masks = self._postprocess(
+            low_res.reshape((V * nb, M) + low_res.shape[3:]))
+        masks = np.asarray(masks).reshape(V, nb, M, H, W) > 0.0
+        iou = np.asarray(iou)
+        return [(masks[v, :n], iou[v, :n]) for v, n in enumerate(counts)]
 
     @staticmethod
     def _bucket(n: int) -> int:

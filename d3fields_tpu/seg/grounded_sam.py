@@ -67,8 +67,10 @@ class GroundedSAMBackend:
         thresholds: Sequence[float],
     ) -> List[ViewMasks]:
         """Every view in batched forwards: ONE GroundingDINO pass over all V
-        images, then ONE padded SAM decode per view count (the reference
-        runs a python loop of detector+SAM per view, ``fusion.py:1116-1120``).
+        images, ONE SAM encode dispatch for the whole rig, and ONE padded
+        SAM decode dispatch for every view's boxes (the reference runs a
+        python loop of detector+SAM per view, ``fusion.py:1116-1120``;
+        round 3 still paid a dispatch per view for encode AND decode).
         images (V, H, W, 3) RGB uint8."""
         dets = self.detector.predict_with_classes_batch(
             images, list(queries), box_threshold=float(thresholds[0]),
@@ -76,6 +78,15 @@ class GroundedSAMBackend:
         )
         out = []
         H, W = images.shape[1:3]
+        if all(det.xyxy.shape[0] == 0 for det in dets):
+            return [
+                with_background(np.zeros((0, H, W), bool), [],
+                                np.zeros((0,), np.float32))
+                for _ in dets
+            ]
+        per_view = self.sam.set_images(images).predict_boxes_views(
+            [det.xyxy for det in dets], multimask_output=True
+        )
         for v, det in enumerate(dets):
             if det.xyxy.shape[0] == 0:
                 out.append(with_background(
@@ -83,9 +94,7 @@ class GroundedSAMBackend:
                     np.zeros((0,), np.float32),
                 ))
                 continue
-            masks_mm, iou = self.sam.set_image(images[v]).predict_boxes(
-                det.xyxy, multimask_output=True
-            )
+            masks_mm, iou = per_view[v]
             best = iou.argmax(axis=1)
             masks = masks_mm[np.arange(masks_mm.shape[0]), best]
             labels = [queries[int(c)] for c in det.class_id]

@@ -29,6 +29,7 @@ copy happens changes, never what is computed (tested:
 from __future__ import annotations
 
 import collections
+import functools
 import queue
 import threading
 from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
@@ -36,7 +37,8 @@ from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
 import jax
 import numpy as np
 
-__all__ = ["AsyncFrameLoop", "host_prefetch", "prefetch_to_device"]
+__all__ = ["AsyncFrameLoop", "FusedFrameStep", "host_prefetch",
+           "prefetch_to_device"]
 
 
 def _fetch(tree: Any) -> Any:
@@ -226,3 +228,140 @@ def prefetch_to_device(
         except StopIteration:
             pass
         yield out
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame serving step
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
+                     "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
+    donate_argnames=("mem",),
+)
+def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
+                 pose, K, src_feats, last_pts, lo, hi, is_mem_frame, *,
+                 dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
+                 x_resized_hw, x_pad, out_hw, tcfg):
+    """The whole per-frame tracking stack as ONE executable: DINOv2
+    extraction + XMem propagation (with the VideoMaskTracker pre/post
+    resize-pad pipeline) + field assembly + the full rigid-tracking Adam
+    scan. The unfused loop dispatches three executables plus a host sync
+    per frame — each paying a tunnel round trip on remote TPU (measured
+    round 3: 217.7 ms/frame at ~10 ms of actual compute). Matches the
+    reference per-frame stack ``fusion.py:686-714`` (update) +
+    ``631-684`` (xmem_process) + ``1608-1685`` (rigid_tracking), which
+    the reference runs as dozens of separate CUDA launches with host
+    round-trips between stages.
+
+    Calls the ``__wrapped__`` (unjitted) bodies of the three stage
+    functions so the fused trace carries no nested-jit donation noise and
+    XLA schedules the stages as one module.
+    """
+    import jax.numpy as jnp
+
+    from d3fields_tpu.fields.state import FieldState
+    from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
+    from d3fields_tpu.models.dinov2 import _extract_patch_features
+    from d3fields_tpu.models.resize import bilinear_resize
+    from d3fields_tpu.models.resize import bilinear_resize_exact
+    from d3fields_tpu.models.xmem.blocks import unpad
+    from d3fields_tpu.models.xmem.core import propagate_step_views
+    from d3fields_tpu.track.rigid import rigid_tracking_jit
+
+    feats = _extract_patch_features.__wrapped__(
+        dv2_params, images_u8, pos_embed, dv2_resize_hw, dv2_heads,
+        dv2_dtype)
+
+    # VideoMaskTracker._prep_images, on device
+    imf = images_u8.astype(jnp.float32) / 255.0
+    imf = (imf - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    if imf.shape[1:3] != x_resized_hw:
+        imf = bilinear_resize_exact(imf, x_resized_hw)
+    if any(x_pad):
+        lh, uh, lw, uw = x_pad
+        imf = jnp.pad(imf, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+    prob, mem = propagate_step_views.__wrapped__(
+        xparams, mem, imf, is_mem_frame, x_dtype, x_sync, None)
+
+    # VideoMaskTracker.process postprocess: unpad + upsample to full res
+    prob_u = unpad(prob, x_pad, hw_axes=(2, 3))
+    V, O1 = prob_u.shape[:2]
+    if prob_u.shape[2:] != out_hw:
+        flat = prob_u.reshape((V * O1,) + prob_u.shape[2:])[..., None]
+        up = bilinear_resize(flat, out_hw)[..., 0].reshape(
+            (V, O1) + out_hw)
+    else:
+        up = prob_u
+    mask = jnp.transpose(up[:, 1:], (0, 2, 3, 1))  # (V, H, W, O)
+
+    st = FieldState(depth=depth, pose=pose, K=K,
+                    dino_feats=feats.astype(jnp.float32), mask=mask)
+    tr = rigid_tracking_jit.__wrapped__(st, src_feats, last_pts, lo, hi,
+                                        tcfg)
+    out = {"match_pts": tr["match_pts"], "t": tr["t"],
+           "log_r": tr["log_r"], "loss_history": tr["loss_history"],
+           "mask": mask}
+    return out, mem
+
+
+class FusedFrameStep:
+    """Single-dispatch per-frame serving step for the tracking pipeline.
+
+    Wraps a :class:`~d3fields_tpu.models.dinov2.Dinov2Backbone`, a
+    :class:`~d3fields_tpu.seg.video_tracker.VideoMaskTracker` (whose
+    ``core`` holds the XMem memory and frame counters), fixed camera
+    geometry, and a :class:`~d3fields_tpu.config.TrackingConfig`.
+    ``step(images_u8)`` returns DEVICE arrays (match_pts, t, log_r,
+    loss_history, mask) — pair with :class:`AsyncFrameLoop` so the only
+    host fetch happens ``depth`` frames later and ≥2 frames stay in
+    flight through the tunnel.
+
+    The tracker must already be seeded (first frame through
+    ``tracker.process(rgb, mask)``); this step covers the propagate-only
+    frames that dominate serving. Equivalence with the unfused stage
+    calls is pinned in tests/test_serving.py.
+    """
+
+    def __init__(self, backbone, tracker, depth, pose, K, bounds_lo,
+                 bounds_hi, tracking_cfg, patch_hw=None):
+        import jax.numpy as jnp
+
+        self.bb = backbone
+        self.tracker = tracker
+        self.depth = jnp.asarray(depth)
+        self.pose = jnp.asarray(pose)
+        self.K = jnp.asarray(K)
+        self.lo = jnp.asarray(bounds_lo)
+        self.hi = jnp.asarray(bounds_hi)
+        self.tcfg = tracking_cfg
+        self.patch_hw = patch_hw
+
+    def step(self, images_u8, src_feats, last_pts):
+        """images_u8 (V, H, W, 3); src_feats (I*P, D); last_pts (I, P, 3).
+        Returns the fused output dict (device arrays, no host sync)."""
+        import jax.numpy as jnp
+
+        core = self.tracker.core
+        if not self.tracker.first_mask_loaded:
+            raise RuntimeError("seed the tracker first (process with mask)")
+        core.curr_ti += 1
+        is_mem = (core.curr_ti - core.last_mem_ti) >= core.cfg.mem_every
+        V, H, W = images_u8.shape[:3]
+        ph, pw = self.patch_hw or (H // 10, W // 10)
+        P = self.bb.cfg.patch_size
+        out, core.mem = _fused_frame(
+            self.bb.params, self.bb.interpolated_pos_embed(ph, pw),
+            core.params, core.mem, jnp.asarray(images_u8), self.depth,
+            self.pose, self.K, src_feats, last_pts, self.lo, self.hi,
+            jnp.asarray(is_mem),
+            dv2_resize_hw=(ph * P, pw * P), dv2_heads=self.bb.cfg.num_heads,
+            dv2_dtype=self.bb.compute_dtype,
+            x_dtype=core.cfg.compute_dtype, x_sync=core.deep_update_sync,
+            x_resized_hw=self.tracker.resized_hw,
+            x_pad=self.tracker.pad_spec, out_hw=(H, W), tcfg=self.tcfg,
+        )
+        if is_mem:
+            core.last_mem_ti = core.curr_ti
+        return out

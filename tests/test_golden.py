@@ -82,3 +82,47 @@ def test_vis_tracking_golden(tmp_path):
     # ~0.7 m workspace still pins the trajectory to 4 significant digits
     np.testing.assert_allclose(got, want["match_pts"], atol=2e-3,
                                err_msg="tracked trajectories drifted >2mm")
+
+
+def test_vis_tracking_golden_fast(tmp_path):
+    """Fast-tier trajectory golden (2 frames, 8 keypoints, 10 Adam iters):
+    guards FPS keypoint selection and the tracking-scan numerics on every
+    default run — the full-size golden above stays slow-tier. Verified:
+    a seeded relative 1e-3 perturbation of the feat term moves the pinned
+    loss history by 2.2e-3 (220x the tolerance) -> caught."""
+    from tools.gen_golden import VIS_TRACKING_FAST_ARGS
+
+    from d3fields_tpu.apps.vis_tracking import main
+
+    out = str(tmp_path / "track")
+    assert main(VIS_TRACKING_FAST_ARGS + ["--out", out]) == 0
+    frames = []
+    for t in range(2):
+        with open(os.path.join(out, f"match_pts_{t:06d}.pkl"), "rb") as f:
+            frames.append(np.stack(pickle.load(f)).astype(np.float32))
+    got = np.stack(frames)
+    with open(os.path.join(out, "src_feats.pkl"), "rb") as f:
+        info = pickle.load(f)
+    src_pts = np.stack(
+        [info[k]["src_pts"] for k in sorted(info)]).astype(np.float32)
+
+    losses = []
+    for t in range(2):
+        with open(os.path.join(out, f"loss_hist_{t:06d}.pkl"), "rb") as f:
+            losses.append(np.asarray(pickle.load(f), np.float32))
+
+    want = np.load(os.path.join(GOLDEN, "vis_tracking_fast.npz"))
+    np.testing.assert_allclose(src_pts, want["src_pts"], atol=1e-6,
+                               err_msg="keypoint selection changed")
+    # 10 Adam iterations: tighter than the 60-iter slow golden (less
+    # compounded reduction-order drift), still > float noise
+    np.testing.assert_allclose(got, want["match_pts"], atol=5e-4,
+                               err_msg="tracked trajectories drifted")
+    # the per-iteration loss terms are the numerics-sensitive guard: a
+    # 1e-3-level change anywhere in the loss pipeline (feature fusion,
+    # field eval, weighting) lands here at its own magnitude, whereas
+    # Adam's trajectory is nearly invariant to loss scaling (verified:
+    # a +1e-3 loss perturbation moves match_pts by only 1e-7)
+    np.testing.assert_allclose(np.stack(losses), want["loss_history"],
+                               atol=1e-5,
+                               err_msg="tracking loss numerics drifted")

@@ -435,3 +435,19 @@ def test_bf16_trunk_agreement(oracle):
     top16 = np.argsort(-s16)[:10]
     m = cxcywh_iou(np.asarray(b32[0])[top32], np.asarray(b16[0])[top16])
     assert m.max(axis=1).min() > 0.9, m.max(axis=1)
+
+
+def test_corner_table_bilinear_matches_reference_sampler():
+    """The 4-corner-table gather (the TPU hot path) == the per-corner
+    masked-take reference sampler, including out-of-bounds and border
+    samples (zeros padding, align_corners=False)."""
+    rs = np.random.RandomState(5)
+    bn, h, w, hd = 3, 7, 9, 4
+    v = jnp.asarray(rs.randn(bn, h, w, hd).astype(np.float32))
+    # coords spanning in-bounds, borders, and far out of bounds
+    gx = jnp.asarray(rs.uniform(-1.8, 1.8, (bn, 50)).astype(np.float32))
+    gy = jnp.asarray(rs.uniform(-1.8, 1.8, (bn, 50)).astype(np.float32))
+    table = G._corner_table(v)
+    got = np.asarray(G._table_bilinear(table, (h, w), gx, gy))
+    ref = np.asarray(jax.vmap(G._bilinear_sample_nchw)(v, gx, gy))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

@@ -230,3 +230,47 @@ def test_bf16_encoder_agreement(oracle):
     agree = (np.asarray(m32 > 0) == np.asarray(m16 > 0)).mean()
     assert agree > 0.98, agree  # only threshold-knife-edge pixels may flip
     assert np.abs(np.asarray(i32) - np.asarray(i16)).max() < 0.05
+
+
+def test_predict_boxes_views_matches_per_view_loop(oracle):
+    """One-dispatch multi-view decode (set_images + predict_boxes_views)
+    == the per-view set_image/predict_boxes loop, incl. a zero-box view
+    and differing per-view box counts, and for every encoder view_chunk."""
+    from d3fields_tpu.models.sam.predictor import SamPredictor
+
+    _, params, cfg = oracle
+    rs = np.random.RandomState(3)
+    imgs = rs.randint(0, 255, (4, 48, 56, 3), dtype=np.uint8)
+    boxes = [
+        np.array([[4.0, 4.0, 30.0, 40.0], [10.0, 8.0, 44.0, 30.0]],
+                 np.float32),
+        np.zeros((0, 4), np.float32),
+        np.array([[2.0, 2.0, 20.0, 20.0]], np.float32),
+        np.array([[6.0, 3.0, 50.0, 46.0], [1.0, 1.0, 10.0, 12.0],
+                  [12.0, 20.0, 40.0, 44.0]], np.float32),
+    ]
+    sam = SamPredictor(params, cfg)
+    ref = []
+    for v in range(4):
+        if boxes[v].shape[0] == 0:
+            ref.append(None)
+            continue
+        sam.set_image(imgs[v])
+        ref.append(sam.predict_boxes(boxes[v]))
+
+    for chunk in (1, 2, 4):
+        got = SamPredictor(params, cfg).set_images(
+            imgs, view_chunk=chunk).predict_boxes_views(boxes)
+        assert len(got) == 4
+        for v in range(4):
+            m, i = got[v]
+            if ref[v] is None:
+                assert m.shape[0] == 0 and i.shape[0] == 0
+                continue
+            rm, ri = ref[v]
+            assert m.shape == rm.shape
+            # identical math, different batching: thresholded masks equal
+            # up to knife-edge pixels, iou to float tolerance
+            agree = (m == rm).mean()
+            assert agree > 0.999, agree
+            np.testing.assert_allclose(i, ri, rtol=1e-4, atol=1e-5)

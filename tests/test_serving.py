@@ -183,3 +183,121 @@ def test_prefetch_transform_and_short_streams():
     assert list(prefetch_to_device([], size=2)) == []
     with pytest.raises(ValueError):
         list(prefetch_to_device([], size=0))
+
+
+def _tiny_pipeline(num_views=2, H=40, W=60, num_obj=2, seed=0):
+    """Tiny DINOv2 + XMem + camera rig for the fused-step tests."""
+    from d3fields_tpu.config import TrackingConfig, XMemConfig
+    from d3fields_tpu.models import dinov2 as dv2
+    from d3fields_tpu.models.xmem import network as xnet
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+
+    rs = np.random.RandomState(seed)
+    dcfg = dv2.Dinov2Config.tiny_test()
+    dparams = dv2.init_params(jax.random.PRNGKey(0), dcfg)
+    bb = dv2.Dinov2Backbone(dparams, dcfg, resize_mode="device")
+    # top_k=64 >= every memory size this test reaches: the fused jit
+    # may reassociate float reductions, and a discrete top-k-of-12
+    # affinity selection would amplify 1e-6 noise into mask flips —
+    # total selection keeps fused-vs-unfused at float-noise level
+    xcfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=64,
+                      mem_every=2, max_mid_term_frames=3,
+                      min_mid_term_frames=1, num_prototypes=4,
+                      max_long_term_elements=64, size=-1)
+    xparams = xnet.init_params(jax.random.PRNGKey(1), xcfg)
+
+    def make_tracker():
+        return VideoMaskTracker(xparams, xcfg, num_views=num_views,
+                                num_objects=num_obj, image_hw=(H, W),
+                                size=-1)
+
+    depth = (0.6 + 0.2 * rs.rand(num_views, H, W)).astype(np.float32)
+    K = np.tile(np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]],
+                         np.float32), (num_views, 1, 1))
+    pose = np.stack([np.concatenate(
+        [np.eye(3, dtype=np.float32),
+         np.array([[0.01 * v], [0.0], [0.7]], np.float32)], 1)
+        for v in range(num_views)])
+    frames = rs.randint(0, 255, (3, num_views, H, W, 3), np.uint8)
+    mask0 = np.zeros((num_views, H, W), np.uint8)
+    mask0[:, 5:20, 10:30] = 1
+    mask0[:, 25:38, 35:55] = 2
+    tcfg = TrackingConfig(iters=5)
+    kp = rs.uniform(-0.1, 0.1, (1, 16, 3)).astype(np.float32)
+    lo = np.array([-0.5, -0.5, -0.5], np.float32)
+    hi = np.array([0.5, 0.5, 0.5], np.float32)
+    return dict(bb=bb, make_tracker=make_tracker, depth=depth, pose=pose,
+                K=K, frames=frames, mask0=mask0, tcfg=tcfg, kp=kp,
+                lo=lo, hi=hi)
+
+
+def test_fused_frame_step_matches_unfused():
+    """FusedFrameStep (one executable) == the separate backbone / tracker /
+    field / rigid-tracking calls, across several frames incl. a memory
+    frame (mem_every=2) — fusing the dispatch chain must not change what
+    is computed."""
+    from d3fields_tpu.fields.state import FieldState
+    from d3fields_tpu.serving import FusedFrameStep
+    from d3fields_tpu.track.rigid import rigid_tracking_jit
+
+    p = _tiny_pipeline()
+    bb, frames = p["bb"], p["frames"]
+    depth_j = jnp.asarray(p["depth"])
+    pose_j, K_j = jnp.asarray(p["pose"]), jnp.asarray(p["K"])
+    kp = jnp.asarray(p["kp"])
+    lo, hi = jnp.asarray(p["lo"]), jnp.asarray(p["hi"])
+    src = jnp.asarray(
+        np.random.RandomState(7).randn(16, 64).astype(np.float32))
+
+    # unfused reference: tracker.process + backbone + field + tracking
+    tr_ref = p["make_tracker"]()
+    tr_ref.process(frames[0], p["mask0"])
+    ref = []
+    for t in (1, 2):
+        tr_ref.process(frames[t])
+        up = tr_ref.last_prob  # (V, O+1, H, W) soft, device
+        mask = jnp.transpose(up[:, 1:], (0, 2, 3, 1))
+        feats = bb(frames[t])
+        st = FieldState(depth=depth_j, pose=pose_j, K=K_j,
+                        dino_feats=feats.astype(jnp.float32), mask=mask)
+        out = rigid_tracking_jit(st, src, kp, lo, hi, p["tcfg"])
+        ref.append((np.asarray(mask), np.asarray(out["match_pts"]),
+                    np.asarray(out["t"]), np.asarray(out["log_r"])))
+
+    # fused: identical seeding, then one dispatch per frame
+    tr = p["make_tracker"]()
+    tr.process(frames[0], p["mask0"])
+    fused = FusedFrameStep(bb, tr, p["depth"], p["pose"], p["K"],
+                           p["lo"], p["hi"], p["tcfg"])
+    # Tolerances: the fused executable reassociates float reductions
+    # (XLA fuses across the stage boundaries — that is the point), and the
+    # random-weight tiny XMem amplifies ~1e-6 reassociation noise to ~1e-2
+    # on near-tie probabilities (measured 0.033 max). A plumbing bug
+    # (wrong branch, missing normalization, stale memory) produces O(0.5)
+    # mask errors and centimeters of keypoint drift — far outside these.
+    for i, t in enumerate((1, 2)):
+        out = fused.step(frames[t], src, kp)
+        rm, rmp, rt, rr = ref[i]
+        m = np.asarray(out["mask"])
+        np.testing.assert_allclose(m, rm, atol=0.05)
+        # discrete object assignment agrees on ~every pixel
+        agree = (m.argmax(-1) == rm.argmax(-1)).mean()
+        assert agree > 0.995, agree
+        np.testing.assert_allclose(np.asarray(out["match_pts"]), rmp,
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out["t"]), rt, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out["log_r"]), rr, atol=5e-3)
+    # frame counters advanced like the unfused core
+    assert tr.core.curr_ti == tr_ref.core.curr_ti
+    assert tr.core.last_mem_ti == tr_ref.core.last_mem_ti
+
+
+def test_fused_frame_step_requires_seeded_tracker():
+    from d3fields_tpu.serving import FusedFrameStep
+
+    p = _tiny_pipeline()
+    fused = FusedFrameStep(p["bb"], p["make_tracker"](), p["depth"],
+                           p["pose"], p["K"], p["lo"], p["hi"], p["tcfg"])
+    with pytest.raises(RuntimeError, match="seed"):
+        fused.step(p["frames"][0],
+                   jnp.zeros((16, 64)), jnp.asarray(p["kp"]))

@@ -51,6 +51,11 @@ if REPO not in sys.path:  # `python tools/gen_golden.py` puts tools/ first
 VIS_REPR_ARGS = ["--synthetic", "--step", "0.015"]
 VIS_TRACKING_ARGS = ["--synthetic", "--frames", "3",
                      "--num_kypts", "20", "--iters", "60"]
+# fast-tier variant: small enough to run by default (the full golden above
+# is slow-tier), still covering FPS keypoint selection + the Adam tracking
+# scan so everyday changes can't silently drift the trajectory numerics
+VIS_TRACKING_FAST_ARGS = ["--synthetic", "--frames", "2",
+                          "--num_kypts", "8", "--iters", "10"]
 
 
 def gen_vis_repr(out_npz):
@@ -65,23 +70,30 @@ def gen_vis_repr(out_npz):
           f"-> {out_npz}")
 
 
-def gen_vis_tracking(out_npz):
+def gen_vis_tracking(out_npz, args=VIS_TRACKING_ARGS):
     from d3fields_tpu.apps.vis_tracking import main
 
+    nframes = int(args[args.index("--frames") + 1])
     with tempfile.TemporaryDirectory() as td:
-        assert main(VIS_TRACKING_ARGS + ["--out", td]) == 0
-        frames = []
-        for t in range(3):
+        assert main(args + ["--out", td]) == 0
+        frames, losses = [], []
+        for t in range(nframes):
             with open(os.path.join(td, f"match_pts_{t:06d}.pkl"), "rb") as f:
                 pts = pickle.load(f)
             frames.append(np.stack(pts).astype(np.float32))
+            with open(os.path.join(td, f"loss_hist_{t:06d}.pkl"), "rb") as f:
+                losses.append(np.asarray(pickle.load(f), np.float32))
         with open(os.path.join(td, "src_feats.pkl"), "rb") as f:
             info = pickle.load(f)
     src_pts = np.stack(
         [info[k]["src_pts"] for k in sorted(info)]).astype(np.float32)
     np.savez_compressed(out_npz,
                         match_pts=np.stack(frames),  # (T, inst, K, 3)
-                        src_pts=src_pts)
+                        src_pts=src_pts,
+                        # (T, iters, 4): per-iteration feat/dist/reg/oob —
+                        # the numerics-sensitive record (Adam's argmin is
+                        # scale-invariant; this is not)
+                        loss_history=np.stack(losses))
     print(f"[golden] vis_tracking: match_pts {np.stack(frames).shape} "
           f"-> {out_npz}")
 
@@ -91,6 +103,8 @@ def main(argv=None):
     os.makedirs(GOLDEN, exist_ok=True)
     gen_vis_repr(os.path.join(GOLDEN, "vis_repr.npz"))
     gen_vis_tracking(os.path.join(GOLDEN, "vis_tracking.npz"))
+    gen_vis_tracking(os.path.join(GOLDEN, "vis_tracking_fast.npz"),
+                     VIS_TRACKING_FAST_ARGS)
     return 0
 
 
