@@ -394,9 +394,12 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     tokenize = lambda s: [200 + (hash(w) % 1000) for w in s.split()]
     queries = ["mug", "red can"]
 
-    # ---- GroundingDINO: all views batched (the corner-table gather +
-    # query_chunk fit the 4-view 800-scale batch in one chip's HBM — the
-    # round-3 layout crashed the worker and forced view_chunk=1) ----
+    # ---- GroundingDINO with the corner-table deformable gather +
+    # query_chunk=4096 (the measured single-chip optimum: the sweep over
+    # {f32,bf16} x view_chunk x query_chunk put bf16/vc=1/qc=4096 fastest
+    # at 1654 ms/4 views vs round-3's 3247 ms; the 4-view single batch
+    # also FITS now — 2544 ms bf16 — and is the multi-chip layout, dryrun
+    # stage 6, where each chip holds one view) ----
     def time_gdino(dt, vc):
         det = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize,
                                     compute_dtype=dt, view_chunk=vc,
@@ -409,13 +412,16 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
             ts.append(time.perf_counter() - t0)
         return min(ts), det
 
-    t_gd32, det32 = time_gdino("float32", num_views)
-    t_gd16, _ = time_gdino("bfloat16", num_views)
+    t_gd32, det32 = time_gdino("float32", 1)
+    t_gd16, _ = time_gdino("bfloat16", 1)
     t_gdino = min(t_gd32, t_gd16)
 
     # GDINO FLOPs: XLA's count of the full jitted forward at the batched
     # shape (text-mask preprocessing reproduced host-side as the detector
-    # does)
+    # does). query_chunk=None for the COUNT only: XLA's cost analysis
+    # counts a lax.map body once regardless of trip count, so the tiled
+    # executable under-reports; the un-tiled lowering counts every tile
+    # (lower+compile only — never executed, so its HBM blowup is moot).
     ids, _spans = tokenize_classes(queries, tokenize)
     ids_b = np.repeat(np.asarray(ids), num_views, axis=0)
     self_mask, pos_ids = gd.generate_text_masks(ids_b)
@@ -425,7 +431,7 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     gd_flops = xla_flops(
         gd._groundingdino_forward_impl, gparams, gcfg, pixels_b,
         jnp.asarray(ids_b), jnp.asarray(self_mask), jnp.asarray(pos_ids),
-        jnp.asarray(token_mask), "float32", 4096,
+        jnp.asarray(token_mask), "float32", None,
     )
 
     # ---- SAM: whole-rig encode in ONE dispatch (sam_encode_images) and
@@ -462,9 +468,13 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     total = t_gdino + min(t_enc, t_enc16) + t_dec
 
     # ---- FLOP accounting: XLA's own count per executable, MFU vs the
-    # chip's measured (not datasheet) matmul peak ----
-    enc_flops = xla_flops(sm.sam_encode_images, sparams, sam._pixels, scfg,
-                          "float32", 1)
+    # chip's measured (not datasheet) matmul peak. Encode FLOPs are
+    # counted per view and multiplied by V: the one-dispatch executable
+    # wraps the per-view body in lax.map, whose body XLA counts once ----
+    enc_flops = xla_flops(sm.sam_encode_image, sparams, sam._pixels[:1],
+                          scfg)
+    if enc_flops:
+        enc_flops *= num_views
     embs = sam._image_embs
     nb = SamPredictor._bucket(boxes_per_view)
     dec_flops = xla_flops(

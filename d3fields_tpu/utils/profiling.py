@@ -103,7 +103,13 @@ def measured_matmul_peak_tflops(dtype="bfloat16", n=8192, chain=8,
 def xla_flops(jitted, *args, **kwargs):
     """FLOPs XLA counts for one call of a jitted function, or None when the
     backend exposes no cost analysis. Pair with a measured wall-clock and
-    :func:`measured_matmul_peak_tflops` for an MFU statement."""
+    :func:`measured_matmul_peak_tflops` for an MFU statement.
+
+    CAVEAT: XLA counts a ``lax.scan`` / ``lax.map`` / ``while`` BODY once,
+    regardless of trip count — an executable that loops (query-tiled
+    gathers, per-view ``lax.map``, optimizer scans) under-reports by the
+    trip count. Count an un-tiled lowering or multiply by the trip count
+    at the call site (see ``bench.bench_grounded_sam``)."""
     try:
         ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
