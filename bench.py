@@ -456,16 +456,23 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     t_enc = time_encode(sam)
     # the bf16 MXU trunk (f32-agreement pinned in
     # tests/test_sam.py::test_bf16_encoder_agreement)
-    t_enc16 = time_encode(SamPredictor(sparams, scfg,
-                                       compute_dtype="bfloat16"))
-    sam.predict_boxes_views(boxes_views)  # compile the decoder
-    ts_dec = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        sam.predict_boxes_views(boxes_views)
-        ts_dec.append(time.perf_counter() - t0)
-    t_dec = min(ts_dec)
-    total = t_gdino + min(t_enc, t_enc16) + t_dec
+    sam16 = SamPredictor(sparams, scfg, compute_dtype="bfloat16")
+    t_enc16 = time_encode(sam16)
+
+    def time_decode(s):
+        s.predict_boxes_views(boxes_views)  # compile the decoder
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            s.predict_boxes_views(boxes_views)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_dec = time_decode(sam)
+    # bf16 drops the decoder's f32 matmul-precision pin (~9x on TPU;
+    # agreement pinned on-chip in tests_tpu/test_sam_decode_precision.py)
+    t_dec16 = time_decode(sam16)
+    total = t_gdino + min(t_enc, t_enc16) + min(t_dec, t_dec16)
 
     # ---- FLOP accounting: XLA's own count per executable, MFU vs the
     # chip's measured (not datasheet) matmul peak. Encode FLOPs are
@@ -485,9 +492,11 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
         peak = measured_matmul_peak_tflops()
     msg = (f"[bench] grounded-sam first-frame ({num_views} views @ {H}x{W}, "
            f"swin-t + vit-h): gdino f32 {t_gd32*1e3:.0f} ms / bf16 "
-           f"{t_gd16*1e3:.0f} ms (one batched dispatch), "
-           f"sam encode f32 {t_enc*1e3:.0f} ms / bf16 {t_enc16*1e3:.0f} ms, "
-           f"sam decode {t_dec*1e3:.0f} ms -> {total*1e3:.0f} ms total")
+           f"{t_gd16*1e3:.0f} ms, "
+           f"sam encode f32 {t_enc*1e3:.0f} ms / bf16 {t_enc16*1e3:.0f} ms "
+           f"(one dispatch), sam decode f32 {t_dec*1e3:.0f} ms / bf16 "
+           f"{t_dec16*1e3:.0f} ms (one dispatch) -> {total*1e3:.0f} ms "
+           f"total")
     if gd_flops:
         g32 = gd_flops / t_gd32 / 1e12
         g16 = gd_flops / t_gd16 / 1e12
@@ -500,13 +509,14 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
         msg += (f"; sam-encode f32 {v32:.1f} / bf16 {v16:.1f} TFLOP/s = "
                 f"{100 * v16 / peak:.0f}% of peak")
     if dec_flops:
-        v_dec = dec_flops / t_dec / 1e12
+        v_dec = dec_flops / t_dec16 / 1e12
         msg += f"; decode {v_dec:.2f} TFLOP/s"
     print(msg, file=sys.stderr)
     return {"gdino_ms": t_gd32 * 1e3, "gdino_bf16_ms": t_gd16 * 1e3,
             "sam_encode_ms": t_enc * 1e3,
             "sam_encode_bf16_ms": t_enc16 * 1e3,
-            "sam_decode_ms": t_dec * 1e3, "total_ms": total * 1e3,
+            "sam_decode_ms": t_dec * 1e3,
+            "sam_decode_bf16_ms": t_dec16 * 1e3, "total_ms": total * 1e3,
             "measured_peak_tflops": peak}
 
 

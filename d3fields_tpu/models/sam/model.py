@@ -461,12 +461,21 @@ def sam_encode_image(params: Params, pixels: Array, cfg: SamConfig,
                               compute_dtype)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output",
+                                              "compute_dtype"))
 def sam_decode_boxes(params: Params, image_emb: Array, boxes: Array,
-                     cfg: SamConfig, multimask_output: bool = True):
+                     cfg: SamConfig, multimask_output: bool = True,
+                     compute_dtype: str = "float32"):
     """image_emb (h, w, C) from :func:`sam_encode_image`; boxes (N, 4) xyxy
-    in model-input pixels -> (low_res_masks (N, M, 4h, 4w), iou (N, M))."""
-    with jax.default_matmul_precision("float32"):
+    in model-input pixels -> (low_res_masks (N, M, 4h, 4w), iou (N, M)).
+
+    ``compute_dtype`` selects the matmul precision only (values stay f32):
+    the f32 pin forces multi-pass bf16 emulation on the MXU, which costs
+    ~9x on the decoder's skinny matmuls (measured 517 -> 58 ms for a
+    4-view rig). "bfloat16" = default MXU precision; mask agreement vs
+    f32 is pinned on-chip in tests_tpu/test_sam_decode_precision.py."""
+    prec = "float32" if compute_dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
         size = cfg.grid
         pe = image_wide_positional_embedding(params["prompt"], size)
         sparse = embed_boxes(params["prompt"], boxes, cfg.image_size)
@@ -511,16 +520,20 @@ def sam_encode_images(params: Params, pixels: Array, cfg: SamConfig,
         return out.reshape((V,) + out.shape[2:])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output",
+                                              "compute_dtype"))
 def sam_decode_boxes_views(params: Params, image_embs: Array, boxes: Array,
-                           cfg: SamConfig, multimask_output: bool = True):
+                           cfg: SamConfig, multimask_output: bool = True,
+                           compute_dtype: str = "float32"):
     """Multi-view batched box decode: image_embs (V, h, w, C) from
     :func:`sam_encode_images`; boxes (V, N, 4) xyxy in model-input pixels
     -> (low_res_masks (V, N, M, 4h, 4w), iou (V, N, M)). One dispatch for
     the whole rig — the decoder's FLOPs are trivial (~0.09 TFLOP/s
     measured when looped per view), so the per-view loop was pure tunnel
-    dispatch latency."""
-    with jax.default_matmul_precision("float32"):
+    dispatch latency. ``compute_dtype``: see :func:`sam_decode_boxes`
+    (matmul precision only; ~9x on TPU)."""
+    prec = "float32" if compute_dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
         size = cfg.grid
         pe = image_wide_positional_embedding(params["prompt"], size)
         dense = no_mask_dense_embedding(params["prompt"], size)
@@ -543,11 +556,13 @@ def sam_predict_boxes(params: Params, pixels: Array, boxes: Array,
     return sam_decode_boxes(params, image_emb, boxes, cfg, multimask_output)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output",
+                                              "compute_dtype"))
 def sam_decode_points(params: Params, image_emb: Array, points: Array,
                       labels: Array, cfg: SamConfig,
                       multimask_output: bool = True,
-                      mask_input: Optional[Array] = None):
+                      mask_input: Optional[Array] = None,
+                      compute_dtype: str = "float32"):
     """Point-prompt (click) decoding: points (N, P, 2) xy in model-input
     pixels, labels (N, P) in {1 foreground, 0 background, -1 pad} ->
     (low_res_masks (N, M, 4h, 4w), iou (N, M)).
@@ -558,8 +573,12 @@ def sam_decode_points(params: Params, image_emb: Array, points: Array,
     The headless capability behind the reference GUI's click segmentation
     (``XMem/inference/interact/`` fbrs/S2M — positive/negative clicks to a
     mask); upstream SAM exposes the same as
-    ``predictor.predict(point_coords=..., point_labels=...)``."""
-    with jax.default_matmul_precision("float32"):
+    ``predictor.predict(point_coords=..., point_labels=...)``.
+
+    ``compute_dtype``: matmul precision only — see :func:`sam_decode_boxes`
+    (~9x on TPU)."""
+    prec = "float32" if compute_dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
         size = cfg.grid
         pe = image_wide_positional_embedding(params["prompt"], size)
         # pad=True: the extra not-a-point entry HF appends when points

@@ -75,8 +75,10 @@ class SamPredictor:
     def __init__(self, params, cfg: Optional[SamConfig] = None,
                  compute_dtype: str = "float32"):
         """``compute_dtype="bfloat16"`` runs the ViT-H trunk on the MXU in
-        bf16 (~4x encode on TPU; prompt encoder/decoder stay f32 — see
-        ``vision_encoder``)."""
+        bf16 (~4x encode on TPU) AND drops the decoder's f32 matmul-
+        precision pin to default MXU precision (~9x decode on TPU; decoder
+        values stay f32 — see ``sam_decode_boxes``). f32 keeps exact
+        torch-parity numerics end to end."""
         # Commit the weights to device ONCE. Host-numpy leaves would be
         # re-transferred on EVERY jitted encode (jax converts non-Array
         # args per call) — at ViT-H's ~2.5 GB through the remote TPU
@@ -184,7 +186,7 @@ class SamPredictor:
                 batch[v] = self._pad_rows(b, nb)
         low_res, iou = sam_decode_boxes_views(
             self.params, self._image_embs, self._shard(jnp.asarray(batch)),
-            self.cfg, multimask_output,
+            self.cfg, multimask_output, self.compute_dtype,
         )
         M = low_res.shape[2]
         masks = self._postprocess(
@@ -225,7 +227,7 @@ class SamPredictor:
         boxes = self._pad_rows(boxes, self._bucket(n))
         low_res, iou = sam_decode_boxes(
             self.params, self._image_emb, jnp.asarray(boxes), self.cfg,
-            multimask_output,
+            multimask_output, self.compute_dtype,
         )
         masks = self._postprocess(low_res[:n])
         return np.asarray(masks) > 0.0, np.asarray(iou)[:n]
@@ -280,6 +282,7 @@ class SamPredictor:
         low_res, iou = sam_decode_points(
             self.params, self._image_emb, jnp.asarray(pts),
             jnp.asarray(lbl), self.cfg, multimask_output, mask_input=mi,
+            compute_dtype=self.compute_dtype,
         )
         masks = self._postprocess(low_res[:n])
         return (np.asarray(masks) > 0.0, np.asarray(iou)[:n],
