@@ -694,6 +694,24 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
           f"{dtf_mean*1e3:.1f} ms; {dt_mean/dtf2:.2f}x vs round-3-style "
           f"3-dispatch synced mean)", file=sys.stderr)
 
+    # ---- segment mode: T frames scanned inside ONE executable
+    # (FusedFrameStep.step_segment) — the offline/recorded-video mode; one
+    # dispatch + one fetch amortized over the whole clip ----
+    T = 8
+    clip = np.broadcast_to(color, (T,) + color.shape)
+    outs = fused.step_segment(clip, src, kp)  # compile
+    float(outs["match_pts"].reshape(-1)[0])
+    ts_s = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = fused.step_segment(clip, src, kp)
+        float(outs["match_pts"].reshape(-1)[0])
+        ts_s.append(time.perf_counter() - t0)
+    dts = min(ts_s) / T
+    print(f"[bench] pipeline frame, FUSED SEGMENT (T={T} frames, one "
+          f"executable): {dts*1e3:.1f} ms/frame ({1.0/dts:.2f} FPS, "
+          f"{dt/dts:.2f}x vs 3-dispatch synced)", file=sys.stderr)
+
 
 def _probe_subprocess(timeout_s):
     """One backend probe in a SUBPROCESS so a wedged remote TPU tunnel

@@ -65,6 +65,34 @@ def _postprocess_jit(low_res, model_size, resized_hw, orig_hw):
     return x.reshape(N, M, H, W)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("model_size", "resized_hw", "orig_hw"))
+def _postprocess_packed_jit(low_res, model_size, resized_hw, orig_hw):
+    """Like :func:`_postprocess_jit` but thresholds at 0 ON DEVICE and
+    bit-packs the boolean masks (np.packbits layout, flattened H*W per
+    mask). The full-res f32 masks are the dominant host-fetch payload of a
+    decode call on a remote-tunnel TPU (measured: 14.7 MB ≈ 0.5 s at the
+    tunnel's ~27 MB/s for a 4-view rig vs ~60 ms of decoder compute);
+    packing moves 32x fewer bytes. Unpack with :func:`_unpack_masks`."""
+    m = _postprocess_jit(low_res, model_size, resized_hw, orig_hw)
+    N, M, H, W = m.shape
+    bits = (m > 0.0).reshape(N, M, -1)
+    pad = (-bits.shape[-1]) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, pad)))
+    bits = bits.reshape(N, M, -1, 8).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (bits * weights).sum(-1).astype(jnp.uint8)
+
+
+def _unpack_masks(packed: np.ndarray, hw) -> np.ndarray:
+    """(N, M, ceil(H*W/8)) uint8 -> (N, M, H, W) bool."""
+    H, W = hw
+    n, m = packed.shape[:2]
+    flat = np.unpackbits(packed.reshape(n * m, -1), axis=-1)[:, : H * W]
+    return flat.reshape(n, m, H, W).astype(bool)
+
+
 class SamPredictor:
     """Box-prompted segmentation over one image.
 
@@ -189,9 +217,9 @@ class SamPredictor:
             self.cfg, multimask_output, self.compute_dtype,
         )
         M = low_res.shape[2]
-        masks = self._postprocess(
+        masks = self._postprocess_bool(
             low_res.reshape((V * nb, M) + low_res.shape[3:]))
-        masks = np.asarray(masks).reshape(V, nb, M, H, W) > 0.0
+        masks = masks.reshape(V, nb, M, H, W)
         iou = np.asarray(iou)
         return [(masks[v, :n], iou[v, :n]) for v, n in enumerate(counts)]
 
@@ -229,8 +257,8 @@ class SamPredictor:
             self.params, self._image_emb, jnp.asarray(boxes), self.cfg,
             multimask_output, self.compute_dtype,
         )
-        masks = self._postprocess(low_res[:n])
-        return np.asarray(masks) > 0.0, np.asarray(iou)[:n]
+        masks = self._postprocess_bool(low_res[:n])
+        return masks, np.asarray(iou)[:n]
 
     def predict_points(self, points_xy: np.ndarray, labels: np.ndarray,
                        multimask_output=True, mask_input=None):
@@ -284,10 +312,16 @@ class SamPredictor:
             jnp.asarray(lbl), self.cfg, multimask_output, mask_input=mi,
             compute_dtype=self.compute_dtype,
         )
-        masks = self._postprocess(low_res[:n])
-        return (np.asarray(masks) > 0.0, np.asarray(iou)[:n],
-                np.asarray(low_res)[:n])
+        masks = self._postprocess_bool(low_res[:n])
+        return (masks, np.asarray(iou)[:n], np.asarray(low_res)[:n])
 
     def _postprocess(self, low_res):
         return _postprocess_jit(low_res, self.cfg.image_size,
                                 self._resized_hw, self._orig_hw)
+
+    def _postprocess_bool(self, low_res) -> np.ndarray:
+        """(n, M, s, s) logits -> host (n, M, H, W) bool via the packed
+        device fetch (32x fewer tunnel bytes than f32 masks)."""
+        packed = _postprocess_packed_jit(low_res, self.cfg.image_size,
+                                         self._resized_hw, self._orig_hw)
+        return _unpack_masks(np.asarray(packed), self._orig_hw)

@@ -234,26 +234,19 @@ def prefetch_to_device(
 # fused per-frame serving step
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
-                     "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
-    donate_argnames=("mem",),
-)
-def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
-                 pose, K, src_feats, last_pts, lo, hi, is_mem_frame, *,
-                 dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                 x_resized_hw, x_pad, out_hw, tcfg):
-    """The whole per-frame tracking stack as ONE executable: DINOv2
+def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
+                      pose, K, src_feats, last_pts, lo, hi, is_mem_frame,
+                      dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
+                      x_resized_hw, x_pad, out_hw, tcfg):
+    """The whole per-frame tracking stack as one traceable body: DINOv2
     extraction + XMem propagation (with the VideoMaskTracker pre/post
     resize-pad pipeline) + field assembly + the full rigid-tracking Adam
-    scan. The unfused loop dispatches three executables plus a host sync
-    per frame — each paying a tunnel round trip on remote TPU (measured
-    round 3: 217.7 ms/frame at ~10 ms of actual compute). Matches the
-    reference per-frame stack ``fusion.py:686-714`` (update) +
-    ``631-684`` (xmem_process) + ``1608-1685`` (rigid_tracking), which
-    the reference runs as dozens of separate CUDA launches with host
-    round-trips between stages.
+    scan. Jitted once per frame by :func:`_fused_frame`, or scanned over a
+    whole frame segment by :func:`_fused_segment`. Matches the reference
+    per-frame stack ``fusion.py:686-714`` (update) + ``631-684``
+    (xmem_process) + ``1608-1685`` (rigid_tracking), which the reference
+    runs as dozens of separate CUDA launches with host round-trips between
+    stages.
 
     Calls the ``__wrapped__`` (unjitted) bodies of the three stage
     functions so the fused trace carries no nested-jit donation noise and
@@ -304,6 +297,65 @@ def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
            "log_r": tr["log_r"], "loss_history": tr["loss_history"],
            "mask": mask}
     return out, mem
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
+                     "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
+    donate_argnames=("mem",),
+)
+def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
+                 pose, K, src_feats, last_pts, lo, hi, is_mem_frame, *,
+                 dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
+                 x_resized_hw, x_pad, out_hw, tcfg):
+    """One frame as ONE dispatched executable (see
+    :func:`_fused_frame_body`). The unfused loop dispatches three
+    executables plus a host sync per frame — each paying a tunnel round
+    trip on remote TPU (measured round 3: 217.7 ms/frame at ~10 ms of
+    actual compute)."""
+    return _fused_frame_body(
+        dv2_params, pos_embed, xparams, mem, images_u8, depth, pose, K,
+        src_feats, last_pts, lo, hi, is_mem_frame, dv2_resize_hw,
+        dv2_heads, dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad,
+        out_hw, tcfg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
+                     "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
+    donate_argnames=("mem",),
+)
+def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depth,
+                   pose, K, src_feats, last_pts, lo, hi, is_mem_frames, *,
+                   dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
+                   x_resized_hw, x_pad, out_hw, tcfg):
+    """A whole SEGMENT of T frames as ONE dispatched executable:
+    ``lax.scan`` of :func:`_fused_frame_body` over the time axis, carrying
+    the XMem memory and the tracked points (frame t's ``match_pts`` seed
+    frame t+1, exactly like the host loop in ``vis_tracking.py:130-138``).
+    frames_u8 (T, V, H, W, 3); is_mem_frames (T,) bool — the XMem memory
+    schedule, precomputed on the host. Returns (stacked per-frame outputs,
+    final memory).
+
+    This amortizes the per-dispatch tunnel round trip (~30 ms) over T
+    frames — the offline/recorded-video mode the reference's per-frame
+    python loop cannot express; measured in ``bench_pipeline``."""
+    import jax
+
+    def body(carry, inp):
+        mem, last = carry
+        images_u8, is_mem = inp
+        out, mem = _fused_frame_body(
+            dv2_params, pos_embed, xparams, mem, images_u8, depth, pose,
+            K, src_feats, last, lo, hi, is_mem, dv2_resize_hw, dv2_heads,
+            dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad, out_hw, tcfg)
+        return (mem, out["match_pts"]), out
+
+    (mem, _), outs = jax.lax.scan(body, (mem, last_pts),
+                                  (frames_u8, is_mem_frames))
+    return outs, mem
 
 
 class FusedFrameStep:
@@ -365,3 +417,42 @@ class FusedFrameStep:
         if is_mem:
             core.last_mem_ti = core.curr_ti
         return out
+
+    def step_segment(self, frames_u8, src_feats, last_pts):
+        """A whole SEGMENT of T frames in ONE dispatched executable
+        (``lax.scan`` over the time axis; frame t's tracked points seed
+        frame t+1, exactly like chaining :meth:`step` by hand).
+        frames_u8 (T, V, H, W, 3). Returns the per-frame outputs stacked
+        on a leading T axis (device arrays, no host sync). Amortizes the
+        per-dispatch tunnel round trip over T frames — the offline /
+        recorded-video mode (``apps/vis_tracking.py`` equivalents over a
+        prefetched clip)."""
+        import jax.numpy as jnp
+
+        core = self.tracker.core
+        if not self.tracker.first_mask_loaded:
+            raise RuntimeError("seed the tracker first (process with mask)")
+        T, V, H, W = frames_u8.shape[:4]
+        # precompute the XMem memory-frame schedule (host counters advance
+        # deterministically on propagate-only frames, core.step semantics)
+        flags = []
+        for _ in range(T):
+            core.curr_ti += 1
+            is_mem = (core.curr_ti - core.last_mem_ti) >= core.cfg.mem_every
+            flags.append(is_mem)
+            if is_mem:
+                core.last_mem_ti = core.curr_ti
+        ph, pw = self.patch_hw or (H // 10, W // 10)
+        P = self.bb.cfg.patch_size
+        outs, core.mem = _fused_segment(
+            self.bb.params, self.bb.interpolated_pos_embed(ph, pw),
+            core.params, core.mem, jnp.asarray(frames_u8), self.depth,
+            self.pose, self.K, src_feats, last_pts, self.lo, self.hi,
+            jnp.asarray(np.asarray(flags)),
+            dv2_resize_hw=(ph * P, pw * P), dv2_heads=self.bb.cfg.num_heads,
+            dv2_dtype=self.bb.compute_dtype,
+            x_dtype=core.cfg.compute_dtype, x_sync=core.deep_update_sync,
+            x_resized_hw=self.tracker.resized_hw,
+            x_pad=self.tracker.pad_spec, out_hw=(H, W), tcfg=self.tcfg,
+        )
+        return outs

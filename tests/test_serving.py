@@ -301,3 +301,44 @@ def test_fused_frame_step_requires_seeded_tracker():
     with pytest.raises(RuntimeError, match="seed"):
         fused.step(p["frames"][0],
                    jnp.zeros((16, 64)), jnp.asarray(p["kp"]))
+
+
+def test_fused_segment_matches_per_frame_steps():
+    """_fused_segment (lax.scan over T frames in ONE executable, carrying
+    the XMem memory and the tracked points) == T calls of fused.step with
+    the host feeding match_pts forward — the offline/recorded-video mode.
+    Same float-reassociation tolerances as the per-frame fused test."""
+    import jax.numpy as jnp
+
+    from d3fields_tpu.serving import FusedFrameStep
+
+    p = _tiny_pipeline()
+    bb, frames = p["bb"], p["frames"]
+    src = jnp.asarray(
+        np.random.RandomState(7).randn(16, 64).astype(np.float32))
+    kp = jnp.asarray(p["kp"])
+
+    # per-frame reference: fused.step chained by the host loop
+    tr_ref = p["make_tracker"]()
+    tr_ref.process(frames[0], p["mask0"])
+    f_ref = FusedFrameStep(bb, tr_ref, p["depth"], p["pose"], p["K"],
+                           p["lo"], p["hi"], p["tcfg"])
+    ref, last = [], kp
+    for t in (1, 2):
+        out = f_ref.step(frames[t], src, last)
+        last = out["match_pts"]
+        ref.append(jax.tree_util.tree_map(np.asarray, out))
+
+    tr = p["make_tracker"]()
+    tr.process(frames[0], p["mask0"])
+    fused = FusedFrameStep(bb, tr, p["depth"], p["pose"], p["K"],
+                           p["lo"], p["hi"], p["tcfg"])
+    outs = fused.step_segment(frames[1:3], src, kp)
+    assert tr.core.curr_ti == tr_ref.core.curr_ti
+    assert tr.core.last_mem_ti == tr_ref.core.last_mem_ti
+    for i in range(2):
+        for key, tol in (("match_pts", 5e-3), ("t", 5e-3),
+                         ("log_r", 5e-3), ("mask", 0.05)):
+            np.testing.assert_allclose(
+                np.asarray(outs[key][i]), ref[i][key], atol=tol,
+                err_msg=f"frame {i} {key}")
