@@ -124,11 +124,22 @@ def build_mask_backend(sam_ckpt: str | None = None,
     else:
         view_chunk = 1 if jax.device_count() == 1 else None
     return GroundedSAMBackend(
-        GroundingDinoDetector(gdino_params, gcfg, tokenize=tokenize,
-                              view_chunk=view_chunk),
+        # D3F_GDINO_DTYPE=bfloat16: the gated MXU trunk (Swin + encoder
+        # bf16, selection/decoder/heads f32 — detection agreement pinned
+        # in tests/test_groundingdino.py::test_bf16_trunk_agreement;
+        # measured 1.2x the f32 detection on one v5e).
+        # D3F_GDINO_QUERY_CHUNK tiles the deformable gather (default 4096
+        # — the measured single-chip optimum; 0 = un-tiled).
+        GroundingDinoDetector(
+            gdino_params, gcfg, tokenize=tokenize, view_chunk=view_chunk,
+            compute_dtype=os.environ.get("D3F_GDINO_DTYPE", "float32"),
+            query_chunk=int(
+                os.environ.get("D3F_GDINO_QUERY_CHUNK", "4096")) or None,
+        ),
         # D3F_SAM_DTYPE=bfloat16 runs the ViT trunk on the MXU in bf16
         # (~4x encode on TPU; bf16-vs-f32 mask agreement is pinned in
-        # tests/test_sam.py)
+        # tests/test_sam.py) and lifts the decoder's f32 matmul-precision
+        # pin (~9x decode; on-chip gate in tests_tpu/)
         SamPredictor(sam_params, scfg,
                      compute_dtype=os.environ.get("D3F_SAM_DTYPE",
                                                   "float32")),
