@@ -544,8 +544,13 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
     depth_j, pose_j, K_j = jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K)
 
     dcfg = dv2.Dinov2Config.vit_large()
+    # resize_mode='device': the 3-dispatch rows and the fused rows must
+    # run the SAME resampler for an apples-to-apples comparison (the
+    # fused executable cannot host-PIL-resize; divergence budget is the
+    # documented 1e-3 descriptor cosine, models/dinov2.py)
     bb = dv2.Dinov2Backbone(dv2.init_params(jax.random.PRNGKey(0), dcfg),
-                            dcfg, compute_dtype="bfloat16")
+                            dcfg, compute_dtype="bfloat16",
+                            resize_mode="device")
     xcfg = XMemConfig()
     xcore = C.XMemCore(N.init_params(jax.random.PRNGKey(1), xcfg), xcfg,
                        num_views, num_obj, (H, W))

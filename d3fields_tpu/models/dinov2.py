@@ -271,15 +271,10 @@ class Dinov2Backbone:
         if self.resize_mode == "pil" and np.asarray(images).dtype == np.uint8:
             images = pil_bilinear_resize_u8(np.asarray(images), (ph * P, pw * P))
         if self._view_mesh is not None:
-            from d3fields_tpu.parallel.mesh import shard_leading
+            from d3fields_tpu.parallel.mesh import shard_leading_checked
 
             mesh, axis = self._view_mesh
-            if K % mesh.shape[axis]:
-                raise ValueError(
-                    f"num_views={K} not divisible by mesh axis {axis!r} of "
-                    f"size {mesh.shape[axis]}"
-                )
-            images = shard_leading(mesh, images, axis)
+            images = shard_leading_checked(mesh, images, axis)
         # ONE dispatch for upload + preprocess + forward: separate
         # resize/normalize ops each pay a host->device round trip (~20 ms
         # apiece through a remote-tunnel backend).

@@ -174,15 +174,10 @@ class GroundingDinoDetector:
             pixels = jnp.concatenate(views + [views[-1]] * pad, axis=0)
             ids = np.repeat(np.asarray(input_ids), len(views) + pad, axis=0)
             if self._view_mesh is not None:
-                from d3fields_tpu.parallel.mesh import shard_leading
+                from d3fields_tpu.parallel.mesh import shard_leading_checked
 
                 mesh, axis = self._view_mesh
-                if pixels.shape[0] % mesh.shape[axis]:
-                    raise ValueError(
-                        f"num_views={pixels.shape[0]} not divisible by "
-                        f"mesh axis {axis!r} of size {mesh.shape[axis]}"
-                    )
-                pixels = shard_leading(mesh, pixels, axis)
+                pixels = shard_leading_checked(mesh, pixels, axis)
             logits, boxes = groundingdino_forward(
                 self.params, self.cfg, pixels, ids,
                 self.compute_dtype, self.query_chunk,

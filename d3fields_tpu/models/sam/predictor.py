@@ -139,15 +139,10 @@ class SamPredictor:
     def _shard(self, arr):
         if self._view_mesh is None:
             return arr
-        from d3fields_tpu.parallel.mesh import shard_leading
+        from d3fields_tpu.parallel.mesh import shard_leading_checked
 
         mesh, axis = self._view_mesh
-        if arr.shape[0] % mesh.shape[axis]:
-            raise ValueError(
-                f"view count {arr.shape[0]} not divisible by mesh axis "
-                f"{axis!r} of size {mesh.shape[axis]}"
-            )
-        return shard_leading(mesh, arr, axis)
+        return shard_leading_checked(mesh, arr, axis)
 
     def _target_hw(self, H: int, W: int) -> Tuple[int, int]:
         s = self.cfg.image_size / max(H, W)
@@ -165,6 +160,7 @@ class SamPredictor:
                                  self.cfg.image_size)
         self._image_emb = sam_encode_image(self.params, self._pixels,
                                            self.cfg, self.compute_dtype)
+        self._image_embs = None  # a stale rig cache must not outlive this
         return self
 
     def set_images(self, rgbs: np.ndarray, view_chunk: int = 1):
@@ -184,7 +180,8 @@ class SamPredictor:
             view_chunk = V  # batched layout: XLA partitions the view axis
         self._image_embs = sam_encode_images(
             self.params, pixels, self.cfg, self.compute_dtype, view_chunk)
-        return self
+        self._image_emb = None  # a stale single-image cache must not
+        return self             # outlive this rig encode
 
     def predict_boxes_views(self, boxes_per_view, multimask_output=True):
         """Decode every view's boxes in ONE dispatch after
@@ -194,7 +191,7 @@ class SamPredictor:
         executable). Returns a list of V (masks bool (N_v, M, H, W),
         iou (N_v, M)) pairs — the per-view contract of
         :meth:`predict_boxes`."""
-        if getattr(self, "_image_embs", None) is None:
+        if self._image_embs is None:
             raise RuntimeError("call set_images first")
         V = self._image_embs.shape[0]
         if len(boxes_per_view) != V:
@@ -244,7 +241,7 @@ class SamPredictor:
     def predict_boxes(self, boxes_xyxy: np.ndarray, multimask_output=True):
         """boxes in original-image pixels -> (masks bool (N, M, H, W),
         iou (N, M))."""
-        if self._pixels is None:
+        if self._image_emb is None:
             raise RuntimeError("call set_image first")
         H, W = self._orig_hw
         rh, rw = self._resized_hw
@@ -273,7 +270,7 @@ class SamPredictor:
         ``mask_input`` (N, s, s): one low-res logit map per prompt from a
         previous call's third return — add clicks and feed it back to
         refine iteratively."""
-        if self._pixels is None:
+        if self._image_emb is None:
             raise RuntimeError("call set_image first")
         H, W = self._orig_hw
         rh, rw = self._resized_hw

@@ -125,6 +125,20 @@ def shard_leading(mesh, x, axis: str = "dp"):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def shard_leading_checked(mesh, x, axis: str = "dp", what: str = "views"):
+    """:func:`shard_leading` with the divisibility check every
+    ``shard_views`` implementation needs (Dinov2Backbone, XMemCore,
+    GroundingDinoDetector, SamPredictor): the leading axis must split
+    evenly over the mesh axis, and the error says so in workload terms."""
+    n = np.shape(x)[0]
+    if n % mesh.shape[axis]:
+        raise ValueError(
+            f"{what} count {n} not divisible by mesh axis {axis!r} of "
+            f"size {mesh.shape[axis]}"
+        )
+    return shard_leading(mesh, x, axis)
+
+
 def replicate(mesh, tree):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P

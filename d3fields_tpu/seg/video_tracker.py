@@ -39,6 +39,42 @@ def _resize_min_side(hw: Tuple[int, int], size: int) -> Tuple[int, int]:
     return int(size * H / W), size
 
 
+def prep_frames(images, resized_hw: Tuple[int, int], pad_spec) -> jnp.ndarray:
+    """(V, H, W, 3) uint8 RGB (host or device) -> ImageNet-normalized,
+    min-side-resized, /16-padded frames. Traceable: the ONE implementation
+    of the XMem input pipeline, shared by :class:`VideoMaskTracker` and
+    the fused serving step (``serving._fused_frame_body``) so the two can
+    never drift.
+
+    torchvision 0.16 tensor Resize is NON-antialiased bilinear
+    (F.interpolate antialias=False); jax.image.resize would antialias
+    downscales and blur the encoder inputs relative to the reference."""
+    arr = jnp.asarray(images)
+    imgs = arr.astype(jnp.float32)
+    if jnp.issubdtype(arr.dtype, jnp.integer):  # uint8 frames -> [0, 1]
+        imgs = imgs / 255.0
+    imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    if imgs.shape[1:3] != tuple(resized_hw):
+        imgs = bilinear_resize_exact(imgs, tuple(resized_hw))
+    if any(pad_spec):
+        lh, uh, lw, uw = pad_spec
+        imgs = jnp.pad(imgs, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+    return imgs
+
+
+def upsample_probs(prob, pad_spec, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(V, O+1, ph, pw) padded-grid probabilities -> (V, O+1, H, W) at the
+    original resolution (unpad + bilinear upsample). Traceable; shared by
+    :meth:`VideoMaskTracker.process` and the fused serving step."""
+    prob_u = unpad(prob, pad_spec, hw_axes=(2, 3))
+    V, O1 = prob_u.shape[:2]
+    if prob_u.shape[2:] == tuple(out_hw):
+        return prob_u
+    flat = prob_u.reshape((V * O1,) + prob_u.shape[2:])[..., None]
+    return bilinear_resize(flat, tuple(out_hw))[..., 0].reshape(
+        (V, O1) + tuple(out_hw))
+
+
 class VideoMaskTracker:
     """Propagates instance masks through a multi-camera video.
 
@@ -77,14 +113,7 @@ class VideoMaskTracker:
         self.last_prob = None
 
     def _prep_images(self, rgb: np.ndarray) -> jnp.ndarray:
-        imgs = jnp.asarray(rgb, jnp.float32) / 255.0
-        imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        # torchvision 0.16 tensor Resize is NON-antialiased bilinear
-        # (F.interpolate antialias=False); jax.image.resize would antialias
-        # downscales and blur the encoder inputs relative to the reference
-        imgs = bilinear_resize_exact(imgs, self.resized_hw)
-        imgs, _ = pad_divide_by(imgs, 16)
-        return imgs
+        return prep_frames(np.asarray(rgb), self.resized_hw, self.pad_spec)
 
     def _prep_masks(self, mask: np.ndarray) -> jnp.ndarray:
         """(V, H, W) index mask -> (V, O, rh, rw) one-hot at the resized/
@@ -131,11 +160,8 @@ class VideoMaskTracker:
                 "only; reference fusion.py:1240-1241 raises too)"
             )
         # unpad, upsample probs to full res, argmax -> one-hot
-        prob = unpad(prob, self.pad_spec, hw_axes=(2, 3))  # (V, O+1, rh, rw)
         V, O1 = prob.shape[:2]
-        H, W = self.image_hw
-        flat = prob.reshape(V * O1, *prob.shape[2:])[..., None]
-        up = bilinear_resize(flat, (H, W))[..., 0].reshape(V, O1, H, W)
+        up = upsample_probs(prob, self.pad_spec, self.image_hw)
         # soft per-object probabilities at full resolution, kept on-device
         # (the reference InferenceCore.step return; consumed by
         # eval_xmem --save_scores)

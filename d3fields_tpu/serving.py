@@ -255,38 +255,21 @@ def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
     import jax.numpy as jnp
 
     from d3fields_tpu.fields.state import FieldState
-    from d3fields_tpu.models.common import IMAGENET_MEAN, IMAGENET_STD
     from d3fields_tpu.models.dinov2 import _extract_patch_features
-    from d3fields_tpu.models.resize import bilinear_resize
-    from d3fields_tpu.models.resize import bilinear_resize_exact
-    from d3fields_tpu.models.xmem.blocks import unpad
     from d3fields_tpu.models.xmem.core import propagate_step_views
+    from d3fields_tpu.seg.video_tracker import prep_frames, upsample_probs
     from d3fields_tpu.track.rigid import rigid_tracking_jit
 
     feats = _extract_patch_features.__wrapped__(
         dv2_params, images_u8, pos_embed, dv2_resize_hw, dv2_heads,
         dv2_dtype)
 
-    # VideoMaskTracker._prep_images, on device
-    imf = images_u8.astype(jnp.float32) / 255.0
-    imf = (imf - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-    if imf.shape[1:3] != x_resized_hw:
-        imf = bilinear_resize_exact(imf, x_resized_hw)
-    if any(x_pad):
-        lh, uh, lw, uw = x_pad
-        imf = jnp.pad(imf, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+    # the SAME pre/post pipeline VideoMaskTracker runs (shared helpers:
+    # the two code paths cannot drift)
+    imf = prep_frames(images_u8, x_resized_hw, x_pad)
     prob, mem = propagate_step_views.__wrapped__(
         xparams, mem, imf, is_mem_frame, x_dtype, x_sync, None)
-
-    # VideoMaskTracker.process postprocess: unpad + upsample to full res
-    prob_u = unpad(prob, x_pad, hw_axes=(2, 3))
-    V, O1 = prob_u.shape[:2]
-    if prob_u.shape[2:] != out_hw:
-        flat = prob_u.reshape((V * O1,) + prob_u.shape[2:])[..., None]
-        up = bilinear_resize(flat, out_hw)[..., 0].reshape(
-            (V, O1) + out_hw)
-    else:
-        up = prob_u
+    up = upsample_probs(prob, x_pad, out_hw)
     mask = jnp.transpose(up[:, 1:], (0, 2, 3, 1))  # (V, H, W, O)
 
     st = FieldState(depth=depth, pose=pose, K=K,
@@ -380,6 +363,24 @@ class FusedFrameStep:
                  bounds_hi, tracking_cfg, patch_hw=None):
         import jax.numpy as jnp
 
+        # The fused executable resizes DINOv2 inputs on device; a backbone
+        # configured for the bit-exact host PIL resampler would silently
+        # produce different features here than in the unfused stack.
+        if getattr(backbone, "resize_mode", "device") != "device":
+            raise ValueError(
+                "FusedFrameStep needs Dinov2Backbone(resize_mode='device') "
+                "— the whole frame runs inside one jit, so the host PIL "
+                "resampler ('pil', the torch-bit-exact default) cannot "
+                "run; the device resampler is within the documented 1e-3 "
+                "descriptor-cosine budget (models/dinov2.py)"
+            )
+        if not tracker.core.deep_update_sync:
+            raise NotImplementedError(
+                "FusedFrameStep supports the synchronized deep-update "
+                "schedule only (XMemConfig.deep_update_every < 0, the "
+                "d3fields configuration, reference fusion.py:272); use "
+                "the unfused VideoMaskTracker loop for explicit schedules"
+            )
         self.bb = backbone
         self.tracker = tracker
         self.depth = jnp.asarray(depth)
