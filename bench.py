@@ -787,12 +787,19 @@ def main(argv=None):
                           n_pts=65536 if fallback else 262144)
     ref_pps, ref_reps = bench_torch_reference(depth, pose, K, feats, mask)
     if args.all:
-        from d3fields_tpu.utils.profiling import measured_matmul_peak_tflops
+        from d3fields_tpu.utils.profiling import (
+            measured_dispatch_floor_ms, measured_matmul_peak_tflops,
+        )
 
         # MFU denominator for every row: the dense-matmul peak this chip
         # DELIVERS through this allocation/tunnel, not the datasheet
         peak = measured_matmul_peak_tflops()
-        print(f"[bench] measured bf16 matmul peak: {peak:.1f} TFLOP/s",
+        # the latency floor under every per-frame row: one dispatch +
+        # scalar-fetch round trip (~30 ms through the remote tunnel) —
+        # a k-dispatch stage near k x this is dispatch-bound by evidence
+        floor = measured_dispatch_floor_ms()
+        print(f"[bench] measured bf16 matmul peak: {peak:.1f} TFLOP/s; "
+              f"dispatch+fetch round-trip floor: {floor:.1f} ms",
               file=sys.stderr)
         bench_xmem(peak=peak)
         bench_dinov2(peak=peak)

@@ -310,7 +310,7 @@ def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
                      "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
     donate_argnames=("mem",),
 )
-def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depth,
+def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depths,
                    pose, K, src_feats, last_pts, lo, hi, is_mem_frames, *,
                    dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
                    x_resized_hw, x_pad, out_hw, tcfg):
@@ -318,9 +318,9 @@ def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depth,
     ``lax.scan`` of :func:`_fused_frame_body` over the time axis, carrying
     the XMem memory and the tracked points (frame t's ``match_pts`` seed
     frame t+1, exactly like the host loop in ``vis_tracking.py:130-138``).
-    frames_u8 (T, V, H, W, 3); is_mem_frames (T,) bool — the XMem memory
-    schedule, precomputed on the host. Returns (stacked per-frame outputs,
-    final memory).
+    frames_u8 (T, V, H, W, 3); depths (T, V, H, W) per-frame RGB-D maps;
+    is_mem_frames (T,) bool — the XMem memory schedule, precomputed on the
+    host. Returns (stacked per-frame outputs, final memory).
 
     This amortizes the per-dispatch tunnel round trip (~30 ms) over T
     frames — the offline/recorded-video mode the reference's per-frame
@@ -329,7 +329,7 @@ def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depth,
 
     def body(carry, inp):
         mem, last = carry
-        images_u8, is_mem = inp
+        images_u8, depth, is_mem = inp
         out, mem = _fused_frame_body(
             dv2_params, pos_embed, xparams, mem, images_u8, depth, pose,
             K, src_feats, last, lo, hi, is_mem, dv2_resize_hw, dv2_heads,
@@ -337,7 +337,7 @@ def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depth,
         return (mem, out["match_pts"]), out
 
     (mem, _), outs = jax.lax.scan(body, (mem, last_pts),
-                                  (frames_u8, is_mem_frames))
+                                  (frames_u8, depths, is_mem_frames))
     return outs, mem
 
 
@@ -361,6 +361,10 @@ class FusedFrameStep:
 
     def __init__(self, backbone, tracker, depth, pose, K, bounds_lo,
                  bounds_hi, tracking_cfg, patch_hw=None):
+        """``pose``/``K`` are the fixed calibrated rig (the d3fields
+        setup, reference ``fusion.py:240-260``); ``depth`` is the DEFAULT
+        depth map — RGB-D serving passes each frame's depth to
+        :meth:`step`/:meth:`step_segment` instead."""
         import jax.numpy as jnp
 
         # The fused executable resizes DINOv2 inputs on device; a backbone
@@ -391,8 +395,10 @@ class FusedFrameStep:
         self.tcfg = tracking_cfg
         self.patch_hw = patch_hw
 
-    def step(self, images_u8, src_feats, last_pts):
-        """images_u8 (V, H, W, 3); src_feats (I*P, D); last_pts (I, P, 3).
+    def step(self, images_u8, src_feats, last_pts, depth=None):
+        """images_u8 (V, H, W, 3); src_feats (I*P, D); last_pts (I, P, 3);
+        ``depth`` (V, H, W) — THIS frame's depth maps (RGB-D serving;
+        defaults to the init-time depth for static-scene benches).
         Returns the fused output dict (device arrays, no host sync)."""
         import jax.numpy as jnp
 
@@ -406,7 +412,8 @@ class FusedFrameStep:
         P = self.bb.cfg.patch_size
         out, core.mem = _fused_frame(
             self.bb.params, self.bb.interpolated_pos_embed(ph, pw),
-            core.params, core.mem, jnp.asarray(images_u8), self.depth,
+            core.params, core.mem, jnp.asarray(images_u8),
+            self.depth if depth is None else jnp.asarray(depth),
             self.pose, self.K, src_feats, last_pts, self.lo, self.hi,
             jnp.asarray(is_mem),
             dv2_resize_hw=(ph * P, pw * P), dv2_heads=self.bb.cfg.num_heads,
@@ -419,15 +426,16 @@ class FusedFrameStep:
             core.last_mem_ti = core.curr_ti
         return out
 
-    def step_segment(self, frames_u8, src_feats, last_pts):
+    def step_segment(self, frames_u8, src_feats, last_pts, depths=None):
         """A whole SEGMENT of T frames in ONE dispatched executable
         (``lax.scan`` over the time axis; frame t's tracked points seed
         frame t+1, exactly like chaining :meth:`step` by hand).
-        frames_u8 (T, V, H, W, 3). Returns the per-frame outputs stacked
-        on a leading T axis (device arrays, no host sync). Amortizes the
-        per-dispatch tunnel round trip over T frames — the offline /
-        recorded-video mode (``apps/vis_tracking.py`` equivalents over a
-        prefetched clip)."""
+        frames_u8 (T, V, H, W, 3); ``depths`` (T, V, H, W) per-frame RGB-D
+        maps (defaults to the init-time static depth broadcast over T).
+        Returns the per-frame outputs stacked on a leading T axis (device
+        arrays, no host sync). Amortizes the per-dispatch tunnel round
+        trip over T frames — the offline / recorded-video mode
+        (``apps/vis_tracking.py`` equivalents over a prefetched clip)."""
         import jax.numpy as jnp
 
         core = self.tracker.core
@@ -445,9 +453,12 @@ class FusedFrameStep:
                 core.last_mem_ti = core.curr_ti
         ph, pw = self.patch_hw or (H // 10, W // 10)
         P = self.bb.cfg.patch_size
+        if depths is None:
+            depths = jnp.broadcast_to(self.depth, (T,) + self.depth.shape)
         outs, core.mem = _fused_segment(
             self.bb.params, self.bb.interpolated_pos_embed(ph, pw),
-            core.params, core.mem, jnp.asarray(frames_u8), self.depth,
+            core.params, core.mem, jnp.asarray(frames_u8),
+            jnp.asarray(depths),
             self.pose, self.K, src_feats, last_pts, self.lo, self.hi,
             jnp.asarray(np.asarray(flags)),
             dv2_resize_hw=(ph * P, pw * P), dv2_heads=self.bb.cfg.num_heads,

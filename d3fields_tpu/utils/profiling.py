@@ -100,6 +100,31 @@ def measured_matmul_peak_tflops(dtype="bfloat16", n=8192, chain=8,
     return 2.0 * chain * n**3 / best / 1e12
 
 
+def measured_dispatch_floor_ms(reps: int = 10) -> float:
+    """Measured cost of ONE dispatch + scalar fetch round trip on the
+    current default backend (a trivial jitted add on 8 floats, min of
+    ``reps``). On a remote-tunnel TPU this is ~30 ms — the latency floor
+    under every per-frame/per-stage latency row; a stage whose wall-clock
+    sits near k x this floor for k dispatches is dispatch-bound, not
+    compute-bound (the quantitative basis for those claims in bench/README
+    rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def triv(x):
+        return x + 1.0
+
+    x = jnp.zeros((8,), jnp.float32)
+    float(triv(x)[0])  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(triv(x)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
 def xla_flops(jitted, *args, **kwargs):
     """FLOPs XLA counts for one call of a jitted function, or None when the
     backend exposes no cost analysis. Pair with a measured wall-clock and

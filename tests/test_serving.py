@@ -342,3 +342,31 @@ def test_fused_segment_matches_per_frame_steps():
             np.testing.assert_allclose(
                 np.asarray(outs[key][i]), ref[i][key], atol=tol,
                 err_msg=f"frame {i} {key}")
+
+
+def test_fused_step_per_frame_depth_plumbs_through():
+    """RGB-D serving passes each frame's depth into the fused executable;
+    a different depth map must change the field (and hence the tracked
+    points) while the XMem mask path is unaffected."""
+    import jax.numpy as jnp
+
+    from d3fields_tpu.serving import FusedFrameStep
+
+    p = _tiny_pipeline()
+    src = jnp.asarray(
+        np.random.RandomState(7).randn(16, 64).astype(np.float32))
+    kp = jnp.asarray(p["kp"])
+
+    outs = []
+    for depth_override in (None, p["depth"] * 0.8):
+        tr = p["make_tracker"]()
+        tr.process(p["frames"][0], p["mask0"])
+        fused = FusedFrameStep(p["bb"], tr, p["depth"], p["pose"], p["K"],
+                               p["lo"], p["hi"], p["tcfg"])
+        outs.append(fused.step(p["frames"][1], src, kp,
+                               depth=depth_override))
+    # depth feeds only the field: masks identical, tracking moved
+    np.testing.assert_allclose(np.asarray(outs[0]["mask"]),
+                               np.asarray(outs[1]["mask"]), atol=1e-6)
+    assert np.abs(np.asarray(outs[0]["match_pts"])
+                  - np.asarray(outs[1]["match_pts"])).max() > 1e-4
