@@ -49,6 +49,16 @@ def build_parser():
                         "writes (serving.AsyncFrameLoop). 0 = the "
                         "reference's synchronous loop; outputs are "
                         "identical either way")
+    p.add_argument("--fused", action="store_true",
+                   help="after the first (seed) frame, run each frame as "
+                        "ONE dispatched executable (serving.FusedFrameStep"
+                        ": DINOv2 + XMem propagation + field + tracking) "
+                        "instead of the staged Fusion calls — measured "
+                        "~2x/frame on a remote-tunnel TPU (bench_all.log)."
+                        " Requires the XMem video tracker (D3F_XMEM_CKPT "
+                        "on the real-data path) and a device-resize "
+                        "feature backbone; combine with --pipeline_depth "
+                        "2 to keep frames in flight")
     return p
 
 
@@ -125,10 +135,18 @@ def main(argv=None):
         feature_of = lambda obs: None
         refresh_masks = lambda obs: None
 
+    if args.fused and args.synthetic:
+        raise SystemExit(
+            "--fused requires the XMem video tracker (real-data path with "
+            "D3F_XMEM_CKPT); the synthetic demo serves analytic per-frame "
+            "masks with no tracker to fuse"
+        )
+
     tracker = None
     track_info = {}
     cfg = TrackingConfig(iters=args.iters)
     src_feats_dev = lo = hi = last_match = None
+    fused = None
 
     def consume(frame_ctx, out):
         # host side of the pipeline: video frame + per-frame pickles
@@ -154,6 +172,17 @@ def main(argv=None):
         t0 = time.perf_counter()
         scene = get_frame(t)
         obs = {k: scene[k] for k in ("color", "depth", "pose", "K")}
+        if fused is not None:
+            # single-dispatch frame: DINOv2 + XMem propagation + field +
+            # tracking as ONE executable (serving.FusedFrameStep); no
+            # host sync — the AsyncFrameLoop consumer does the only fetch
+            out = fused.step(np.asarray(obs["color"]), src_feats_dev,
+                             last_match, depth=obs["depth"])
+            last_match = out["match_pts"]
+            loop.submit((t, obs["color"], t0),
+                        {"match_pts": last_match,
+                         "loss_history": out["loss_history"]})
+            continue
         feats = feature_of(scene)
         if feats is not None:
             obs["dino_feats"] = feats
@@ -191,6 +220,27 @@ def main(argv=None):
         loop.submit((t, obs["color"], t0),
                     {"match_pts": last_match,
                      "loss_history": res["loss_history"]})
+
+        if args.fused and t == 0:
+            # seed frame done through the staged path (detection seeds the
+            # tracker); every later frame runs the fused executable
+            from d3fields_tpu.models.dinov2 import Dinov2Backbone
+            from d3fields_tpu.serving import FusedFrameStep
+
+            if fusion.video_tracker is None:
+                raise SystemExit(
+                    "--fused needs the XMem video tracker — set "
+                    "D3F_XMEM_CKPT so frames propagate instead of "
+                    "re-detecting per frame"
+                )
+            fb = feature_backend
+            if getattr(fb, "resize_mode", None) != "device":
+                # the fused jit resizes on device; rebuild the wrapper on
+                # the SAME params (no re-upload, they are device arrays)
+                fb = Dinov2Backbone(fb.params, fb.cfg, fb.compute_dtype,
+                                    fb.pos_interpolate, "device")
+            fused = FusedFrameStep(fb, fusion.video_tracker, obs["depth"],
+                                   obs["pose"], obs["K"], lo, hi, cfg)
 
     loop.flush()
     tracker.close()

@@ -808,3 +808,86 @@ def test_interactive_scripted(tmp_path):
         "--key_dim", "8", "--value_dim", "16", "--hidden_dim", "8",
     ]) == 0
     assert sorted(os.listdir(mdir)) == outs
+
+
+@pytest.mark.slow
+def test_vis_tracking_fused_real_branch(tmp_path, monkeypatch):
+    """--fused drives serving.FusedFrameStep through the app's real-data
+    branch end-to-end (tiny DINOv2 backbone + analytic mask backend +
+    tiny-XMem video tracker monkeypatched through the public seams):
+    frame 0 seeds via the staged path, every later frame runs as ONE
+    fused dispatch, and the backbone is rebuilt to device-resize mode."""
+    import jax
+
+    import d3fields_tpu.apps._backends as B
+    import d3fields_tpu.serving as serving
+    import d3fields_tpu.utils.io as io_mod
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models import dinov2 as dv2
+    from d3fields_tpu.models.xmem import network as xnet
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.utils.synthetic import (
+        render_sphere_scene, sphere_mask_backend,
+    )
+
+    labels = ["ball", "cube"]
+
+    def scene_at(t):
+        offs = np.array([[0.008 * t, 0.004 * t, 0.0],
+                         [-0.005 * t, 0.006 * t, 0.0]])
+        return render_sphere_scene(num_views=2, H=48, W=64, feat_dim=8,
+                                   sphere_offsets=offs)
+
+    dcfg = dv2.Dinov2Config.tiny_test()
+    fb = dv2.Dinov2Backbone(dv2.init_params(jax.random.PRNGKey(0), dcfg),
+                            dcfg)  # 'pil' mode: exercises the rebuild
+    mask_backend = sphere_mask_backend(scene_at(0), labels)
+    monkeypatch.setattr(B, "build_real_backends",
+                        lambda: (fb, mask_backend))
+
+    xcfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=64,
+                      mem_every=2, max_mid_term_frames=3,
+                      min_mid_term_frames=1, num_prototypes=4,
+                      max_long_term_elements=64, size=-1)
+    xparams = xnet.init_params(jax.random.PRNGKey(1), xcfg)
+
+    def factory_builder():
+        def factory(num_views, num_objects, image_hw):
+            return VideoMaskTracker(xparams, xcfg, num_views=num_views,
+                                    num_objects=num_objects,
+                                    image_hw=image_hw, size=-1)
+        return factory
+
+    monkeypatch.setattr(B, "build_video_tracker_factory", factory_builder)
+    monkeypatch.setattr(io_mod, "load_frame",
+                        lambda path, t, num_cam: scene_at(t))
+    monkeypatch.setattr(io_mod, "num_frames", lambda path, cam=0: 3)
+
+    fused_calls = []
+    orig_step = serving.FusedFrameStep.step
+
+    def counting_step(self, *a, **k):
+        fused_calls.append(1)
+        return orig_step(self, *a, **k)
+
+    monkeypatch.setattr(serving.FusedFrameStep, "step", counting_step)
+
+    from d3fields_tpu.apps.vis_tracking import main
+
+    out = str(tmp_path / "fusedtrack")
+    assert main([
+        "--data_path", "unused", "--query_texts", *labels,
+        "--query_thresholds", "0.5", "0.5", "--num_cam", "2",
+        "--frames", "3", "--num_kypts", "8", "--iters", "10",
+        "--fused", "--pipeline_depth", "2", "--out", out,
+        "--x_lower", "-0.3", "--x_upper", "0.6",
+        "--y_lower", "-0.4", "--y_upper", "0.4",
+        "--z_lower", "0.001", "--z_upper", "0.4",
+        "--kypts_z_lower", "0.001", "--kypts_z_upper", "0.4",
+    ]) == 0
+    assert len(fused_calls) == 2  # frames 1 and 2 ran the fused executable
+    for t in range(3):
+        with open(os.path.join(out, f"match_pts_{t:06d}.pkl"), "rb") as f:
+            pts = pickle.load(f)
+        assert all(np.isfinite(p).all() for p in pts)
+        assert os.path.exists(os.path.join(out, f"loss_hist_{t:06d}.pkl"))
