@@ -108,8 +108,17 @@ def rigid_tracking_jit(
         # after iters-1 updates (fusion.py:1643-1665)
         return (new_params, opt_state), (losses, aux["match_pts"], params)
 
+    # unroll=4 on TPU: the optimizer steps are tiny (a ~100-point field
+    # eval + Adam update each); unrolling amortizes the per-iteration scan
+    # overhead — measured 36.6 -> 30.0 ms for the 100-iter bench dispatch
+    # with BITWISE-identical trajectories on the chip. On CPU the unrolled
+    # body fuses differently (reduction reassociation) and 100 compounded
+    # Adam steps drift ~4e-3 — enough to move the pinned goldens — so the
+    # CPU trace keeps the rolled loop (trace-time constant: one jit cache
+    # entry per backend either way).
+    unroll = 4 if jax.default_backend() == "tpu" else 1
     (params, _), (loss_hist, match_hist, params_hist) = jax.lax.scan(
-        step, (params, opt_state), None, length=cfg.iters
+        step, (params, opt_state), None, length=cfg.iters, unroll=unroll
     )
     last_params = jax.tree.map(lambda x: x[-1], params_hist)
     return {
