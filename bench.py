@@ -535,7 +535,7 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
     from d3fields_tpu.models import dinov2 as dv2
     from d3fields_tpu.models.xmem import core as C
     from d3fields_tpu.models.xmem import network as N
-    from d3fields_tpu.track.rigid import rigid_tracking_jit
+    from d3fields_tpu.track.rigid import _tracking_scan_jit, rigid_tracking_jit
 
     rs = np.random.RandomState(0)
     depth, pose, K, _, _ = _scene(num_views, H, W)
@@ -599,7 +599,7 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
         xla_flops(C.propagate_step_views, xcore.params, xcore.mem, imgs_f,
                   jnp.asarray(True), xcfg.compute_dtype,
                   xcore.deep_update_sync, None),
-        xla_flops(rigid_tracking_jit, st0, src, kp, lo, hi, tcfg),
+        xla_flops(_tracking_scan_jit, st0, src, kp, lo, hi, tcfg, 4),
     ]
     fl = sum(fls) if all(fls) else None
     print(f"[bench] pipeline frame ({num_views} cams @ {H}x{W}: dinov2 + "

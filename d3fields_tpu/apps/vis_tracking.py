@@ -239,8 +239,12 @@ def main(argv=None):
                 # the SAME params (no re-upload, they are device arrays)
                 fb = Dinov2Backbone(fb.params, fb.cfg, fb.compute_dtype,
                                     fb.pos_interpolate, "device")
+            # obs color is BGR (cv2 convention): DINOv2 consumes it
+            # as-is (matching Fusion.update) but the tracker was seeded
+            # with RGB — flip inside the XMem branch of the executable
             fused = FusedFrameStep(fb, fusion.video_tracker, obs["depth"],
-                                   obs["pose"], obs["K"], lo, hi, cfg)
+                                   obs["pose"], obs["K"], lo, hi, cfg,
+                                   xmem_bgr_to_rgb=True)
 
     loop.flush()
     tracker.close()

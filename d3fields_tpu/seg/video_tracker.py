@@ -160,7 +160,7 @@ class VideoMaskTracker:
                 "only; reference fusion.py:1240-1241 raises too)"
             )
         # unpad, upsample probs to full res, argmax -> one-hot
-        V, O1 = prob.shape[:2]
+        O1 = prob.shape[1]
         up = upsample_probs(prob, self.pad_spec, self.image_hw)
         # soft per-object probabilities at full resolution, kept on-device
         # (the reference InferenceCore.step return; consumed by

@@ -237,7 +237,7 @@ def prefetch_to_device(
 def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
                       pose, K, src_feats, last_pts, lo, hi, is_mem_frame,
                       dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                      x_resized_hw, x_pad, out_hw, tcfg):
+                      x_resized_hw, x_pad, x_flip, out_hw, tcfg):
     """The whole per-frame tracking stack as one traceable body: DINOv2
     extraction + XMem propagation (with the VideoMaskTracker pre/post
     resize-pad pipeline) + field assembly + the full rigid-tracking Adam
@@ -258,15 +258,20 @@ def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
     from d3fields_tpu.models.dinov2 import _extract_patch_features
     from d3fields_tpu.models.xmem.core import propagate_step_views
     from d3fields_tpu.seg.video_tracker import prep_frames, upsample_probs
-    from d3fields_tpu.track.rigid import rigid_tracking_jit
+    from d3fields_tpu.track.rigid import _tracking_scan
 
     feats = _extract_patch_features.__wrapped__(
         dv2_params, images_u8, pos_embed, dv2_resize_hw, dv2_heads,
         dv2_dtype)
 
     # the SAME pre/post pipeline VideoMaskTracker runs (shared helpers:
-    # the two code paths cannot drift)
-    imf = prep_frames(images_u8, x_resized_hw, x_pad)
+    # the two code paths cannot drift). x_flip reverses the channel order
+    # for the XMem branch only: the app's obs color is BGR (reference cv2
+    # convention) and feeds DINOv2 as-is, but the tracker was seeded with
+    # RGB (Fusion flips before video_tracker.process, fusion.py:411) — the
+    # propagation queries must match the memory's channel order.
+    imf = prep_frames(images_u8[..., ::-1] if x_flip else images_u8,
+                      x_resized_hw, x_pad)
     prob, mem = propagate_step_views.__wrapped__(
         xparams, mem, imf, is_mem_frame, x_dtype, x_sync, None)
     up = upsample_probs(prob, x_pad, out_hw)
@@ -274,8 +279,10 @@ def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
 
     st = FieldState(depth=depth, pose=pose, K=K,
                     dino_feats=feats.astype(jnp.float32), mask=mask)
-    tr = rigid_tracking_jit.__wrapped__(st, src_feats, last_pts, lo, hi,
-                                        tcfg)
+    # unroll by the backend tracing this fused executable (its inputs are
+    # uncommitted, so it runs on the default backend by construction)
+    tr = _tracking_scan(st, src_feats, last_pts, lo, hi, tcfg,
+                        unroll=4 if jax.default_backend() == "tpu" else 1)
     out = {"match_pts": tr["match_pts"], "t": tr["t"],
            "log_r": tr["log_r"], "loss_history": tr["loss_history"],
            "mask": mask}
@@ -285,13 +292,14 @@ def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
 @functools.partial(
     jax.jit,
     static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
-                     "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
+                     "x_sync", "x_resized_hw", "x_pad", "x_flip", "out_hw",
+                     "tcfg"),
     donate_argnames=("mem",),
 )
 def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
                  pose, K, src_feats, last_pts, lo, hi, is_mem_frame, *,
                  dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                 x_resized_hw, x_pad, out_hw, tcfg):
+                 x_resized_hw, x_pad, x_flip, out_hw, tcfg):
     """One frame as ONE dispatched executable (see
     :func:`_fused_frame_body`). The unfused loop dispatches three
     executables plus a host sync per frame — each paying a tunnel round
@@ -301,19 +309,20 @@ def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
         dv2_params, pos_embed, xparams, mem, images_u8, depth, pose, K,
         src_feats, last_pts, lo, hi, is_mem_frame, dv2_resize_hw,
         dv2_heads, dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad,
-        out_hw, tcfg)
+        x_flip, out_hw, tcfg)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
-                     "x_sync", "x_resized_hw", "x_pad", "out_hw", "tcfg"),
+                     "x_sync", "x_resized_hw", "x_pad", "x_flip", "out_hw",
+                     "tcfg"),
     donate_argnames=("mem",),
 )
 def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depths,
                    pose, K, src_feats, last_pts, lo, hi, is_mem_frames, *,
                    dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                   x_resized_hw, x_pad, out_hw, tcfg):
+                   x_resized_hw, x_pad, x_flip, out_hw, tcfg):
     """A whole SEGMENT of T frames as ONE dispatched executable:
     ``lax.scan`` of :func:`_fused_frame_body` over the time axis, carrying
     the XMem memory and the tracked points (frame t's ``match_pts`` seed
@@ -333,7 +342,8 @@ def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depths,
         out, mem = _fused_frame_body(
             dv2_params, pos_embed, xparams, mem, images_u8, depth, pose,
             K, src_feats, last, lo, hi, is_mem, dv2_resize_hw, dv2_heads,
-            dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad, out_hw, tcfg)
+            dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad, x_flip,
+            out_hw, tcfg)
         return (mem, out["match_pts"]), out
 
     (mem, _), outs = jax.lax.scan(body, (mem, last_pts),
@@ -360,11 +370,18 @@ class FusedFrameStep:
     """
 
     def __init__(self, backbone, tracker, depth, pose, K, bounds_lo,
-                 bounds_hi, tracking_cfg, patch_hw=None):
+                 bounds_hi, tracking_cfg, patch_hw=None,
+                 xmem_bgr_to_rgb=False):
         """``pose``/``K`` are the fixed calibrated rig (the d3fields
         setup, reference ``fusion.py:240-260``); ``depth`` is the DEFAULT
         depth map — RGB-D serving passes each frame's depth to
-        :meth:`step`/:meth:`step_segment` instead."""
+        :meth:`step`/:meth:`step_segment` instead.
+
+        ``xmem_bgr_to_rgb=True`` when frames arrive BGR (the reference cv2
+        obs convention) while the tracker was seeded with RGB (Fusion
+        flips before ``video_tracker.process``, ``fusion.py:411``): the
+        XMem branch then flips channels inside the executable; DINOv2
+        always gets the frames as-is, matching ``Fusion.update``."""
         import jax.numpy as jnp
 
         # The fused executable resizes DINOv2 inputs on device; a backbone
@@ -394,6 +411,7 @@ class FusedFrameStep:
         self.hi = jnp.asarray(bounds_hi)
         self.tcfg = tracking_cfg
         self.patch_hw = patch_hw
+        self.xmem_bgr_to_rgb = bool(xmem_bgr_to_rgb)
 
     def step(self, images_u8, src_feats, last_pts, depth=None):
         """images_u8 (V, H, W, 3); src_feats (I*P, D); last_pts (I, P, 3);
@@ -420,7 +438,8 @@ class FusedFrameStep:
             dv2_dtype=self.bb.compute_dtype,
             x_dtype=core.cfg.compute_dtype, x_sync=core.deep_update_sync,
             x_resized_hw=self.tracker.resized_hw,
-            x_pad=self.tracker.pad_spec, out_hw=(H, W), tcfg=self.tcfg,
+            x_pad=self.tracker.pad_spec, x_flip=self.xmem_bgr_to_rgb,
+            out_hw=(H, W), tcfg=self.tcfg,
         )
         if is_mem:
             core.last_mem_ti = core.curr_ti
@@ -465,6 +484,7 @@ class FusedFrameStep:
             dv2_dtype=self.bb.compute_dtype,
             x_dtype=core.cfg.compute_dtype, x_sync=core.deep_update_sync,
             x_resized_hw=self.tracker.resized_hw,
-            x_pad=self.tracker.pad_spec, out_hw=(H, W), tcfg=self.tcfg,
+            x_pad=self.tracker.pad_spec, x_flip=self.xmem_bgr_to_rgb,
+            out_hw=(H, W), tcfg=self.tcfg,
         )
         return outs

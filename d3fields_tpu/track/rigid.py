@@ -75,15 +75,17 @@ def tracking_loss(
     return loss, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def rigid_tracking_jit(
+def _tracking_scan(
     state: FieldState,
     src_feats: Array,
     last_pts: Array,
     bounds_lo: Array,
     bounds_hi: Array,
     cfg: TrackingConfig,
+    unroll: int = 1,
 ) -> Dict[str, Array]:
+    """The optimization body (traceable; see :func:`rigid_tracking_jit`
+    for the public entry that picks ``unroll`` per execution device)."""
     num_inst = last_pts.shape[0]
     params = {
         "t": jnp.zeros((num_inst, 3), last_pts.dtype),
@@ -108,15 +110,6 @@ def rigid_tracking_jit(
         # after iters-1 updates (fusion.py:1643-1665)
         return (new_params, opt_state), (losses, aux["match_pts"], params)
 
-    # unroll=4 on TPU: the optimizer steps are tiny (a ~100-point field
-    # eval + Adam update each); unrolling amortizes the per-iteration scan
-    # overhead — measured 36.6 -> 30.0 ms for the 100-iter bench dispatch
-    # with BITWISE-identical trajectories on the chip. On CPU the unrolled
-    # body fuses differently (reduction reassociation) and 100 compounded
-    # Adam steps drift ~4e-3 — enough to move the pinned goldens — so the
-    # CPU trace keeps the rolled loop (trace-time constant: one jit cache
-    # entry per backend either way).
-    unroll = 4 if jax.default_backend() == "tpu" else 1
     (params, _), (loss_hist, match_hist, params_hist) = jax.lax.scan(
         step, (params, opt_state), None, length=cfg.iters, unroll=unroll
     )
@@ -127,6 +120,49 @@ def rigid_tracking_jit(
         "log_r": last_params["log_r"],
         "loss_history": loss_hist,  # (iters, 4): feat/dist/reg/oob
     }
+
+
+_tracking_scan_jit = jax.jit(_tracking_scan,
+                             static_argnames=("cfg", "unroll"))
+
+
+def _on_tpu(arr) -> bool:
+    """Does this (possibly committed) array execute on TPU? Falls back to
+    the process default backend for non-jax inputs."""
+    devs = getattr(arr, "devices", None)
+    if callable(devs):
+        try:
+            return any(d.platform == "tpu" for d in devs())
+        except Exception:
+            pass
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
+def rigid_tracking_jit(
+    state: FieldState,
+    src_feats: Array,
+    last_pts: Array,
+    bounds_lo: Array,
+    bounds_hi: Array,
+    cfg: TrackingConfig,
+) -> Dict[str, Array]:
+    """Public jitted entry. Picks ``unroll`` by the EXECUTION device of the
+    inputs (not the process default backend — on a TPU-default host a
+    CPU-committed golden check must not take the TPU codegen path):
+
+    - TPU: unroll=4 — the optimizer steps are tiny (a ~100-point field
+      eval + Adam update each); unrolling amortizes per-iteration scan
+      overhead (measured 36.6 -> 30.0 ms for the 100-iter bench dispatch,
+      BITWISE-identical trajectories on the chip);
+    - elsewhere: rolled loop — on CPU the unrolled body fuses differently
+      (reduction reassociation) and 100 compounded Adam steps drift ~4e-3,
+      enough to move the pinned goldens for no latency benefit.
+    """
+    return _tracking_scan_jit(state, src_feats, last_pts, bounds_lo,
+                              bounds_hi, cfg,
+                              4 if _on_tpu(state.depth) else 1)
 
 
 def boundary_vectors(boundaries) -> Tuple[Array, Array]:

@@ -370,3 +370,41 @@ def test_fused_step_per_frame_depth_plumbs_through():
                                np.asarray(outs[1]["mask"]), atol=1e-6)
     assert np.abs(np.asarray(outs[0]["match_pts"])
                   - np.asarray(outs[1]["match_pts"])).max() > 1e-4
+
+
+def test_fused_step_xmem_bgr_flip():
+    """xmem_bgr_to_rgb=True flips ONLY the XMem branch: its masks equal a
+    no-flip run fed pre-flipped frames, while DINOv2 (and hence the field/
+    tracking) sees the frames as-is — the app's BGR-obs convention
+    (Fusion flips before video_tracker.process, fusion.py:411, but feeds
+    DINOv2 the raw obs color, fusion.py:252-258)."""
+    import jax.numpy as jnp
+
+    from d3fields_tpu.serving import FusedFrameStep
+
+    p = _tiny_pipeline()
+    frames = p["frames"]
+    flipped = frames[..., ::-1].copy()
+    src = jnp.asarray(
+        np.random.RandomState(7).randn(16, 64).astype(np.float32))
+    kp = jnp.asarray(p["kp"])
+
+    # reference: no flip, tracker sees RGB frames end to end
+    tr_a = p["make_tracker"]()
+    tr_a.process(flipped[0], p["mask0"])
+    f_a = FusedFrameStep(p["bb"], tr_a, p["depth"], p["pose"], p["K"],
+                         p["lo"], p["hi"], p["tcfg"])
+    out_a = f_a.step(flipped[1], src, kp)
+
+    # BGR frames + in-executable flip on the XMem branch
+    tr_b = p["make_tracker"]()
+    tr_b.process(flipped[0], p["mask0"])  # seeded with RGB, like Fusion
+    f_b = FusedFrameStep(p["bb"], tr_b, p["depth"], p["pose"], p["K"],
+                         p["lo"], p["hi"], p["tcfg"], xmem_bgr_to_rgb=True)
+    out_b = f_b.step(frames[1], src, kp)
+
+    np.testing.assert_allclose(np.asarray(out_b["mask"]),
+                               np.asarray(out_a["mask"]), atol=1e-6)
+    # DINOv2 saw different channel orders -> the field differs
+    assert np.abs(np.asarray(out_b["match_pts"])
+                  - np.asarray(out_a["match_pts"])).max() > 1e-5
