@@ -786,6 +786,28 @@ def main(argv=None):
     parity = parity_check(depth, pose, K, feats, mask,
                           n_pts=65536 if fallback else 262144)
     ref_pps, ref_reps = bench_torch_reference(depth, pose, K, feats, mask)
+    import jax
+
+    # the record prints BEFORE the --all extras: a worker crash / tunnel
+    # outage during the (30+ min) extra rows must not lose the headline
+    # (stderr rows still follow; the stdout contract stays one JSON line)
+    print(json.dumps({
+        "metric": "batch_eval_pts_per_sec",
+        "value": round(tpu_pps, 1),
+        "unit": "pts/s",
+        "vs_baseline": round(tpu_pps / ref_pps, 2),
+        # machine-readable fallback markers: degraded=true means the TPU
+        # tunnel stayed down through every probe retry and this row is a
+        # CPU fallback, NOT a TPU measurement — it can never be mistaken
+        # for the record
+        "backend": jax.default_backend(),
+        "degraded": bool(fallback),
+        # the torch-CPU baseline's per-rep seconds (best-of kept): makes
+        # the vs_baseline ratio's host-load variance visible in the record
+        "baseline_reps_s": [round(t, 3) for t in ref_reps],
+        # numerics certificate for the timed path (parity_check above)
+        "parity": parity,
+    }), flush=True)
     if args.all:
         from d3fields_tpu.utils.profiling import (
             measured_dispatch_floor_ms, measured_matmul_peak_tflops,
@@ -806,25 +828,6 @@ def main(argv=None):
         bench_pipeline(peak=peak)
         bench_train()
         bench_grounded_sam(peak=peak)
-    import jax
-
-    print(json.dumps({
-        "metric": "batch_eval_pts_per_sec",
-        "value": round(tpu_pps, 1),
-        "unit": "pts/s",
-        "vs_baseline": round(tpu_pps / ref_pps, 2),
-        # machine-readable fallback markers: degraded=true means the TPU
-        # tunnel stayed down through every probe retry and this row is a
-        # CPU fallback, NOT a TPU measurement — it can never be mistaken
-        # for the record
-        "backend": jax.default_backend(),
-        "degraded": bool(fallback),
-        # the torch-CPU baseline's per-rep seconds (best-of kept): makes
-        # the vs_baseline ratio's host-load variance visible in the record
-        "baseline_reps_s": [round(t, 3) for t in ref_reps],
-        # numerics certificate for the timed path (parity_check above)
-        "parity": parity,
-    }))
 
 
 if __name__ == "__main__":
