@@ -53,12 +53,11 @@ def build_parser():
                    help="after the first (seed) frame, run each frame as "
                         "ONE dispatched executable (serving.FusedFrameStep"
                         ": DINOv2 + XMem propagation + field + tracking) "
-                        "instead of the staged Fusion calls — measured "
-                        "~2x/frame on a remote-tunnel TPU (bench_all.log)."
-                        " Requires the XMem video tracker (D3F_XMEM_CKPT "
-                        "on the real-data path) and a device-resize "
-                        "feature backbone; combine with --pipeline_depth "
-                        "2 to keep frames in flight")
+                        "instead of the staged Fusion calls — same math, "
+                        "one deployable artifact, all pre/post on device "
+                        "(~60 ms/frame with --pipeline_depth 2 on one "
+                        "v5e, bench_all.log). Requires the XMem video "
+                        "tracker (D3F_XMEM_CKPT on the real-data path)")
     return p
 
 
