@@ -592,14 +592,22 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
 
     ph, pw = H // 10, W // 10
     P = dcfg.patch_size
+    # XLA counts a lax.scan body ONCE (profiling.xla_flops caveat): scale
+    # the scan-dominated executables by their trip counts — the ViT layer
+    # scan (x num_layers; slightly overcounts the un-scanned patch-embed
+    # prologue) and the Adam scan (x iters/unroll). XMem's step is vmapped,
+    # not scanned: counted fully as-is.
+    fl_dv2 = xla_flops(dv2._extract_patch_features, bb.params,
+                       jnp.asarray(color),
+                       bb.interpolated_pos_embed(ph, pw), (ph * P, pw * P),
+                       dcfg.num_heads, "bfloat16")
+    fl_track = xla_flops(_tracking_scan_jit, st0, src, kp, lo, hi, tcfg, 4)
     fls = [
-        xla_flops(dv2._extract_patch_features, bb.params, jnp.asarray(color),
-                  bb.interpolated_pos_embed(ph, pw), (ph * P, pw * P),
-                  dcfg.num_heads, "bfloat16"),
+        fl_dv2 * dcfg.num_layers if fl_dv2 else None,
         xla_flops(C.propagate_step_views, xcore.params, xcore.mem, imgs_f,
                   jnp.asarray(True), xcfg.compute_dtype,
                   xcore.deep_update_sync, None),
-        xla_flops(_tracking_scan_jit, st0, src, kp, lo, hi, tcfg, 4),
+        fl_track * (tcfg.iters // 4) if fl_track else None,
     ]
     fl = sum(fls) if all(fls) else None
     print(f"[bench] pipeline frame ({num_views} cams @ {H}x{W}: dinov2 + "
@@ -607,9 +615,9 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
           f"({1.0/dt:.2f} FPS; reference XMem-only claim ~20 FPS, "
           f"XMem/README.md:34){_mfu_msg(fl, dt, peak)}", file=sys.stderr)
     if fl:
-        print(f"[bench]   pipeline FLOP split: dinov2 {fls[0]/1e9:.1f} G, "
-              f"xmem {fls[1]/1e9:.1f} G, tracking {fls[2]/1e9:.1f} G",
-              file=sys.stderr)
+        print(f"[bench]   pipeline FLOP split (scan trip counts applied): "
+              f"dinov2 ~{fls[0]/1e9:.0f} G, xmem {fls[1]/1e9:.1f} G, "
+              f"tracking ~{fls[2]/1e9:.1f} G", file=sys.stderr)
 
     # pipelined serving: defer the host fetch by one frame
     # (serving.AsyncFrameLoop) so frame t's result crosses the host
@@ -673,7 +681,8 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
             dv2_resize_hw=(ph2 * P2, pw2 * P2), dv2_heads=bb.cfg.num_heads,
             dv2_dtype=bb.compute_dtype, x_dtype=xcfg.compute_dtype,
             x_sync=core.deep_update_sync, x_resized_hw=tracker.resized_hw,
-            x_pad=tracker.pad_spec, out_hw=(H_, W_), tcfg=tcfg,
+            x_pad=tracker.pad_spec, x_flip=False, out_hw=(H_, W_),
+            tcfg=tcfg,
         )
     except Exception:
         pass

@@ -312,10 +312,6 @@ class SamPredictor:
         masks = self._postprocess_bool(low_res[:n])
         return (masks, np.asarray(iou)[:n], np.asarray(low_res)[:n])
 
-    def _postprocess(self, low_res):
-        return _postprocess_jit(low_res, self.cfg.image_size,
-                                self._resized_hw, self._orig_hw)
-
     def _postprocess_bool(self, low_res) -> np.ndarray:
         """(n, M, s, s) logits -> host (n, M, H, W) bool via the packed
         device fetch (32x fewer tunnel bytes than f32 masks)."""

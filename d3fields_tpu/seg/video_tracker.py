@@ -40,11 +40,16 @@ def _resize_min_side(hw: Tuple[int, int], size: int) -> Tuple[int, int]:
 
 
 def prep_frames(images, resized_hw: Tuple[int, int], pad_spec) -> jnp.ndarray:
-    """(V, H, W, 3) uint8 RGB (host or device) -> ImageNet-normalized,
-    min-side-resized, /16-padded frames. Traceable: the ONE implementation
-    of the XMem input pipeline, shared by :class:`VideoMaskTracker` and
-    the fused serving step (``serving._fused_frame_body``) so the two can
-    never drift.
+    """(V, H, W, 3) RGB frames (host or device) -> ImageNet-normalized,
+    min-side-resized, /16-padded. Traceable: the ONE implementation of the
+    XMem input pipeline, shared by :class:`VideoMaskTracker` and the fused
+    serving step (``serving._fused_frame_body``) so the two can never
+    drift.
+
+    Dtype contract: integer frames are 0..255 (divided by 255); FLOAT
+    frames must already be in [0, 1] — a float array in 0..255 would feed
+    ImageNet normalization values ~255x too large and produce garbage
+    masks with no error.
 
     torchvision 0.16 tensor Resize is NON-antialiased bilinear
     (F.interpolate antialias=False); jax.image.resize would antialias

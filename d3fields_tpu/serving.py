@@ -423,8 +423,11 @@ class FusedFrameStep:
         core = self.tracker.core
         if not self.tracker.first_mask_loaded:
             raise RuntimeError("seed the tracker first (process with mask)")
-        core.curr_ti += 1
-        is_mem = (core.curr_ti - core.last_mem_ti) >= core.cfg.mem_every
+        # counters advance only AFTER the dispatch call returns: a raise
+        # (bad shapes, first-compile OOM) must leave the schedule intact
+        # so the caller can retry (core.step semantics)
+        next_ti = core.curr_ti + 1
+        is_mem = (next_ti - core.last_mem_ti) >= core.cfg.mem_every
         V, H, W = images_u8.shape[:3]
         ph, pw = self.patch_hw or (H // 10, W // 10)
         P = self.bb.cfg.patch_size
@@ -441,6 +444,7 @@ class FusedFrameStep:
             x_pad=self.tracker.pad_spec, x_flip=self.xmem_bgr_to_rgb,
             out_hw=(H, W), tcfg=self.tcfg,
         )
+        core.curr_ti = next_ti
         if is_mem:
             core.last_mem_ti = core.curr_ti
         return out
@@ -461,15 +465,18 @@ class FusedFrameStep:
         if not self.tracker.first_mask_loaded:
             raise RuntimeError("seed the tracker first (process with mask)")
         T, V, H, W = frames_u8.shape[:4]
-        # precompute the XMem memory-frame schedule (host counters advance
-        # deterministically on propagate-only frames, core.step semantics)
+        # precompute the XMem memory-frame schedule (deterministic on
+        # propagate-only frames, core.step semantics) WITHOUT mutating the
+        # counters — they commit only after the dispatch call returns, so
+        # a raise leaves the tracker retryable
         flags = []
+        ti, last_mem = core.curr_ti, core.last_mem_ti
         for _ in range(T):
-            core.curr_ti += 1
-            is_mem = (core.curr_ti - core.last_mem_ti) >= core.cfg.mem_every
+            ti += 1
+            is_mem = (ti - last_mem) >= core.cfg.mem_every
             flags.append(is_mem)
             if is_mem:
-                core.last_mem_ti = core.curr_ti
+                last_mem = ti
         ph, pw = self.patch_hw or (H // 10, W // 10)
         P = self.bb.cfg.patch_size
         if depths is None:
@@ -487,4 +494,5 @@ class FusedFrameStep:
             x_pad=self.tracker.pad_spec, x_flip=self.xmem_bgr_to_rgb,
             out_hw=(H, W), tcfg=self.tcfg,
         )
+        core.curr_ti, core.last_mem_ti = ti, last_mem
         return outs
