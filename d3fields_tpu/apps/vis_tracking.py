@@ -49,6 +49,12 @@ def build_parser():
                         "writes (serving.AsyncFrameLoop). 0 = the "
                         "reference's synchronous loop; outputs are "
                         "identical either way")
+    p.add_argument("--segment", type=int, default=0,
+                   help="with --fused: batch N frames per dispatch "
+                        "(FusedFrameStep.step_segment — the whole clip "
+                        "chunk scans inside ONE executable, one dispatch "
+                        "+ one deferred fetch per chunk; short tails run "
+                        "per-frame). 0/1 = per-frame fused steps")
     p.add_argument("--fused", action="store_true",
                    help="after the first (seed) frame, run each frame as "
                         "ONE dispatched executable (serving.FusedFrameStep"
@@ -167,11 +173,36 @@ def main(argv=None):
               f"submit-to-consume, {sum(p.shape[0] for p in pts_list)} pts")
 
     loop = AsyncFrameLoop(consume, depth=args.pipeline_depth)
+    seg_buf = []
+
+    def _flush_segment():
+        # a full-size chunk scans inside ONE executable; a short tail
+        # would compile a second executable, so the caller routes tails
+        # through per-frame fused steps instead
+        nonlocal last_match
+        if not seg_buf:
+            return
+        clip = np.stack([np.asarray(o["color"]) for _, o, _ in seg_buf])
+        depths = np.stack([np.asarray(o["depth"]) for _, o, _ in seg_buf])
+        outs = fused.step_segment(clip, src_feats_dev, last_match,
+                                  depths=depths)
+        last_match = outs["match_pts"][-1]
+        for i, (ti, o, ti0) in enumerate(seg_buf):
+            loop.submit((ti, o["color"], ti0),
+                        {"match_pts": outs["match_pts"][i],
+                         "loss_history": outs["loss_history"][i]})
+        seg_buf.clear()
+
     for t in range(frames):
         t0 = time.perf_counter()
         scene = get_frame(t)
         obs = {k: scene[k] for k in ("color", "depth", "pose", "K")}
         if fused is not None:
+            if args.segment > 1:
+                seg_buf.append((t, obs, t0))
+                if len(seg_buf) == args.segment:
+                    _flush_segment()
+                continue
             # single-dispatch frame: DINOv2 + XMem propagation + field +
             # tracking as ONE executable (serving.FusedFrameStep); no
             # host sync — the AsyncFrameLoop consumer does the only fetch
@@ -245,6 +276,17 @@ def main(argv=None):
                                    obs["pose"], obs["K"], lo, hi, cfg,
                                    xmem_bgr_to_rgb=True)
 
+    if fused is not None and seg_buf:
+        # tail shorter than --segment: per-frame fused steps (no second
+        # segment executable for a one-off shape)
+        for ti, o, ti0 in seg_buf:
+            out = fused.step(np.asarray(o["color"]), src_feats_dev,
+                             last_match, depth=o["depth"])
+            last_match = out["match_pts"]
+            loop.submit((ti, o["color"], ti0),
+                        {"match_pts": last_match,
+                         "loss_history": out["loss_history"]})
+        seg_buf.clear()
     loop.flush()
     tracker.close()
     print(f"[vis_tracking] wrote {args.out}/tracking.mp4 + pickles")

@@ -891,3 +891,84 @@ def test_vis_tracking_fused_real_branch(tmp_path, monkeypatch):
             pts = pickle.load(f)
         assert all(np.isfinite(p).all() for p in pts)
         assert os.path.exists(os.path.join(out, f"loss_hist_{t:06d}.pkl"))
+
+
+@pytest.mark.slow
+def test_vis_tracking_fused_segment_mode(tmp_path, monkeypatch):
+    """--fused --segment 2: full chunks run FusedFrameStep.step_segment
+    (one executable per 2-frame chunk), the short tail runs per-frame
+    steps, and every frame's pickles land in order."""
+    import jax
+
+    import d3fields_tpu.apps._backends as B
+    import d3fields_tpu.serving as serving
+    import d3fields_tpu.utils.io as io_mod
+    from d3fields_tpu.config import XMemConfig
+    from d3fields_tpu.models import dinov2 as dv2
+    from d3fields_tpu.models.xmem import network as xnet
+    from d3fields_tpu.seg.video_tracker import VideoMaskTracker
+    from d3fields_tpu.utils.synthetic import (
+        render_sphere_scene, sphere_mask_backend,
+    )
+
+    labels = ["ball", "cube"]
+
+    def scene_at(t):
+        offs = np.array([[0.008 * t, 0.004 * t, 0.0],
+                         [-0.005 * t, 0.006 * t, 0.0]])
+        return render_sphere_scene(num_views=2, H=48, W=64, feat_dim=8,
+                                   sphere_offsets=offs)
+
+    dcfg = dv2.Dinov2Config.tiny_test()
+    fb = dv2.Dinov2Backbone(dv2.init_params(jax.random.PRNGKey(0), dcfg),
+                            dcfg)
+    monkeypatch.setattr(B, "build_real_backends",
+                        lambda: (fb, sphere_mask_backend(scene_at(0),
+                                                         labels)))
+    xcfg = XMemConfig(key_dim=8, value_dim=16, hidden_dim=8, top_k=64,
+                      mem_every=2, max_mid_term_frames=3,
+                      min_mid_term_frames=1, num_prototypes=4,
+                      max_long_term_elements=64, size=-1)
+    xparams = xnet.init_params(jax.random.PRNGKey(1), xcfg)
+    monkeypatch.setattr(
+        B, "build_video_tracker_factory",
+        lambda: (lambda num_views, num_objects, image_hw: VideoMaskTracker(
+            xparams, xcfg, num_views=num_views, num_objects=num_objects,
+            image_hw=image_hw, size=-1)))
+    monkeypatch.setattr(io_mod, "load_frame",
+                        lambda path, t, num_cam: scene_at(t))
+    monkeypatch.setattr(io_mod, "num_frames", lambda path, cam=0: 6)
+
+    seg_calls, step_calls = [], []
+    orig_seg = serving.FusedFrameStep.step_segment
+    orig_step = serving.FusedFrameStep.step
+    monkeypatch.setattr(
+        serving.FusedFrameStep, "step_segment",
+        lambda self, f, s, l, depths=None: (
+            seg_calls.append(f.shape[0]) or orig_seg(self, f, s, l,
+                                                     depths=depths)))
+    monkeypatch.setattr(
+        serving.FusedFrameStep, "step",
+        lambda self, *a, **k: (step_calls.append(1)
+                               or orig_step(self, *a, **k)))
+
+    from d3fields_tpu.apps.vis_tracking import main
+
+    out = str(tmp_path / "segtrack")
+    assert main([
+        "--data_path", "unused", "--query_texts", *labels,
+        "--query_thresholds", "0.5", "0.5", "--num_cam", "2",
+        "--frames", "6", "--num_kypts", "8", "--iters", "10",
+        "--fused", "--segment", "2", "--pipeline_depth", "2", "--out", out,
+        "--x_lower", "-0.3", "--x_upper", "0.6",
+        "--y_lower", "-0.4", "--y_upper", "0.4",
+        "--z_lower", "0.001", "--z_upper", "0.4",
+        "--kypts_z_lower", "0.001", "--kypts_z_upper", "0.4",
+    ]) == 0
+    # 6 frames: seed + 5 fused -> two 2-frame segments + one tail step
+    assert seg_calls == [2, 2]
+    assert len(step_calls) == 1
+    for t in range(6):
+        with open(os.path.join(out, f"match_pts_{t:06d}.pkl"), "rb") as f:
+            pts = pickle.load(f)
+        assert all(np.isfinite(p).all() for p in pts)
