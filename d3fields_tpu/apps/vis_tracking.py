@@ -146,6 +146,11 @@ def main(argv=None):
             "D3F_XMEM_CKPT); the synthetic demo serves analytic per-frame "
             "masks with no tracker to fuse"
         )
+    if args.segment > 1 and not args.fused:
+        raise SystemExit(
+            "--segment batches frames through FusedFrameStep.step_segment "
+            "and does nothing on the staged path — add --fused"
+        )
 
     tracker = None
     track_info = {}
@@ -274,7 +279,8 @@ def main(argv=None):
             # with RGB — flip inside the XMem branch of the executable
             fused = FusedFrameStep(fb, fusion.video_tracker, obs["depth"],
                                    obs["pose"], obs["K"], lo, hi, cfg,
-                                   xmem_bgr_to_rgb=True)
+                                   xmem_bgr_to_rgb=True,
+                                   mu=fusion.config.fusion.mu)
 
     if fused is not None and seg_buf:
         # tail shorter than --segment: per-frame fused steps (no second

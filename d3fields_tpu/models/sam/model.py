@@ -505,6 +505,8 @@ def sam_encode_images(params: Params, pixels: Array, cfg: SamConfig,
     independent)."""
     prec = "float32" if compute_dtype == "float32" else "default"
     V = pixels.shape[0]
+    if view_chunk < 1:
+        raise ValueError(f"view_chunk must be >= 1, got {view_chunk}")
     with jax.default_matmul_precision(prec):
         if view_chunk >= V:
             return vision_encoder(params["vision"], pixels, cfg,

@@ -237,7 +237,7 @@ def prefetch_to_device(
 def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
                       pose, K, src_feats, last_pts, lo, hi, is_mem_frame,
                       dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                      x_resized_hw, x_pad, x_flip, out_hw, tcfg):
+                      x_resized_hw, x_pad, x_flip, out_hw, tcfg, mu):
     """The whole per-frame tracking stack as one traceable body: DINOv2
     extraction + XMem propagation (with the VideoMaskTracker pre/post
     resize-pad pipeline) + field assembly + the full rigid-tracking Adam
@@ -278,7 +278,7 @@ def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
     mask = jnp.transpose(up[:, 1:], (0, 2, 3, 1))  # (V, H, W, O)
 
     st = FieldState(depth=depth, pose=pose, K=K,
-                    dino_feats=feats.astype(jnp.float32), mask=mask)
+                    dino_feats=feats.astype(jnp.float32), mask=mask, mu=mu)
     # unroll by the backend tracing this fused executable (its inputs are
     # uncommitted, so it runs on the default backend by construction)
     tr = _tracking_scan(st, src_feats, last_pts, lo, hi, tcfg,
@@ -293,13 +293,13 @@ def _fused_frame_body(dv2_params, pos_embed, xparams, mem, images_u8, depth,
     jax.jit,
     static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
                      "x_sync", "x_resized_hw", "x_pad", "x_flip", "out_hw",
-                     "tcfg"),
+                     "tcfg", "mu"),
     donate_argnames=("mem",),
 )
 def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
                  pose, K, src_feats, last_pts, lo, hi, is_mem_frame, *,
                  dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                 x_resized_hw, x_pad, x_flip, out_hw, tcfg):
+                 x_resized_hw, x_pad, x_flip, out_hw, tcfg, mu):
     """One frame as ONE dispatched executable (see
     :func:`_fused_frame_body`). The unfused loop dispatches three
     executables plus a host sync per frame — each paying a tunnel round
@@ -309,20 +309,20 @@ def _fused_frame(dv2_params, pos_embed, xparams, mem, images_u8, depth,
         dv2_params, pos_embed, xparams, mem, images_u8, depth, pose, K,
         src_feats, last_pts, lo, hi, is_mem_frame, dv2_resize_hw,
         dv2_heads, dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad,
-        x_flip, out_hw, tcfg)
+        x_flip, out_hw, tcfg, mu)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dv2_resize_hw", "dv2_heads", "dv2_dtype", "x_dtype",
                      "x_sync", "x_resized_hw", "x_pad", "x_flip", "out_hw",
-                     "tcfg"),
+                     "tcfg", "mu"),
     donate_argnames=("mem",),
 )
 def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depths,
                    pose, K, src_feats, last_pts, lo, hi, is_mem_frames, *,
                    dv2_resize_hw, dv2_heads, dv2_dtype, x_dtype, x_sync,
-                   x_resized_hw, x_pad, x_flip, out_hw, tcfg):
+                   x_resized_hw, x_pad, x_flip, out_hw, tcfg, mu):
     """A whole SEGMENT of T frames as ONE dispatched executable:
     ``lax.scan`` of :func:`_fused_frame_body` over the time axis, carrying
     the XMem memory and the tracked points (frame t's ``match_pts`` seed
@@ -343,7 +343,7 @@ def _fused_segment(dv2_params, pos_embed, xparams, mem, frames_u8, depths,
             dv2_params, pos_embed, xparams, mem, images_u8, depth, pose,
             K, src_feats, last, lo, hi, is_mem, dv2_resize_hw, dv2_heads,
             dv2_dtype, x_dtype, x_sync, x_resized_hw, x_pad, x_flip,
-            out_hw, tcfg)
+            out_hw, tcfg, mu)
         return (mem, out["match_pts"]), out
 
     (mem, _), outs = jax.lax.scan(body, (mem, last_pts),
@@ -371,11 +371,16 @@ class FusedFrameStep:
 
     def __init__(self, backbone, tracker, depth, pose, K, bounds_lo,
                  bounds_hi, tracking_cfg, patch_hw=None,
-                 xmem_bgr_to_rgb=False):
+                 xmem_bgr_to_rgb=False, mu=0.02):
         """``pose``/``K`` are the fixed calibrated rig (the d3fields
-        setup, reference ``fusion.py:240-260``); ``depth`` is the DEFAULT
-        depth map — RGB-D serving passes each frame's depth to
-        :meth:`step`/:meth:`step_segment` instead.
+        setup, reference ``fusion.py:240-260``); ``pose`` accepts (V,4,4)
+        or (V,3,4) and is normalized to (V,3,4) exactly like
+        ``state_from_obs``. ``depth`` is the DEFAULT depth map — RGB-D
+        serving passes each frame's depth to
+        :meth:`step`/:meth:`step_segment` instead. ``mu`` is the field
+        truncation band (reference ``fusion.py:208``); pass the same
+        ``FusionConfig.mu`` the staged loop uses or the fused frames
+        silently diverge from it.
 
         ``xmem_bgr_to_rgb=True`` when frames arrive BGR (the reference cv2
         obs convention) while the tracker was seeded with RGB (Fusion
@@ -405,8 +410,12 @@ class FusedFrameStep:
         self.bb = backbone
         self.tracker = tracker
         self.depth = jnp.asarray(depth)
-        self.pose = jnp.asarray(pose)
+        pose = jnp.asarray(pose)
+        if pose.shape[-2:] == (4, 4):  # state_from_obs pose normalization
+            pose = pose[:, :3, :]
+        self.pose = pose
         self.K = jnp.asarray(K)
+        self.mu = float(mu)
         self.lo = jnp.asarray(bounds_lo)
         self.hi = jnp.asarray(bounds_hi)
         self.tcfg = tracking_cfg
@@ -417,7 +426,16 @@ class FusedFrameStep:
         """images_u8 (V, H, W, 3); src_feats (I*P, D); last_pts (I, P, 3);
         ``depth`` (V, H, W) — THIS frame's depth maps (RGB-D serving;
         defaults to the init-time depth for static-scene benches).
-        Returns the fused output dict (device arrays, no host sync)."""
+        Returns the fused output dict (device arrays, no host sync).
+
+        Retry caveat: the counters advance only after the dispatch call
+        returns, so a TRACE-time raise (bad shapes, compile failure)
+        leaves the schedule intact and the call retryable. The XMem
+        memory buffers are donated into the executable, so a failure
+        DURING execution (e.g. a runtime OOM mid-run) can leave
+        ``core.mem`` invalid even though the counters say the step never
+        happened — after an execution-time error, re-seed the tracker
+        (``tracker.process`` with a mask) before continuing."""
         import jax.numpy as jnp
 
         core = self.tracker.core
@@ -442,7 +460,7 @@ class FusedFrameStep:
             x_dtype=core.cfg.compute_dtype, x_sync=core.deep_update_sync,
             x_resized_hw=self.tracker.resized_hw,
             x_pad=self.tracker.pad_spec, x_flip=self.xmem_bgr_to_rgb,
-            out_hw=(H, W), tcfg=self.tcfg,
+            out_hw=(H, W), tcfg=self.tcfg, mu=self.mu,
         )
         core.curr_ti = next_ti
         if is_mem:
@@ -458,7 +476,10 @@ class FusedFrameStep:
         Returns the per-frame outputs stacked on a leading T axis (device
         arrays, no host sync). Amortizes the per-dispatch tunnel round
         trip over T frames — the offline / recorded-video mode
-        (``apps/vis_tracking.py`` equivalents over a prefetched clip)."""
+        (``apps/vis_tracking.py`` equivalents over a prefetched clip).
+        Same donation retry caveat as :meth:`step`: trace-time raises are
+        retryable, execution-time failures invalidate the donated
+        ``core.mem`` (re-seed the tracker)."""
         import jax.numpy as jnp
 
         core = self.tracker.core
@@ -492,7 +513,7 @@ class FusedFrameStep:
             x_dtype=core.cfg.compute_dtype, x_sync=core.deep_update_sync,
             x_resized_hw=self.tracker.resized_hw,
             x_pad=self.tracker.pad_spec, x_flip=self.xmem_bgr_to_rgb,
-            out_hw=(H, W), tcfg=self.tcfg,
+            out_hw=(H, W), tcfg=self.tcfg, mu=self.mu,
         )
         core.curr_ti, core.last_mem_ti = ti, last_mem
         return outs

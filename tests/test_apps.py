@@ -42,6 +42,19 @@ def test_vis_tracking_synthetic(tmp_path):
     assert 0.25 * np.linalg.norm(true) < np.linalg.norm(d) < 4 * np.linalg.norm(true)
 
 
+def test_vis_tracking_segment_requires_fused(tmp_path):
+    """--segment N without --fused is a flag error, not a silent no-op
+    (round-4 advisor finding: frames took the staged path and the segment
+    buffer never filled)."""
+    import pytest
+
+    from d3fields_tpu.apps.vis_tracking import main
+
+    with pytest.raises(SystemExit, match="--fused"):
+        main(["--synthetic", "--frames", "2", "--segment", "2",
+              "--out", str(tmp_path / "seg")])
+
+
 def test_precompute_pca(tmp_path):
     from d3fields_tpu.apps.precompute_pca import main
     from d3fields_tpu.ops.pca import PCAParams

@@ -303,6 +303,50 @@ def test_fused_frame_step_requires_seeded_tracker():
                    jnp.zeros((16, 64)), jnp.asarray(p["kp"]))
 
 
+def test_fused_step_honors_mu_and_4x4_pose():
+    """A non-default fusion ``mu`` and reference-style (V,4,4) poses must
+    reach the fused executable's FieldState exactly like the staged path's
+    ``state_from_obs(mu=config.fusion.mu, pose[:, :3])`` — round-4 advisor
+    finding: the fused body silently used the default mu / raw pose."""
+    from d3fields_tpu.fields.state import FieldState
+    from d3fields_tpu.serving import FusedFrameStep
+    from d3fields_tpu.track.rigid import rigid_tracking_jit
+
+    p = _tiny_pipeline()
+    bb, frames = p["bb"], p["frames"]
+    mu = 0.06  # far from the 0.02 default: a mu mix-up moves keypoints
+    pose44 = np.concatenate(
+        [p["pose"], np.tile(np.array([[[0, 0, 0, 1]]], np.float32),
+                            (p["pose"].shape[0], 1, 1))], axis=1)
+    src = jnp.asarray(
+        np.random.RandomState(7).randn(16, 64).astype(np.float32))
+    kp = jnp.asarray(p["kp"])
+    lo, hi = jnp.asarray(p["lo"]), jnp.asarray(p["hi"])
+
+    # staged reference with the configured mu + normalized pose
+    tr_ref = p["make_tracker"]()
+    tr_ref.process(frames[0], p["mask0"])
+    tr_ref.process(frames[1])
+    up = tr_ref.last_prob
+    mask = jnp.transpose(up[:, 1:], (0, 2, 3, 1))
+    st = FieldState(depth=jnp.asarray(p["depth"]), pose=jnp.asarray(p["pose"]),
+                    K=jnp.asarray(p["K"]),
+                    dino_feats=bb(frames[1]).astype(jnp.float32),
+                    mask=mask, mu=mu)
+    ref = rigid_tracking_jit(st, src, kp, lo, hi, p["tcfg"])
+
+    tr = p["make_tracker"]()
+    tr.process(frames[0], p["mask0"])
+    fused = FusedFrameStep(bb, tr, p["depth"], pose44, p["K"],
+                           p["lo"], p["hi"], p["tcfg"], mu=mu)
+    assert fused.pose.shape == p["pose"].shape  # (V,4,4) -> (V,3,4)
+    out = fused.step(frames[1], src, kp)
+    np.testing.assert_allclose(np.asarray(out["match_pts"]),
+                               np.asarray(ref["match_pts"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out["t"]),
+                               np.asarray(ref["t"]), atol=5e-3)
+
+
 def test_fused_segment_matches_per_frame_steps():
     """_fused_segment (lax.scan over T frames in ONE executable, carrying
     the XMem memory and the tracked points) == T calls of fused.step with
