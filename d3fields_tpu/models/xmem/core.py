@@ -307,7 +307,14 @@ class XMemCore:
         # Commit weights to device once: host-numpy leaves (npz-loaded
         # checkpoints) passed to a jitted step are re-transferred per call
         # — a full ResNet-50+decoder tree per frame through the TPU tunnel.
-        self.params = jax.device_put(params)
+        # Pre-cast to the compute dtype HERE, once: with bf16 compute the
+        # in-step ``_cast_floats`` used to re-read the full f32 master tree
+        # and write a bf16 copy EVERY frame (counted in the 2x-floor gap of
+        # PARITY.md "XMem: why 28% MFU"); casting at init makes the in-step
+        # cast an identity astype XLA elides, and the rounding is the same
+        # cast either way so step numerics are bit-identical.
+        self.params = jax.device_put(
+            _cast_floats(params, jnp.dtype(cfg.compute_dtype)))
         self.cfg = cfg
         self.num_views = num_views
         self.num_objects = num_objects
