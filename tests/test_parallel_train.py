@@ -371,6 +371,46 @@ def test_sharded_batch_eval_pallas_path(scene):
         )
 
 
+def test_sharded_batch_eval_pack_fetch(scene):
+    """pack_fetch shrinks outputs ON DEVICE (bf16 floats, bit-packed bools)
+    while staying sharded over dp; unpack_outputs recovers the plain dict
+    within bf16 tolerance and the bools exactly."""
+    from d3fields_tpu.fields.fusion import batch_eval
+    from d3fields_tpu.fields.state import state_from_obs
+    from d3fields_tpu.parallel.mesh import make_mesh
+    from d3fields_tpu.parallel.sharded import (sharded_batch_eval,
+                                               unpack_outputs)
+
+    st = state_from_obs(scene, dino_feats=scene["dino_feats"],
+                        mask=scene["mask"], mu=0.02)
+    mesh = make_mesh(dp=8, tp=1)
+    pts = np.random.RandomState(0).uniform(-0.5, 0.5, (1000, 3)).astype(
+        np.float32)
+    ref = batch_eval(st, pts, ("dino_feats",), tile=128)
+    packed, n = sharded_batch_eval(mesh, st, pts, ("dino_feats",), tile=128,
+                                   pack_fetch=True)
+    assert n == 1000
+    # placement: every packed leaf is still sharded over dp, not gathered
+    for k, v in packed.items():
+        assert isinstance(v.sharding, NamedSharding), k
+        assert v.sharding.spec[0] == "dp", (k, v.sharding.spec)
+    # dtypes: floats shrank to bf16, the validity mask bit-packed 8x
+    assert packed["dist"].dtype == jnp.bfloat16
+    assert packed["dino_feats"].dtype == jnp.bfloat16
+    assert packed["valid_mask"].dtype == jnp.uint8
+    assert packed["valid_mask"].shape[0] * 8 == packed["dist"].shape[0]
+    out = unpack_outputs(packed, n)
+    assert out["valid_mask"].dtype == bool
+    np.testing.assert_array_equal(out["valid_mask"],
+                                  np.asarray(ref["valid_mask"]))
+    # bf16 keeps ~3 significant digits; dist is bounded by mu=0.02
+    np.testing.assert_allclose(out["dist"], np.asarray(ref["dist"]),
+                               atol=2e-4)
+    np.testing.assert_allclose(out["dino_feats"],
+                               np.asarray(ref["dino_feats"]),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_static_image_source_pseudo_video():
     """Static-image pretraining (reference StaticTransformDataset + TPS):
     one image+mask yields warped pseudo-video clips the trainer consumes."""
