@@ -13,22 +13,29 @@ over CUDA threads per (query, head) and bilinearly samples four scattered
 
 - The per-level **corner tables** (``model._corner_table``: one zero-padded
   row holds all four bilinear taps, 4*hd = 128 channels = one full f32
-  vector row) are concatenated over levels and DMA'd ONCE per (batch, head)
-  into VMEM, where they stay resident for every query tile of that slice
-  (constant block index map). The gather then never touches HBM: HBM sees
-  one sequential pass over values + indices + outputs (~140 MB/view/layer)
-  instead of 2.28M random 512 B reads.
+  vector row) are concatenated over levels and ride a normal VMEM
+  ``BlockSpec`` whose index map is CONSTANT over the query-tile grid axis —
+  the Pallas pipeline elides re-fetch when consecutive block indices match,
+  so each (batch*head) slice is DMA'd from HBM exactly once and stays
+  VMEM-resident for every query tile of that slice. (A manual
+  ``pltpu.ANY`` + ``make_async_copy`` delivery of the same slice was
+  bisected to crash the v5e TPU worker — /tmp lore, round 5 — so the
+  pipelined input is the load-bearing choice, at the cost of the table
+  being double-buffered: 2 x 4.68 MB for the bf16 800-scale table.) The
+  gather then never touches HBM: HBM sees one sequential pass over tables
+  + indices + outputs per view-layer instead of 2.28M random 512 B reads.
 - Sample **row indices and folded weights** (bilinear corner weights x
   attention weight x zeros-padding validity) are precomputed as dense
   vector math in XLA (:func:`_sample_indices_weights` — the exact
   ``model._table_bilinear`` index/weight rules, shared constants and all),
   so the kernel's scalar core does nothing but address arithmetic.
 - In-kernel, the indices are DMA'd to SMEM (scalar-addressable) and a
-  ``fori_loop`` over the tile's queries gathers LP = L*P rows per query
-  from the VMEM-resident table into a scratch buffer (the per-point inner
-  loop is fully unrolled — Mosaic overlaps the scalar address stream with
-  the vector loads). A single vectorized epilogue applies the folded
-  weights and reduces (T, LP, 4, hd) -> (T, hd) in f32.
+  ``fori_loop`` over the tile's queries copies LP = L*P table rows per
+  query from the VMEM-resident table into a (T, LP*128) scratch — each
+  row lands in a static 128-aligned LANE slice, so the layout never needs
+  a Mosaic-unsupported lane-splitting reshape. A static epilogue of
+  LP x 4 lane-slice multiply-adds applies the packed weights and reduces
+  to (T, hd) in f32.
 
 Numerics: identical index/weight math to the XLA path; taps are gathered
 in the table's dtype and the weighted reduction accumulates in f32 (the
@@ -109,35 +116,59 @@ def _sample_indices_weights(
     return idx, w4
 
 
-def _gather_kernel(idx_ref, w_ref, table_ref, out_ref, scratch, idx_smem,
-                   sem):
-    """One (bn, query-tile) grid step.
+def _make_gather_kernel(T: int, LP: int, hd: int):
+    """Kernel body for one (bn, query-tile) grid step.
 
-    idx_ref (1, T, LP) int32; w_ref (1, T, LP, 4) f32; table_ref
-    (1, R, 128) resident across the tile axis; out_ref (1, T, hd) f32.
-    scratch (T*LP, 128) table-dtype; idx_smem (1, T, LP) int32 SMEM.
+    idx_ref (1, T, LP) int32 VMEM; w_ref (1, T, LP*4) f32 VMEM (lane-packed
+    s*4+k); table_ref (1, R, 4*hd) VMEM — constant block index over the
+    tile axis, so the pipeline fetches each bn slice once; out_ref
+    (1, T, hd) f32. Scratch: rows (T, LP*4*hd) gathered rows, one static
+    128-lane slice per (q, s); stage (8, LP*4*hd); idx_smem (1, T, LP)
+    int32; sem DMA semaphore.
     """
-    T, LP = idx_ref.shape[1], idx_ref.shape[2]
-    hd = out_ref.shape[2]
 
-    # indices to SMEM: the gather loop needs them as scalars for VMEM
-    # addressing (vector memory cannot feed the scalar address stream)
-    cp = pltpu.make_async_copy(idx_ref, idx_smem, sem)
-    cp.start()
-    cp.wait()
+    def kernel(idx_ref, w_ref, table_ref, out_ref, rows, stage, idx_smem,
+               sem):
+        table_vmem = table_ref.at[0]
 
-    def body(q, _):
-        base = q * LP
-        for s in range(LP):  # static unroll: LP independent row loads
-            r = idx_smem[0, q, s]
-            scratch[base + s, :] = table_ref[0, r, :]
-        return 0
+        # indices to SMEM: the gather loop needs them as scalars for VMEM
+        # addressing (vector memory cannot feed the scalar address stream)
+        cp = pltpu.make_async_copy(idx_ref, idx_smem, sem)
+        cp.start()
+        cp.wait()
 
-    jax.lax.fori_loop(0, T, body, 0, unroll=False)
+        four_hd = 4 * hd
 
-    # vectorized epilogue: (T*LP, 4*hd) -> (T, LP, 4, hd), weight, reduce
-    g = scratch[:].reshape(T, LP, 4, hd).astype(jnp.float32)
-    out_ref[0] = (g * w_ref[0][..., None]).sum(axis=(1, 2))
+        # Mosaic rejects dynamic stores at unaligned sublanes (probe-
+        # verified): gather each query GROUP of 8 into a small staging
+        # scratch with fully STATIC stores (static sublane j, static
+        # 128-aligned lane slice s), then land the group with ONE aligned
+        # (G, LP*128) block store. The table row loads stay dynamic —
+        # dynamic unaligned LOADS are supported.
+        G = 8
+
+        def body(g, _):
+            base = pl.multiple_of(g * G, G)
+            for j in range(G):  # static unroll: G*LP independent row loads
+                for s in range(LP):
+                    r = idx_smem[0, g * G + j, s]
+                    stage[j:j + 1, s * four_hd:(s + 1) * four_hd] = (
+                        table_vmem[pl.ds(r, 1), :])
+            rows[pl.ds(base, G), :] = stage[:, :]
+            return 0
+
+        jax.lax.fori_loop(0, T // G, body, 0, unroll=False)
+
+        # static epilogue: LP x 4 lane-slice multiply-adds, f32 accumulate
+        acc = jnp.zeros((T, hd), jnp.float32)
+        for s in range(LP):
+            tap = rows[:, s * four_hd:(s + 1) * four_hd].astype(jnp.float32)
+            for k in range(4):
+                wk = w_ref[0, :, s * 4 + k:s * 4 + k + 1]  # (T, 1)
+                acc += tap[:, k * hd:(k + 1) * hd] * wk
+        out_ref[0] = acc
+
+    return kernel
 
 
 @functools.partial(
@@ -169,24 +200,28 @@ def deformable_gather_pallas(
 
     idx, w4 = _sample_indices_weights(
         spatial_shapes, sampling_locations, attention_weights)
+    # lane-pack the weights (s, k) -> s*4+k so the kernel epilogue reads
+    # them as static (T, 1) lane slices — no in-kernel reshape needed
+    w_packed = w4.reshape(BN, Q, LP * 4)
 
     pad = (-Q) % query_tile
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
-        w4 = jnp.pad(w4, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, pad), (0, 0)))
     qp = Q + pad
     nt = qp // query_tile
     T = query_tile
 
     out = pl.pallas_call(
-        _gather_kernel,
+        _make_gather_kernel(T, LP, hd),
         grid=(BN, nt),
         in_specs=[
             pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, LP, 4), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, T, LP * 4), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            # constant tile index: the (R, 128) table is DMA'd once per bn
+            # constant tile index: the (R, 4*hd) slice is fetched once per
+            # bn by the pipeline (re-fetch elided while the index repeats)
             # and stays VMEM-resident across that bn's query tiles
             pl.BlockSpec((1, R, four_hd), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -195,7 +230,8 @@ def deformable_gather_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BN, qp, hd), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T * LP, four_hd), tables.dtype),
+            pltpu.VMEM((T, LP * four_hd), tables.dtype),
+            pltpu.VMEM((8, LP * four_hd), tables.dtype),
             pltpu.SMEM((1, T, LP), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -207,7 +243,7 @@ def deformable_gather_pallas(
                             + BN * qp * hd * 4),
             transcendentals=0,
         ),
-    )(idx, w4, tables)
+    )(idx, w_packed, tables)
     # (BN, Q, hd) -> (B, Q, nh*hd)
     out = out[:, :Q].reshape(B, nh, Q, hd).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, nh * hd)
