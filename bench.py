@@ -453,10 +453,10 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
     # at 1654 ms/4 views vs round-3's 3247 ms; the 4-view single batch
     # also FITS now — 2544 ms bf16 — and is the multi-chip layout, dryrun
     # stage 6, where each chip holds one view) ----
-    def time_gdino(dt, vc):
+    def time_gdino(dt, vc, gather="auto"):
         det = GroundingDinoDetector(gparams, gcfg, tokenize=tokenize,
                                     compute_dtype=dt, view_chunk=vc,
-                                    query_chunk=4096)
+                                    query_chunk=4096, gather_impl=gather)
         det.predict_with_classes_batch(images, queries, 0.99)  # compile
         ts = []
         for _ in range(repeats):
@@ -465,8 +465,12 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
             ts.append(time.perf_counter() - t0)
         return min(ts), det
 
+    # default "auto" = the Mosaic gather kernel on TPU (round 5); the
+    # explicit gather_impl=None row keeps the XLA take-loop path measured
+    # so the kernel's win stays visible round-over-round
     t_gd32, det32 = time_gdino("float32", 1)
-    t_gd16, _ = time_gdino("bfloat16", 1)
+    t_gd16, det16 = time_gdino("bfloat16", 1)
+    t_gd16_xla, _ = time_gdino("bfloat16", 1, gather=None)
     t_gdino = min(t_gd32, t_gd16)
 
     # GDINO FLOPs: XLA's count of the full jitted forward at the batched
@@ -545,7 +549,9 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
         peak = measured_matmul_peak_tflops()
     msg = (f"[bench] grounded-sam first-frame ({num_views} views @ {H}x{W}, "
            f"swin-t + vit-h): gdino f32 {t_gd32*1e3:.0f} ms / bf16 "
-           f"{t_gd16*1e3:.0f} ms, "
+           f"{t_gd16*1e3:.0f} ms "
+           f"(gather={det16.gather_impl or 'xla'}; xla-gather bf16 "
+           f"{t_gd16_xla*1e3:.0f} ms), "
            f"sam encode f32 {t_enc*1e3:.0f} ms / bf16 {t_enc16*1e3:.0f} ms "
            f"(one dispatch), sam decode f32 {t_dec*1e3:.0f} ms / bf16 "
            f"{t_dec16*1e3:.0f} ms (one dispatch) -> {total*1e3:.0f} ms "
@@ -574,6 +580,8 @@ def bench_grounded_sam(num_views=4, H=240, W=320, boxes_per_view=4,
           f"{total*1e3:.0f} ms (r04 base {r04_base_ms:.0f} ms, "
           f"{r04_base_ms/(total*1e3):.2f}x)", file=sys.stderr)
     return {"gdino_ms": t_gd32 * 1e3, "gdino_bf16_ms": t_gd16 * 1e3,
+            "gdino_gather_impl": det16.gather_impl or "xla",
+            "gdino_bf16_xla_gather_ms": t_gd16_xla * 1e3,
             "sam_encode_ms": t_enc * 1e3,
             "sam_encode_bf16_ms": t_enc16 * 1e3,
             "sam_decode_ms": t_dec * 1e3,
@@ -778,11 +786,34 @@ def bench_pipeline(num_views=4, H=240, W=320, num_obj=2, track_pts=100,
     print(f"[bench] pipeline frame, FUSED SEGMENT (T={T} frames, one "
           f"executable): {dts*1e3:.1f} ms/frame ({1.0/dts:.2f} FPS, "
           f"{dt/dts:.2f}x vs 3-dispatch synced)", file=sys.stderr)
+
+    # segment PIPELINED: exactly what vis_tracking --segment does — each
+    # clip's device outputs go into the AsyncFrameLoop, so clip k's fetch
+    # overlaps clip k+1's dispatch+compute (only the match_pts carry
+    # chains device-side, no host sync at the clip boundary). The synced
+    # row above serializes clip-fetch after clip-compute, which is why
+    # round 4 saw segment "lose" to per-frame depth-2 pipelining (71.3 vs
+    # 59.9 ms/frame): the gap was the un-overlapped round trip + clip
+    # fetch, not scan compute.
+    sink3 = AsyncFrameLoop(
+        lambda fid, pts: fetched.append(np.asarray(pts).reshape(-1)[0]),
+        depth=1)
+    n_clips = 3
+    t0 = time.perf_counter()
+    for c in range(n_clips):
+        outs = fused.step_segment(clip, src, kp)
+        sink3.submit(c, outs["match_pts"])
+    sink3.flush()
+    dts_p = (time.perf_counter() - t0) / (n_clips * T)
+    print(f"[bench] pipeline frame, FUSED SEGMENT pipelined (T={T}, "
+          f"{n_clips} clips, depth=1 clip overlap): {dts_p*1e3:.1f} "
+          f"ms/frame ({1.0/dts_p:.2f} FPS)", file=sys.stderr)
     row = {
         "pipeline_synced_ms": round(dt * 1e3, 2),
         "pipeline_depth1_ms": round(dt2 * 1e3, 2),
         "fused_synced_ms": round(dtf * 1e3, 2),
         "fused_segment_ms_per_frame": round(dts * 1e3, 2),
+        "fused_segment_pipelined_ms_per_frame": round(dts_p * 1e3, 2),
     }
     for d, v in depth_ms.items():
         row[f"fused_depth{d}_ms"] = round(v * 1e3, 2)

@@ -74,7 +74,8 @@ class GroundingDinoDetector:
                  short_side: int = 800, max_side: int = 1333,
                  view_chunk: Optional[int] = None,
                  compute_dtype: str = "float32",
-                 query_chunk: Optional[int] = 4096):
+                 query_chunk: Optional[int] = 4096,
+                 gather_impl: Optional[str] = "auto"):
         # Commit the weights to device ONCE. Host-numpy leaves would be
         # re-transferred on EVERY jitted forward (jax converts non-Array
         # args per call) — through the remote TPU tunnel that is tens of
@@ -100,6 +101,17 @@ class GroundingDinoDetector:
         # points).
         self.compute_dtype = compute_dtype
         self.query_chunk = query_chunk
+        # ``gather_impl``: how the encoder's deformable-attention gather
+        # runs. "auto" resolves to the Mosaic kernel on a TPU backend
+        # (gather_pallas.deformable_gather_pallas — tables VMEM-resident;
+        # measured ~1.45x the XLA take-loop per view-layer and exact-parity
+        # f32) and the XLA corner-table path elsewhere. Explicit "pallas" /
+        # "pallas_interpret" / "xla" / None override. The decoder's Q=900
+        # cross-attention gather always stays on the XLA path (tiny;
+        # confines VMEM pressure to the encoder).
+        if gather_impl == "auto":
+            gather_impl = "pallas" if jax.default_backend() == "tpu" else None
+        self.gather_impl = gather_impl
         self._view_mesh = None
 
     def shard_views(self, mesh, axis: str = "dp") -> "GroundingDinoDetector":
@@ -143,7 +155,7 @@ class GroundingDinoDetector:
         pixels = self._prep(image)
         logits, boxes = groundingdino_forward(
             self.params, self.cfg, pixels, input_ids,
-            self.compute_dtype, self.query_chunk,
+            self.compute_dtype, self.query_chunk, self.gather_impl,
         )
         probs = np.asarray(jax.nn.sigmoid(logits[0]))   # (Q, max_text_len)
         boxes = np.asarray(boxes[0])                     # (Q, 4) cxcywh norm
@@ -180,7 +192,7 @@ class GroundingDinoDetector:
                 pixels = shard_leading_checked(mesh, pixels, axis)
             logits, boxes = groundingdino_forward(
                 self.params, self.cfg, pixels, ids,
-                self.compute_dtype, self.query_chunk,
+                self.compute_dtype, self.query_chunk, self.gather_impl,
             )
             n = len(views)
             probs_parts.append(np.asarray(jax.nn.sigmoid(logits))[:n])

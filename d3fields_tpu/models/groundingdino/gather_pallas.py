@@ -20,10 +20,22 @@ over CUDA threads per (query, head) and bilinearly samples four scattered
   VMEM-resident for every query tile of that slice. (A manual
   ``pltpu.ANY`` + ``make_async_copy`` delivery of the same slice was
   bisected to crash the v5e TPU worker — /tmp lore, round 5 — so the
-  pipelined input is the load-bearing choice, at the cost of the table
-  being double-buffered: 2 x 4.68 MB for the bf16 800-scale table.) The
-  gather then never touches HBM: HBM sees one sequential pass over tables
-  + indices + outputs per view-layer instead of 2.28M random 512 B reads.
+  pipelined input is the load-bearing choice.) The table input is
+  ``pl.Buffered(buffer_count=1)``: double-buffering a constant-index block
+  is pure waste, and at the 800 scale the f32 table slice is 9.35 MB/bn —
+  two copies would not fit VMEM (probed on chip: single-buffered full-R
+  f32 compiles and runs; double-buffered cannot allocate). The gather then
+  never touches HBM: HBM sees one sequential pass over tables + indices +
+  outputs per view-layer instead of 2.28M random 512 B reads.
+- The table is **always f32 in VMEM** (bf16 inputs are cast before the
+  call): Mosaic cannot compile single-sublane dynamic-offset accesses of
+  bf16 rows — bf16 packs two 128-lane rows per sublane, and every bf16
+  variant probed (direct (1,128) loads, (16,128) aligned loads + dynamic
+  ``pltpu.roll``) died in the backend compiler (INTERNAL). f32 rows are
+  one full sublane, the exact granularity the dynamic loads support. An
+  aligned-(8,128)-load + dynamic-roll f32 variant compiles but is ~1.7x
+  SLOWER than Mosaic's own dynamic-sublane load lowering (24.7 vs 14.4
+  ns/row on chip), so the straightforward load is the keeper.
 - Sample **row indices and folded weights** (bilinear corner weights x
   attention weight x zeros-padding validity) are precomputed as dense
   vector math in XLA (:func:`_sample_indices_weights` — the exact
@@ -197,6 +209,9 @@ def deformable_gather_pallas(
     assert BN == B * nh, (BN, B, nh)
     hd = four_hd // 4
     LP = L * P
+    # f32 rows only: see module docstring (bf16 row granularity is
+    # un-compilable in-kernel; the cast is one sequential HBM pass)
+    tables = tables.astype(jnp.float32)
 
     idx, w4 = _sample_indices_weights(
         spatial_shapes, sampling_locations, attention_weights)
@@ -222,8 +237,12 @@ def deformable_gather_pallas(
                          memory_space=pltpu.VMEM),
             # constant tile index: the (R, 4*hd) slice is fetched once per
             # bn by the pipeline (re-fetch elided while the index repeats)
-            # and stays VMEM-resident across that bn's query tiles
+            # and stays VMEM-resident across that bn's query tiles;
+            # single-buffered — the full-scale f32 slice (9.35 MB) does
+            # not fit twice, and a constant block never needs a prefetch
+            # overlap (8 x 9.35 MB ~ 91 us of HBM traffic per call total)
             pl.BlockSpec((1, R, four_hd), lambda b, t: (b, 0, 0),
+                         pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, hd), lambda b, t: (b, t, 0),

@@ -279,6 +279,7 @@ def deformable_attention_core(
     value: Array, spatial_shapes: List[Tuple[int, int]],
     sampling_locations: Array, attention_weights: Array,
     query_chunk: Optional[int] = None,
+    gather_impl: Optional[str] = None,
 ) -> Array:
     """Deformable-attention gather, optionally tiled over the query axis.
 
@@ -295,6 +296,14 @@ def deformable_attention_core(
     that forced single-view detection batches on a 16 GB chip. The tables
     are built ONCE per call, outside the tile loop. Identical math:
     queries are independent in the gather; the pad tail is sliced off.
+
+    ``gather_impl="pallas"`` routes the gather through the Mosaic kernel
+    (:func:`gather_pallas.deformable_gather_pallas` — tables VMEM-resident,
+    row loads on the scalar core instead of XLA's index-serial take loop);
+    ``"pallas_interpret"`` is the same math interpreted (CPU test tier).
+    The kernel gathers in f32 and accumulates in f32 — for bf16 tables the
+    XLA path sums taps in bf16, so the two agree to bf16 rounding, the
+    kernel being the more precise one.
     """
     B, S, nh, hd = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -305,6 +314,22 @@ def deformable_attention_core(
         v = v.transpose(0, 2, 1, 3).reshape(B * nh, h, w, hd)
         tables.append(_corner_table(v))
         start += h * w
+    # The Mosaic kernel is built for the production head width: 4*hd = 128
+    # channels = exactly one f32 vector row. Off-width heads (tiny test
+    # configs) crash the TPU backend compiler on sub-128-lane row accesses
+    # (probed: hd=8 dies in the compile helper with no diagnostic), so
+    # they take the XLA path — every real GroundingDINO checkpoint has
+    # d_model=256 / 8 heads = hd=32. Interpret mode never reaches that
+    # compiler, so it runs at any width (CPU test tier, tiny configs).
+    if (gather_impl is not None and gather_impl.startswith("pallas")
+            and (4 * hd == 128 or gather_impl == "pallas_interpret")):
+        from d3fields_tpu.models.groundingdino.gather_pallas import (
+            deformable_gather_pallas)
+
+        return deformable_gather_pallas(
+            jnp.concatenate(tables, axis=1), tuple(spatial_shapes),
+            sampling_locations, attention_weights,
+            interpret=(gather_impl == "pallas_interpret"))
     if query_chunk is None or Q <= query_chunk:
         return _deformable_core_tile(
             tables, spatial_shapes, sampling_locations, attention_weights, hd
@@ -330,6 +355,7 @@ def deformable_attention(
     p: Dict, hidden: Array, encoder_hidden: Array, pos: Optional[Array],
     reference_points: Array, spatial_shapes: List[Tuple[int, int]],
     num_heads: int, n_points: int, query_chunk: Optional[int] = None,
+    gather_impl: Optional[str] = None,
 ) -> Array:
     """(``GroundingDinoMultiscaleDeformableAttention``): hidden (B, Q, D)
     queries; encoder_hidden (B, S, D) values; reference_points
@@ -367,7 +393,7 @@ def deformable_attention(
             + offsets / n_points * reference_points[:, :, None, :, None, 2:] * 0.5
         )
     out = deformable_attention_core(value, spatial_shapes, loc, weights,
-                                    query_chunk)
+                                    query_chunk, gather_impl)
     return out.astype(hidden.dtype) @ p["out_w"] + p["out_b"]
 
 
@@ -430,7 +456,7 @@ def _bi_attention(p, vision, text, text_pad_mask, embed_dim, num_heads):
 
 def encoder_layer(p, cfg, vision, text, pos_embed, reference_points,
                   spatial_shapes, text_self_mask, text_pad_mask,
-                  text_position_ids, query_chunk=None):
+                  text_position_ids, query_chunk=None, gather_impl=None):
     """(``GroundingDinoEncoderLayer``): fusion -> text enhancer ->
     deformable vision self-attention."""
     # fusion (pre-LN + layer-scale residuals)
@@ -461,6 +487,7 @@ def encoder_layer(p, cfg, vision, text, pos_embed, reference_points,
     att = deformable_attention(
         p["deform"]["attn"], vision, vision, pos_embed, reference_points,
         spatial_shapes, cfg.encoder_heads, cfg.encoder_points, query_chunk,
+        gather_impl,
     )
     vision = _layer_norm(vision + att, p["deform"]["ln1_w"], p["deform"]["ln1_b"])
     h = jax.nn.relu(vision @ p["deform"]["fc1_w"] + p["deform"]["fc1_b"])
@@ -551,12 +578,13 @@ def _grid_proposals(spatial_shapes, d_level_scale=0.05):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "spatial_shapes", "query_chunk"))
+                   static_argnames=("cfg", "spatial_shapes", "query_chunk",
+                                    "gather_impl"))
 def _transformer_forward(params, cfg: GroundingDinoConfig,
                          vision_flat, pos_flat, spatial_shapes,
                          text_features, text_self_mask, text_pad_mask,
                          text_position_ids, text_token_mask,
-                         query_chunk=None):
+                         query_chunk=None, gather_impl=None):
     """Everything after the backbones: encoder, query selection, decoder,
     heads. Returns (logits (B, Q, max_text_len), boxes (B, Q, 4) cxcywh).
 
@@ -593,7 +621,7 @@ def _transformer_forward(params, cfg: GroundingDinoConfig,
         vision, text = encoder_layer(
             lp, cfg, vision, text, pos_flat.astype(dt), ref_points,
             spatial_shapes, text_self_mask, text_pad_mask,
-            text_position_ids, query_chunk,
+            text_position_ids, query_chunk, gather_impl,
         )
     vision = vision.astype(jnp.float32)
     text = text.astype(jnp.float32)
@@ -666,7 +694,8 @@ def _transformer_forward(params, cfg: GroundingDinoConfig,
 def groundingdino_forward(params, cfg: GroundingDinoConfig,
                           pixels: Array, input_ids: np.ndarray,
                           compute_dtype: str = "float32",
-                          query_chunk: Optional[int] = None):
+                          query_chunk: Optional[int] = None,
+                          gather_impl: Optional[str] = None):
     """pixels (B, H, W, 3) normalized; input_ids (B, Lt) numpy.
 
     Returns (logits (B, Q, max_text_len), boxes (B, Q, 4) normalized
@@ -703,14 +732,17 @@ def groundingdino_forward(params, cfg: GroundingDinoConfig,
             params, cfg, pixels, jnp.asarray(input_ids),
             jnp.asarray(text_self_mask_np), jnp.asarray(pos_ids_np),
             jnp.asarray(token_mask_np), compute_dtype, query_chunk,
+            gather_impl,
         )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "compute_dtype", "query_chunk"))
+                   static_argnames=("cfg", "compute_dtype", "query_chunk",
+                                    "gather_impl"))
 def _groundingdino_forward_impl(params, cfg, pixels, input_ids,
                                 text_self_mask, pos_ids, token_mask,
-                                compute_dtype="float32", query_chunk=None):
+                                compute_dtype="float32", query_chunk=None,
+                                gather_impl=None):
     dt = jnp.dtype(compute_dtype)
     # text trunk + projection (always f32: tiny cost, feeds the contrastive
     # logits that gate detection directly)
@@ -755,6 +787,7 @@ def _groundingdino_forward_impl(params, cfg, pixels, input_ids,
     return _transformer_forward(
         params, cfg, flat, pos, spatial_shapes, text,
         text_self_mask, ~token_mask, pos_ids, token_mask, query_chunk,
+        gather_impl,
     )
 
 

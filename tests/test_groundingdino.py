@@ -451,3 +451,49 @@ def test_corner_table_bilinear_matches_reference_sampler():
     got = np.asarray(G._table_bilinear(table, (h, w), gx, gy))
     ref = np.asarray(jax.vmap(G._bilinear_sample_nchw)(v, gx, gy))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_gather_interpret_matches_xla():
+    """The Mosaic deformable-gather kernel (interpret mode — same math the
+    chip runs, minus the lowering) == deformable_attention_core, including
+    out-of-bounds samples and the padded query tail (Q=333 pads to 512 at
+    T=256 here)."""
+    from d3fields_tpu.models.groundingdino.gather_pallas import (
+        concat_corner_tables, deformable_gather_pallas)
+
+    rs = np.random.RandomState(7)
+    B, nh, hd, P = 2, 4, 8, 4
+    shapes = ((13, 17), (7, 9), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    Q = 333
+    value = jnp.asarray(rs.randn(B, S, nh, hd).astype(np.float32))
+    loc = jnp.asarray(
+        rs.uniform(-0.2, 1.2, (B, Q, nh, len(shapes), P, 2)).astype(
+            np.float32))
+    wgt = rs.rand(B, Q, nh, len(shapes), P).astype(np.float32)
+    wgt = jnp.asarray(wgt / wgt.sum(axis=(-2, -1), keepdims=True))
+    ref = np.asarray(G.deformable_attention_core(value, list(shapes), loc,
+                                                 wgt))
+    tables = concat_corner_tables(value, shapes)
+    got = np.asarray(deformable_gather_pallas(tables, shapes, loc, wgt,
+                                              interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_forward_gather_impl_pallas_matches_xla(oracle):
+    """The full forward with gather_impl="pallas_interpret" (the encoder
+    gather through the kernel) matches the XLA-gather forward — pinning
+    the gather_impl threading detector -> forward -> encoder layers."""
+    _, params, cfg = oracle
+    rs = np.random.RandomState(0)
+    px = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]], np.int64)
+    l0, b0 = G.groundingdino_forward(params, cfg, px, ids)
+    l1, b1 = G.groundingdino_forward(params, cfg, px, ids, "float32", None,
+                                     "pallas_interpret")
+    fin = np.isfinite(np.asarray(l0))
+    assert (np.isfinite(np.asarray(l1)) == fin).all()
+    np.testing.assert_allclose(np.asarray(l1)[fin], np.asarray(l0)[fin],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0),
+                               rtol=1e-4, atol=1e-4)

@@ -8,8 +8,12 @@ real chips), the eval dispatch time vs the host-landing time for the plain
 f32 path and the ``pack_fetch`` path (bf16 floats + bit-packed bools,
 ``parallel/sharded.pack_outputs``).
 
-Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/bench_sharded_fetch.py [--n 1048576] [--feat_dim 384]
+Run: python tools/bench_sharded_fetch.py [--n 262144] [--feat_dim 384]
+(the tool pins the CPU platform + 8 virtual devices itself — the
+JAX_PLATFORMS env var does NOT override the axon TPU plugin, and a
+1M-point eval on the 1-core driver host runs for tens of minutes, so the
+default n is 256k: fetch bytes scale linearly, which is the quantity
+under test).
 """
 
 import argparse
@@ -21,10 +25,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:  # `python tools/bench_sharded_fetch.py` puts tools/ first
     sys.path.insert(0, REPO)
 
+# virtual 8-device CPU mesh, exactly like tests/conftest.py: the flag must
+# be in place before the cpu client is first created, and the platform pin
+# must be a config update (env alone loses to the axon plugin)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=1_048_576)
+    p.add_argument("--n", type=int, default=262_144)
     p.add_argument("--feat_dim", type=int, default=384)
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--hw", type=int, nargs=2, default=(240, 320))
