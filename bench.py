@@ -323,6 +323,32 @@ def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6, peak=None,
         if fl and peak:
             row[f"xmem_step_{key}_mfu_pct"] = round(
                 100 * fl / dt / 1e12 / peak, 1)
+
+    # deep-stage conv-scheduling experiment (round-4 verdict next #4b): the
+    # same bf16 step with eligible 3x3/s1 convs lowered as 9 explicit
+    # matmuls (blocks.set_conv3x3_matmul) — fresh XMemCore so the step
+    # re-traces under the flag; parity pinned in tests/test_xmem.py
+    from d3fields_tpu.models.xmem import blocks as B
+
+    B.set_conv3x3_matmul(True)
+    try:
+        cfg = dataclasses.replace(base_cfg, compute_dtype="bfloat16")
+        core = C.XMemCore(params, cfg, num_views, num_obj, (H, W))
+        p = core.step(imgs, mask)
+        float(jnp.asarray(p).reshape(-1)[0])
+        ts = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            p = core.step(imgs)
+            float(p.reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        print(f"[bench] xmem propagate {num_views} cams bf16 + conv3x3-as-"
+              f"matmul: {dt*1e3:.1f} ms ({num_views/dt:.1f} camera-FPS)",
+              file=sys.stderr)
+        row["xmem_step_bf16_conv3x3mm_ms"] = round(dt * 1e3, 2)
+    finally:
+        B.set_conv3x3_matmul(False)
     return row
 
 

@@ -34,10 +34,46 @@ Params = Dict[str, "Params | Array"]
 # primitives
 # ---------------------------------------------------------------------------
 
+# Alternate lowering for 3x3/s1 convs: 9 shifted (N*H*W, Cin)@(Cin, Cout)
+# matmuls instead of conv_general_dilated. The XMem step is
+# activation-traffic-bound with XLA's conv scheduling on the small
+# deep-stage spatial dims (30x40 at /16) named as part of the 2x-floor gap
+# (docs/PARITY.md "XMem: why 28% MFU"); the explicit-matmul form hands XLA
+# plain MXU tiles (4,800 well-shaped rows at /16) to schedule instead.
+# Identical math up to f32 reassociation (the 9 partial sums accumulate in
+# conv order dy,dx); parity pinned in tests/test_xmem_blocks.py. Module
+# flag, set BEFORE the step is traced (trace-time constant).
+_CONV3X3_AS_MATMUL = False
+
+
+def set_conv3x3_matmul(on: bool) -> None:
+    """Route eligible 3x3/s1/d1 convs through the 9-matmul lowering for
+    subsequently TRACED executables (already-compiled ones are unchanged)."""
+    global _CONV3X3_AS_MATMUL
+    _CONV3X3_AS_MATMUL = bool(on)
+
+
+def _conv3x3_matmul(x: Array, w: Array) -> Array:
+    N, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = xp[:, dy:dy + H, dx:dx + W, :].reshape(N * H * W, Cin)
+            t = xs @ w[dy, dx]
+            acc = t if acc is None else acc + t
+    return acc.reshape(N, H, W, Cout)
+
+
 def conv2d(x: Array, w: Array, b: Optional[Array] = None, *, stride: int = 1,
            padding: int = 0, dilation: int = 1) -> Array:
     """NHWC conv with HWIO weights (torch Conv2d semantics, symmetric pad;
     ``dilation`` is atrous kernel dilation as in torch)."""
+    if (_CONV3X3_AS_MATMUL and stride == 1 and dilation == 1
+            and padding == 1 and w.shape[:2] == (3, 3)):
+        out = _conv3x3_matmul(x, w)
+        return out if b is None else out + b
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),

@@ -1057,3 +1057,37 @@ def test_sam_variant_sniff_guards():
         cfg = config_for_encoder_width(hidden)
         assert (cfg.hidden_size, cfg.num_layers) == (hidden, layers)
         assert cfg.global_attn_indexes[-1] == layers - 1
+
+
+def test_conv3x3_matmul_lowering_parity():
+    """The 9-shifted-matmul lowering for 3x3/s1 convs (the deep-stage
+    scheduling experiment, blocks.set_conv3x3_matmul) == the
+    conv_general_dilated path to f32 reassociation noise, and ineligible
+    convs (stride 2, dilation 2, pad 0, 1x1) are untouched by the flag."""
+    import jax.numpy as jnp
+
+    from d3fields_tpu.models.xmem import blocks as B
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 30, 40, 64).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 64, 96).astype(np.float32) * 0.05)
+    b = jnp.asarray(rs.randn(96).astype(np.float32))
+    ref = np.asarray(B.conv2d(x, w, b, stride=1, padding=1))
+    refs_other = [
+        np.asarray(B.conv2d(x, w, b, stride=2, padding=1)),
+        np.asarray(B.conv2d(x, w, b, stride=1, padding=1, dilation=2)),
+        np.asarray(B.conv2d(x, w, b, stride=1, padding=0)),
+    ]
+    B.set_conv3x3_matmul(True)
+    try:
+        got = np.asarray(B.conv2d(x, w, b, stride=1, padding=1))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+        got_other = [
+            np.asarray(B.conv2d(x, w, b, stride=2, padding=1)),
+            np.asarray(B.conv2d(x, w, b, stride=1, padding=1, dilation=2)),
+            np.asarray(B.conv2d(x, w, b, stride=1, padding=0)),
+        ]
+        for g, r in zip(got_other, refs_other):
+            np.testing.assert_array_equal(g, r)
+    finally:
+        B.set_conv3x3_matmul(False)
