@@ -130,11 +130,17 @@ def build_mask_backend(sam_ckpt: str | None = None,
         # measured 1.2x the f32 detection on one v5e).
         # D3F_GDINO_QUERY_CHUNK tiles the deformable gather (default 4096
         # — the measured single-chip optimum; 0 = un-tiled).
+        # D3F_GDINO_GATHER overrides the gather lowering (auto | pallas |
+        # xla; "auto" = the Mosaic VMEM-resident kernel on TPU — exact
+        # parity, gates in tests_tpu/test_gdino_gather.py).
         GroundingDinoDetector(
             gdino_params, gcfg, tokenize=tokenize, view_chunk=view_chunk,
             compute_dtype=os.environ.get("D3F_GDINO_DTYPE", "float32"),
             query_chunk=int(
                 os.environ.get("D3F_GDINO_QUERY_CHUNK", "4096")) or None,
+            gather_impl={"xla": None}.get(
+                os.environ.get("D3F_GDINO_GATHER", "auto"),
+                os.environ.get("D3F_GDINO_GATHER", "auto")),
         ),
         # D3F_SAM_DTYPE=bfloat16 runs the ViT trunk on the MXU in bf16
         # (~4x encode on TPU; bf16-vs-f32 mask agreement is pinned in
