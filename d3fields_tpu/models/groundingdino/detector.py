@@ -157,10 +157,14 @@ class GroundingDinoDetector:
             self.params, self.cfg, pixels, input_ids,
             self.compute_dtype, self.query_chunk, self.gather_impl,
         )
-        probs = np.asarray(jax.nn.sigmoid(logits[0]))   # (Q, max_text_len)
-        boxes = np.asarray(boxes[0])                     # (Q, 4) cxcywh norm
-        return _postprocess_view(
-            probs, boxes, spans, box_threshold, text_threshold, (H, W)
+        # reduce on device, fetch ~32 KB instead of the ~1 MB sigmoid map
+        # (the tunnel fetch was costing as much as the transformer stack)
+        sc, st, sf, bx = _reduce_detection_outputs(
+            logits, boxes, jnp.asarray(_span_mask(spans, logits.shape[-1])),
+            jnp.float32(text_threshold))
+        return _postprocess_view_reduced(
+            np.asarray(sc[0]), np.asarray(st[0]), np.asarray(sf[0]),
+            np.asarray(bx[0]), box_threshold, (H, W)
         )
 
     def predict_with_classes_batch(
@@ -177,7 +181,7 @@ class GroundingDinoDetector:
             input_ids, spans = tokenize_classes(classes, self.tokenize)
         V, H, W = images.shape[:3]
         chunk = V if self._view_mesh is not None else (self.view_chunk or V)
-        probs_parts, boxes_parts = [], []
+        parts = []
         for s in range(0, V, chunk):
             views = [self._prep(img) for img in images[s : s + chunk]]
             # pad a short tail chunk to the full chunk size so every
@@ -195,29 +199,64 @@ class GroundingDinoDetector:
                 self.compute_dtype, self.query_chunk, self.gather_impl,
             )
             n = len(views)
-            probs_parts.append(np.asarray(jax.nn.sigmoid(logits))[:n])
-            boxes_parts.append(np.asarray(boxes)[:n])
-        probs_all = np.concatenate(probs_parts, axis=0)
-        boxes_all = np.concatenate(boxes_parts, axis=0)
+            # reduce on device, fetch ~32 KB/view instead of the ~1 MB
+            # sigmoid map (the tunnel fetch was costing as much as the
+            # transformer stack per view — round-5 split)
+            red = _reduce_detection_outputs(
+                logits, boxes,
+                jnp.asarray(_span_mask(spans, logits.shape[-1])),
+                jnp.float32(text_threshold))
+            parts.append(tuple(np.asarray(r)[:n] for r in red))
+        sc, st, sf, bx = (np.concatenate(p, axis=0) for p in zip(*parts))
 
         out = []
         for v in range(V):
-            out.append(_postprocess_view(
-                probs_all[v], boxes_all[v], spans, box_threshold,
-                text_threshold, (H, W),
+            out.append(_postprocess_view_reduced(
+                sc[v], st[v], sf[v], bx[v], box_threshold, (H, W),
             ))
         return out
 
 
-def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
-    """Shared detection post-processing for one view: threshold on the max
-    sigmoid token logit, assign the class by the strongest span among tokens
-    above ``text_threshold`` (the reference's phrase extraction keeps only
-    tokens above it, ``utils/grounded_sam.py:414``), convert to absolute
-    xyxy, drop near-duplicates."""
+def _span_mask(spans, L: int) -> np.ndarray:
+    """(C, L) bool membership mask for the class token spans. A class whose
+    tokenization is empty (span width 0) gets an all-false row — it can
+    never be assigned (matches the old zero-size-reduction guard)."""
+    m = np.zeros((len(spans), L), bool)
+    for c, (s, e) in enumerate(spans):
+        m[c, s:e] = True
+    return m
+
+
+@jax.jit
+def _reduce_detection_outputs(logits, boxes, span_mask, text_threshold):
+    """Reduce raw head outputs ON DEVICE to what post-processing needs:
+    per-query max score, per-(query, class-span) thresholded and raw
+    maxima, plus the boxes. logits (V, Q, L); span_mask (C, L) bool.
+
+    Fetching (Q, L=256) sigmoid maps per view costs ~1 MB/view over the
+    remote tunnel (~8 MB/s effective: ~115 ms/view, measured round 5 —
+    comparable to the whole transformer stack); the reduced set is
+    (Q, 2C+5) ≈ 32 KB. Same math as the host reductions it replaces
+    (max is exact; sigmoid(0-fill) identities hold since probs >= 0),
+    pinned by test_postprocess_device_reduction_parity."""
+    probs = jax.nn.sigmoid(logits)                       # (V, Q, L)
+    scores = probs.max(axis=-1)                          # (V, Q)
+    p = probs[:, :, None, :]                             # (V, Q, 1, L)
+    m = span_mask[None, None]                            # (1, 1, C, L)
+    span_fb = jnp.where(m, p, 0.0).max(-1)               # (V, Q, C)
+    thr = jnp.where(p > text_threshold, p, 0.0)
+    span_thr = jnp.where(m, thr, 0.0).max(-1)            # (V, Q, C)
+    return scores, span_thr, span_fb, boxes
+
+
+def _postprocess_view_reduced(scores, span_thr, span_fb, boxes,
+                              box_threshold, hw):
+    """Host tail of the detection post-processing, from the device-reduced
+    arrays: threshold on the max sigmoid token logit, assign the class by
+    the strongest span among tokens above ``text_threshold`` (the
+    reference's phrase extraction, ``utils/grounded_sam.py:414``), convert
+    to absolute xyxy, drop near-duplicates."""
     H, W = hw
-    # probs = sigmoid(logits) is always finite (-inf padding -> 0.0)
-    scores = probs.max(axis=1)
     keep = scores > box_threshold
     if not keep.any():
         return Detections(
@@ -225,22 +264,13 @@ def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
             confidence=np.zeros((0,), np.float32),
             class_id=np.zeros((0,), np.int64),
         )
-    kp, kb = probs[keep], boxes[keep]
-    kp_thr = np.where(kp > text_threshold, kp, 0.0)
-
-    def span_max(arr, s, e):
-        # a class whose tokenization is empty (span width 0) can never be
-        # assigned: score 0 instead of a zero-size reduction crash
-        if e <= s:
-            return np.zeros(arr.shape[0], arr.dtype)
-        return arr[:, s:e].max(axis=1)
-
-    span_scores = np.stack([span_max(kp_thr, s, e) for s, e in spans], 1)
+    kb = boxes[keep]
+    span_scores = span_thr[keep]
     # boxes whose every span token fell below text_threshold fall back to
     # the unthresholded response (reference would emit an empty phrase)
-    fallback = np.stack([span_max(kp, s, e) for s, e in spans], 1)
     span_scores = np.where(
-        span_scores.max(axis=1, keepdims=True) > 0, span_scores, fallback
+        span_scores.max(axis=1, keepdims=True) > 0, span_scores,
+        span_fb[keep],
     )
     cx, cy, bw, bh = kb.T
     xyxy = np.stack(
@@ -251,6 +281,22 @@ def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
         xyxy=xyxy, confidence=scores[keep].astype(np.float32),
         class_id=span_scores.argmax(axis=1).astype(np.int64),
     ))
+
+
+def _postprocess_view(probs, boxes, spans, box_threshold, text_threshold, hw):
+    """Detection post-processing for one view from FULL sigmoid maps
+    (numpy). The device path reduces on device and goes straight to
+    :func:`_postprocess_view_reduced`; this wrapper computes the identical
+    reductions in numpy — kept as the reference implementation and the
+    parity anchor for the device reduction."""
+    m = _span_mask(spans, probs.shape[1])
+    scores = probs.max(axis=1)
+    p = probs[:, None, :]                                 # (Q, 1, L)
+    span_fb = np.where(m[None], p, 0.0).max(-1)           # (Q, C)
+    thr = np.where(p > text_threshold, p, 0.0)
+    span_thr = np.where(m[None], thr, 0.0).max(-1)
+    return _postprocess_view_reduced(scores, span_thr, span_fb, boxes,
+                                     box_threshold, hw)
 
 
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -497,3 +497,32 @@ def test_forward_gather_impl_pallas_matches_xla(oracle):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_postprocess_device_reduction_parity():
+    """The on-device logits reduction (_reduce_detection_outputs — what the
+    predict paths fetch instead of the full sigmoid maps) yields detections
+    identical to the full-map numpy reference (_postprocess_view),
+    including the empty-span and all-below-text-threshold fallbacks."""
+    from d3fields_tpu.models.groundingdino.detector import (
+        _postprocess_view, _postprocess_view_reduced,
+        _reduce_detection_outputs, _span_mask)
+
+    rs = np.random.RandomState(11)
+    V, Q, L = 3, 64, 32
+    logits = rs.randn(V, Q, L).astype(np.float32) * 2.0
+    boxes = rs.uniform(0.2, 0.8, (V, Q, 4)).astype(np.float32)
+    spans = [(1, 4), (5, 5), (6, 12)]  # includes a width-0 span
+    for thr_t in (0.25, 0.95):  # 0.95: exercises the fallback branch
+        sc, st, sf, bx = (np.asarray(a) for a in _reduce_detection_outputs(
+            jnp.asarray(logits), jnp.asarray(boxes),
+            jnp.asarray(_span_mask(spans, L)), jnp.float32(thr_t)))
+        for v in range(V):
+            ref = _postprocess_view(
+                np.asarray(jax.nn.sigmoid(jnp.asarray(logits[v]))),
+                boxes[v], spans, 0.3, thr_t, (120, 160))
+            got = _postprocess_view_reduced(sc[v], st[v], sf[v], bx[v],
+                                            0.3, (120, 160))
+            np.testing.assert_array_equal(got.xyxy, ref.xyxy)
+            np.testing.assert_array_equal(got.confidence, ref.confidence)
+            np.testing.assert_array_equal(got.class_id, ref.class_id)
