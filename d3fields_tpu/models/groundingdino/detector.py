@@ -157,15 +157,14 @@ class GroundingDinoDetector:
             self.params, self.cfg, pixels, input_ids,
             self.compute_dtype, self.query_chunk, self.gather_impl,
         )
-        # reduce on device, fetch ~32 KB instead of the ~1 MB sigmoid map
-        # (the tunnel fetch was costing as much as the transformer stack)
-        sc, st, sf, bx = _reduce_detection_outputs(
+        # reduce on device into ONE packed buffer: ~32 KB and ONE round
+        # trip instead of the ~1 MB sigmoid map / four serialized fetches
+        red = _reduce_detection_outputs(
             logits, boxes, jnp.asarray(_span_mask(spans, logits.shape[-1])),
             jnp.float32(text_threshold))
-        return _postprocess_view_reduced(
-            np.asarray(sc[0]), np.asarray(st[0]), np.asarray(sf[0]),
-            np.asarray(bx[0]), box_threshold, (H, W)
-        )
+        sc, st, sf, bx = _unpack_reduced(np.asarray(red[0]), len(spans))
+        return _postprocess_view_reduced(sc, st, sf, bx, box_threshold,
+                                         (H, W))
 
     def predict_with_classes_batch(
         self, images: np.ndarray, classes: Sequence[str],
@@ -181,7 +180,15 @@ class GroundingDinoDetector:
             input_ids, spans = tokenize_classes(classes, self.tokenize)
         V, H, W = images.shape[:3]
         chunk = V if self._view_mesh is not None else (self.view_chunk or V)
-        parts = []
+        # phase 1: DISPATCH every chunk (prep -> forward -> packed device
+        # reduction) without a single host sync — the dispatches queue on
+        # the device back-to-back; phase 2 fetches. Fetching inside the
+        # loop serialized a ~27 ms round trip per chunk behind each
+        # forward (measured round 5); deferring the fetches overlaps them
+        # with the later chunks' compute.
+        mask = jnp.asarray(_span_mask(spans, self.cfg.max_text_len))
+        thr = jnp.float32(text_threshold)
+        pending = []
         for s in range(0, V, chunk):
             views = [self._prep(img) for img in images[s : s + chunk]]
             # pad a short tail chunk to the full chunk size so every
@@ -198,16 +205,12 @@ class GroundingDinoDetector:
                 self.params, self.cfg, pixels, ids,
                 self.compute_dtype, self.query_chunk, self.gather_impl,
             )
-            n = len(views)
-            # reduce on device, fetch ~32 KB/view instead of the ~1 MB
-            # sigmoid map (the tunnel fetch was costing as much as the
-            # transformer stack per view — round-5 split)
-            red = _reduce_detection_outputs(
-                logits, boxes,
-                jnp.asarray(_span_mask(spans, logits.shape[-1])),
-                jnp.float32(text_threshold))
-            parts.append(tuple(np.asarray(r)[:n] for r in red))
-        sc, st, sf, bx = (np.concatenate(p, axis=0) for p in zip(*parts))
+            pending.append(
+                (_reduce_detection_outputs(logits, boxes, mask, thr),
+                 len(views)))
+        red_all = np.concatenate(
+            [np.asarray(red)[:n] for red, n in pending], axis=0)
+        sc, st, sf, bx = _unpack_reduced(red_all, len(spans))
 
         out = []
         for v in range(V):
@@ -229,15 +232,17 @@ def _span_mask(spans, L: int) -> np.ndarray:
 
 @jax.jit
 def _reduce_detection_outputs(logits, boxes, span_mask, text_threshold):
-    """Reduce raw head outputs ON DEVICE to what post-processing needs:
-    per-query max score, per-(query, class-span) thresholded and raw
-    maxima, plus the boxes. logits (V, Q, L); span_mask (C, L) bool.
+    """Reduce raw head outputs ON DEVICE to what post-processing needs,
+    packed into ONE buffer: per-query max score, boxes, per-(query,
+    class-span) thresholded and raw maxima. logits (V, Q, L); span_mask
+    (C, L) bool. Returns (V, Q, 1+4+2C) f32: [score, box4, thr_C, fb_C].
 
-    Fetching (Q, L=256) sigmoid maps per view costs ~1 MB/view over the
-    remote tunnel (~8 MB/s effective: ~115 ms/view, measured round 5 —
-    comparable to the whole transformer stack); the reduced set is
-    (Q, 2C+5) ≈ 32 KB. Same math as the host reductions it replaces
-    (max is exact; sigmoid(0-fill) identities hold since probs >= 0),
+    Two tunnel economics in one (phase-measured, round 5): the packed
+    (Q, 2C+5) slab is ~32 KB vs the ~1 MB full sigmoid map, and ONE
+    buffer means ONE device->host round trip — fetching four separate
+    arrays cost 4 x ~27 ms serialized round trips (~110 ms/view, more
+    than the whole transformer). Same math as the host reductions it
+    replaces (max is exact; 0-fill identities hold since probs >= 0),
     pinned by test_postprocess_device_reduction_parity."""
     probs = jax.nn.sigmoid(logits)                       # (V, Q, L)
     scores = probs.max(axis=-1)                          # (V, Q)
@@ -246,7 +251,15 @@ def _reduce_detection_outputs(logits, boxes, span_mask, text_threshold):
     span_fb = jnp.where(m, p, 0.0).max(-1)               # (V, Q, C)
     thr = jnp.where(p > text_threshold, p, 0.0)
     span_thr = jnp.where(m, thr, 0.0).max(-1)            # (V, Q, C)
-    return scores, span_thr, span_fb, boxes
+    return jnp.concatenate(
+        [scores[..., None], boxes.astype(jnp.float32), span_thr, span_fb],
+        axis=-1)
+
+
+def _unpack_reduced(red: np.ndarray, C: int):
+    """(..., 1+4+2C) packed slab -> (scores, span_thr, span_fb, boxes)."""
+    return (red[..., 0], red[..., 5:5 + C], red[..., 5 + C:5 + 2 * C],
+            red[..., 1:5])
 
 
 def _postprocess_view_reduced(scores, span_thr, span_fb, boxes,

@@ -506,7 +506,7 @@ def test_postprocess_device_reduction_parity():
     including the empty-span and all-below-text-threshold fallbacks."""
     from d3fields_tpu.models.groundingdino.detector import (
         _postprocess_view, _postprocess_view_reduced,
-        _reduce_detection_outputs, _span_mask)
+        _reduce_detection_outputs, _span_mask, _unpack_reduced)
 
     rs = np.random.RandomState(11)
     V, Q, L = 3, 64, 32
@@ -514,9 +514,11 @@ def test_postprocess_device_reduction_parity():
     boxes = rs.uniform(0.2, 0.8, (V, Q, 4)).astype(np.float32)
     spans = [(1, 4), (5, 5), (6, 12)]  # includes a width-0 span
     for thr_t in (0.25, 0.95):  # 0.95: exercises the fallback branch
-        sc, st, sf, bx = (np.asarray(a) for a in _reduce_detection_outputs(
+        red = np.asarray(_reduce_detection_outputs(
             jnp.asarray(logits), jnp.asarray(boxes),
             jnp.asarray(_span_mask(spans, L)), jnp.float32(thr_t)))
+        assert red.shape == (V, Q, 1 + 4 + 2 * len(spans))
+        sc, st, sf, bx = _unpack_reduced(red, len(spans))
         for v in range(V):
             ref = _postprocess_view(
                 np.asarray(jax.nn.sigmoid(jnp.asarray(logits[v]))),
