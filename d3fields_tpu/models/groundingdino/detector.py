@@ -130,6 +130,19 @@ class GroundingDinoDetector:
         self._view_mesh = (mesh, axis)
         return self
 
+    def _gather_for(self, batch_views: int) -> Optional[str]:
+        """Resolve the gather lowering for a forward of ``batch_views``
+        views. The Mosaic kernel is validated for the single-view batch
+        (BN = 8 head-slices): larger view batches crash the backend
+        compiler (BN=32 probed, round 5), and under ``shard_views`` the
+        pallas_call has no GSPMD partitioning spec, so the sharded
+        multi-chip forward must take the XLA gather. vc=1 is the measured
+        single-chip optimum anyway (bench_grounded_sam)."""
+        if self.gather_impl and self.gather_impl.startswith("pallas") and (
+                batch_views > 1 or self._view_mesh is not None):
+            return None
+        return self.gather_impl
+
     def _prep(self, rgb: np.ndarray):
         H, W = rgb.shape[:2]
         scale = self.short_side / min(H, W)
@@ -155,7 +168,7 @@ class GroundingDinoDetector:
         pixels = self._prep(image)
         logits, boxes = groundingdino_forward(
             self.params, self.cfg, pixels, input_ids,
-            self.compute_dtype, self.query_chunk, self.gather_impl,
+            self.compute_dtype, self.query_chunk, self._gather_for(1),
         )
         # reduce on device into ONE packed buffer: ~32 KB and ONE round
         # trip instead of the ~1 MB sigmoid map / four serialized fetches
@@ -203,7 +216,8 @@ class GroundingDinoDetector:
                 pixels = shard_leading_checked(mesh, pixels, axis)
             logits, boxes = groundingdino_forward(
                 self.params, self.cfg, pixels, ids,
-                self.compute_dtype, self.query_chunk, self.gather_impl,
+                self.compute_dtype, self.query_chunk,
+                self._gather_for(pixels.shape[0]),
             )
             pending.append(
                 (_reduce_detection_outputs(logits, boxes, mask, thr),
