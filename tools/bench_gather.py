@@ -12,10 +12,15 @@ Run manually on the chip (never concurrently with another TPU process):
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `python tools/bench_gather.py` puts tools/ first
+    sys.path.insert(0, REPO)
 
 
 def main(argv=None):
