@@ -330,6 +330,12 @@ def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6, peak=None,
     # re-traces under the flag; parity pinned in tests/test_xmem.py
     from d3fields_tpu.models.xmem import blocks as B
 
+    # the flag is a trace-time module global, NOT part of the jit cache
+    # key — the bf16 loop above already traced propagate_step_views with
+    # identical avals, so without clearing the cache this block would
+    # silently re-time the plain-conv executable (caught by round-5
+    # review; the first recorded 65.56 ms "no-op" was exactly that)
+    jax.clear_caches()
     B.set_conv3x3_matmul(True)
     try:
         cfg = dataclasses.replace(base_cfg, compute_dtype="bfloat16")
@@ -349,6 +355,7 @@ def bench_xmem(num_views=4, H=480, W=640, num_obj=2, frames=6, peak=None,
         row["xmem_step_bf16_conv3x3mm_ms"] = round(dt * 1e3, 2)
     finally:
         B.set_conv3x3_matmul(False)
+        jax.clear_caches()  # don't leak matmul-conv traces to later stages
     return row
 
 

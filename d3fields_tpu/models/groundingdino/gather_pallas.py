@@ -75,7 +75,9 @@ _QUERY_TILE = 256  # queries per grid step; LP*T gather rows per step
 
 def level_row_offsets(spatial_shapes: Sequence[Tuple[int, int]]):
     """Row offset of each level's corner table in the level-concatenated
-    table, plus the padded total row count (sublane multiple)."""
+    table, plus the total row count (RAW sum of (h+1)*(w+1) — NOT padded
+    to a sublane multiple; the kernel takes R from tables.shape and
+    Mosaic handles non-multiple block rows)."""
     offs, start = [], 0
     for h, w in spatial_shapes:
         offs.append(start)
@@ -209,6 +211,12 @@ def deformable_gather_pallas(
     assert BN == B * nh, (BN, B, nh)
     hd = four_hd // 4
     LP = L * P
+    if query_tile % 8 != 0:
+        # the gather loop walks whole 8-query groups (fori_loop over
+        # T//8); a ragged tail would read uninitialized rows-scratch in
+        # the epilogue — garbage, not an error, so reject it here
+        raise ValueError(f"query_tile must be a multiple of 8, got "
+                         f"{query_tile}")
     # f32 rows only: see module docstring (bf16 row granularity is
     # un-compilable in-kernel; the cast is one sequential HBM pass)
     tables = tables.astype(jnp.float32)

@@ -85,7 +85,9 @@ def unpack_outputs(host_out, n: int):
         if a.dtype == np.uint8:
             bits = np.unpackbits(a[:, None], axis=1, bitorder="little")
             a = bits.reshape((a.shape[0] * 8,) + a.shape[1:]).astype(bool)
-        elif a.dtype != np.float32 and np.issubdtype(a.dtype, np.floating):
+        elif a.dtype != np.float32 and jnp.issubdtype(a.dtype, jnp.floating):
+            # NB: numpy's issubdtype does NOT recognize ml_dtypes.bfloat16
+            # as floating (kind 'V') — jnp's does
             a = a.astype(np.float32)
         out[k] = a[:n]
     return out

@@ -401,6 +401,10 @@ def test_sharded_batch_eval_pack_fetch(scene):
     assert packed["valid_mask"].shape[0] * 8 == packed["dist"].shape[0]
     out = unpack_outputs(packed, n)
     assert out["valid_mask"].dtype == bool
+    # the documented bf16 -> f32 inverse really fires (numpy's issubdtype
+    # does not recognize ml_dtypes.bfloat16 as floating — round-5 bug)
+    assert out["dist"].dtype == np.float32
+    assert out["dino_feats"].dtype == np.float32
     np.testing.assert_array_equal(out["valid_mask"],
                                   np.asarray(ref["valid_mask"]))
     # bf16 keeps ~3 significant digits; dist is bounded by mu=0.02
