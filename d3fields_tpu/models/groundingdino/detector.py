@@ -42,6 +42,17 @@ def _prep_jit(rgb, out_hw):
     return img[None]
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _prep_batch_jit(rgbs, out_hw):
+    """uint8 (V, H, W, 3) -> normalized (V, rh, rw, 3): the whole view
+    chunk uploads and preps in ONE dispatch (identical math to
+    :func:`_prep_jit` — bilinear_resize batches over leading dims; the
+    per-view path paid an upload + dispatch per camera)."""
+    imgs = rgbs.astype(jnp.float32) / 255.0
+    imgs = bilinear_resize(imgs, out_hw)
+    return (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 @dataclasses.dataclass
 class Detections:
     """Reference-compatible detection container (supervision.Detections
@@ -203,14 +214,19 @@ class GroundingDinoDetector:
         # with the later chunks' compute.
         mask = jnp.asarray(_span_mask(spans, self.cfg.max_text_len))
         thr = jnp.float32(text_threshold)
+        scale = self.short_side / min(H, W)
+        if max(H, W) * scale > self.max_side:
+            scale = self.max_side / max(H, W)
+        out_hw = (round(H * scale), round(W * scale))
         pending = []
         for s in range(0, V, chunk):
-            views = [self._prep(img) for img in images[s : s + chunk]]
+            n_chunk = min(chunk, V - s)
             # pad a short tail chunk to the full chunk size so every
             # iteration reuses ONE compiled executable
-            pad = chunk - len(views) if s else 0
-            pixels = jnp.concatenate(views + [views[-1]] * pad, axis=0)
-            ids = np.repeat(np.asarray(input_ids), len(views) + pad, axis=0)
+            pad = chunk - n_chunk if s else 0
+            sel = list(range(s, s + n_chunk)) + [s + n_chunk - 1] * pad
+            pixels = _prep_batch_jit(jnp.asarray(images[sel]), out_hw)
+            ids = np.repeat(np.asarray(input_ids), n_chunk + pad, axis=0)
             if self._view_mesh is not None:
                 from d3fields_tpu.parallel.mesh import shard_leading_checked
 
@@ -223,7 +239,7 @@ class GroundingDinoDetector:
             )
             pending.append(
                 (_reduce_detection_outputs(logits, boxes, mask, thr),
-                 len(views)))
+                 n_chunk))
         red_all = np.concatenate(
             [np.asarray(red)[:n] for red, n in pending], axis=0)
         sc, st, sf, bx = _unpack_reduced(red_all, len(spans))
