@@ -528,3 +528,17 @@ def test_postprocess_device_reduction_parity():
             np.testing.assert_array_equal(got.xyxy, ref.xyxy)
             np.testing.assert_array_equal(got.confidence, ref.confidence)
             np.testing.assert_array_equal(got.class_id, ref.class_id)
+
+
+def test_pallas_gather_query_tile_guard():
+    """query_tile must be a multiple of 8: the kernel's gather loop walks
+    whole 8-query groups, and a ragged tail would silently read
+    uninitialized scratch as taps (round-5 review finding)."""
+    from d3fields_tpu.models.groundingdino.gather_pallas import (
+        deformable_gather_pallas)
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        deformable_gather_pallas(
+            jnp.zeros((4, 30, 128)), ((2, 3),),
+            jnp.zeros((1, 10, 4, 1, 4, 2)), jnp.zeros((1, 10, 4, 1, 4)),
+            query_tile=100)
