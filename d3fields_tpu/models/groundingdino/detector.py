@@ -143,18 +143,72 @@ class GroundingDinoDetector:
         self._view_mesh = (mesh, axis)
         return self
 
-    def _gather_for(self, batch_views: int) -> Optional[str]:
-        """Resolve the gather lowering for a forward of ``batch_views``
-        views. The Mosaic kernel is validated for the single-view batch
-        (BN = 8 head-slices): larger view batches crash the backend
-        compiler (BN=32 probed, round 5), and under ``shard_views`` the
-        pallas_call has no GSPMD partitioning spec, so the sharded
-        multi-chip forward must take the XLA gather. vc=1 is the measured
-        single-chip optimum anyway (bench_grounded_sam)."""
+    def _gather_for(self, views_per_forward: int) -> Optional[str]:
+        """Resolve the gather lowering for a forward whose (per-device)
+        view batch is ``views_per_forward``. The Mosaic kernel is
+        validated for the single-view batch (BN = 8 head-slices): larger
+        view batches crash the backend compiler (BN=32 probed, round 5),
+        so multi-view batches take the XLA gather. The sharded path
+        passes its PER-SHARD view count — under ``shard_map`` each shard
+        traces a local B = V/n forward, so one view per chip keeps the
+        kernel (plain GSPMD jit cannot partition a pallas_call; vc=1 is
+        also the measured single-chip optimum, bench_grounded_sam)."""
         if self.gather_impl and self.gather_impl.startswith("pallas") and (
-                batch_views > 1 or self._view_mesh is not None):
+                views_per_forward > 1):
             return None
         return self.gather_impl
+
+    def _forward_view_sharded(self, pixels, ids_np: np.ndarray):
+        """All-views detection forward under ``shard_map``: per-view
+        detection is collective-free, so each mesh shard runs the same
+        forward on its V/n local views. This is how the sharded path
+        keeps the Mosaic gather kernel — a ``pallas_call`` has no GSPMD
+        partitioning spec (plain jit would replicate or fail), but inside
+        ``shard_map`` the kernel traces at the LOCAL batch, which at one
+        view per chip is exactly the validated BN=8 shape. Composition is
+        pinned on the virtual CPU mesh with the interpret-mode kernel
+        (tests/test_parallel_train.py)."""
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as _shard_map  # jax >= 0.6 style
+
+            def shmap(f, mesh, in_specs, out_specs):
+                return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_vma=False)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            def shmap(f, mesh, in_specs, out_specs):
+                return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_rep=False)
+
+        from d3fields_tpu.models.groundingdino import model as gd
+
+        mesh, axis = self._view_mesh
+        n = mesh.shape[axis]
+        if pixels.shape[0] % n:
+            raise ValueError(
+                f"views count {pixels.shape[0]} not divisible by mesh "
+                f"axis {axis!r} of size {n}")
+        gather = self._gather_for(pixels.shape[0] // n)
+        text_self_mask_np, pos_ids_np = gd.generate_text_masks(ids_np)
+        token_mask_np = np.ones_like(ids_np, bool)
+
+        def body(params, px, ids, tsm, pid, tkm):
+            return gd._groundingdino_forward_impl(
+                params, self.cfg, px, ids, tsm, pid, tkm,
+                self.compute_dtype, self.query_chunk, gather)
+
+        fwd = shmap(
+            body, mesh,
+            (P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            (P(axis), P(axis)))
+        prec = "float32" if self.compute_dtype == "float32" else "default"
+        with jax.default_matmul_precision(prec):
+            return fwd(self.params, pixels, jnp.asarray(ids_np),
+                       jnp.asarray(text_self_mask_np),
+                       jnp.asarray(pos_ids_np), jnp.asarray(token_mask_np))
 
     def _prep(self, rgb: np.ndarray):
         H, W = rgb.shape[:2]
@@ -232,11 +286,13 @@ class GroundingDinoDetector:
 
                 mesh, axis = self._view_mesh
                 pixels = shard_leading_checked(mesh, pixels, axis)
-            logits, boxes = groundingdino_forward(
-                self.params, self.cfg, pixels, ids,
-                self.compute_dtype, self.query_chunk,
-                self._gather_for(pixels.shape[0]),
-            )
+                logits, boxes = self._forward_view_sharded(pixels, ids)
+            else:
+                logits, boxes = groundingdino_forward(
+                    self.params, self.cfg, pixels, ids,
+                    self.compute_dtype, self.query_chunk,
+                    self._gather_for(pixels.shape[0]),
+                )
             pending.append(
                 (_reduce_detection_outputs(logits, boxes, mask, thr),
                  n_chunk))
